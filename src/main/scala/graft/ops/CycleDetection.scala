@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.model.Schemas
+
+/** Sessionization-by-marker: assign every event to its enclosing machine
+  * cycle via a running count of `Cycle_Start` markers, then derive per-cycle
+  * boundary timestamps and durations.
+  *
+  * Re-expresses `berechne_zyklen` (`src/daily_aggregator.py:32-67`) with
+  * identical semantics:
+  *   - running sum of a start flag over a window partitioned by machine and
+  *     ordered by (event_timestamp, uid) — the frame is made explicit here
+  *     (`rowsBetween(unboundedPreceding, currentRow)`), which is what the
+  *     reference gets implicitly from ORDER BY (`:40-43`);
+  *   - events before the first `Cycle_Start` keep `cycle_seq = 0` and flow
+  *     through un-filtered (`:64`) — they later get NULL cycle_time;
+  *   - boundaries come from min/max timestamp over only Start/End rows
+  *     (`:47-54`), so a trailing cycle missing its `Cycle_End` gets
+  *     `cycle_time` from the Start row alone (duration 0.0);
+  *   - cycle_time is an epoch-seconds double difference cast to float
+  *     (`:56-62`) to keep fractional seconds.
+  *
+  * Scale note (100 TB): the window is partitioned by `machine_id`; a machine
+  * with a huge single-day file is one Spark partition for the running sum
+  * (inherently sequential per key). This matches the reference's semantics.
+  * For wider keys use [[sessionizeByMarker]] with a composite partition key
+  * (e.g. machine + day) chosen at ingest; the running count resets per
+  * partition key exactly like the reference resets per file.
+  */
+object CycleDetection {
+
+  /** Generic form: running count of `marker` rows per `partitionKeys`,
+    * ordered by `orderCols` — usable for any marker-delimited sessionization
+    * (machine cycles, user sessions, ...). Returns the input plus `seqCol`.
+    */
+  def sessionizeByMarker(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      orderCols: Seq[Column],
+      isMarker: Column,
+      seqCol: String = "cycle_seq"): DataFrame = {
+    val w = Window
+      .partitionBy(partitionKeys.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(seqCol, sum(when(isMarker, 1).otherwise(0)).over(w))
+  }
+
+  /** Reference-parity cycle detection.
+    *
+    * @return (events with `cycle_seq`, cycle_times with
+    *         `machine_id, cycle_seq, cycle_start_ts, cycle_time_seconds`)
+    */
+  def detect(events: DataFrame): (DataFrame, DataFrame) = {
+    // Tie-breaker id; ties never involve Cycle_Start (SURVEY §7.4) so the
+    // cycle assignment itself is deterministic.
+    val withId = events.withColumn("graft_uid", monotonically_increasing_id())
+
+    val withSeq = sessionizeByMarker(
+      withId,
+      partitionKeys = Seq("machine_id"),
+      orderCols = Seq(col("event_timestamp"), col("graft_uid")),
+      isMarker = col("event_name") === Schemas.cycleStartEvent)
+
+    val boundaries = withSeq
+      .filter(col("cycle_seq") > 0)
+      .filter(col("event_name").isin(Schemas.cycleStartEvent, Schemas.cycleEndEvent))
+      .groupBy("machine_id", "cycle_seq")
+      .agg(
+        min("event_timestamp").as("cycle_start_ts"),
+        max("event_timestamp").as("cycle_end_ts"))
+
+    val cycleTimes = boundaries
+      .withColumn(
+        "cycle_time_seconds",
+        when(
+          col("cycle_start_ts").isNotNull && col("cycle_end_ts").isNotNull,
+          col("cycle_end_ts").cast("double") - col("cycle_start_ts").cast("double"))
+          .otherwise(lit(null))
+          .cast(FloatType))
+      .select("machine_id", "cycle_seq", "cycle_start_ts", "cycle_time_seconds")
+
+    (withSeq.drop("graft_uid"), cycleTimes)
+  }
+}
