@@ -1,0 +1,174 @@
+package graft.fixtures
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Random
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Seeded re-implementation of the reference data generator's semantics
+  * (`/root/reference/generate_data.py:28-92`): one machine cycle is 8 rows
+  * — Cycle_Start; AS_Check(AS_VacuumUnits); Pick_Check(PP_VacuumUnits) and
+  * Pick_Check(PP_Force) at the same millisecond; AS_Blowoff_Check
+  * (AS_VacuumUnits); Place_Check(PP_Force) and Place_Check(PP_VacuumUnits)
+  * at the same millisecond; Cycle_End — with inter-step delays of
+  * (130–150), (95–105), (50–55), (220–250), (80–100) ms and ok/error value
+  * ranges co-designed with `config/schwellwerte.json`'s thresholds.
+  *
+  * Unlike the reference it is fully deterministic (fixed seed), and it
+  * plants the SURVEY §7.4 edge cases: events before the first Cycle_Start
+  * (cycle_seq must stay 0), a trailing cycle with no Cycle_End, same-ms
+  * tie pairs, blank parameter/value fields, and (raw CSV only) an
+  * unparseable-timestamp row plus a null-machine row that the cleanse
+  * stage must drop.
+  */
+object FixtureGen {
+
+  /** The intended post-cleanse row — ground truth for the oracle parquet. */
+  final case class CleanEvent(
+      event_timestamp: java.sql.Timestamp,
+      machine_id: String,
+      event_name: String,
+      parameter_name: String,
+      value: Option[Float])
+
+  final case class Generated(csvLines: Seq[String], clean: Seq[CleanEvent])
+
+  private val isoFmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    .withZone(ZoneOffset.UTC)
+
+  private def iso(epochMs: Long): String = isoFmt.format(Instant.ofEpochMilli(epochMs))
+
+  private def csvLine(ts: String, m: String, e: String, p: String, v: String) =
+    s"$ts,$m,$e,$p,$v"
+
+  /** One decimal place keeps sink rounding well away from boundaries. */
+  private def sample1dp(rnd: Random, lo: Double, hi: Double): Float =
+    (math.round((lo + rnd.nextDouble() * (hi - lo)) * 10.0) / 10.0).toFloat
+
+  /** Generate `machines` parallel machine streams from `startEpochMs` until
+    * `endEpochMs`. `idleGapMs = (0,0)` reproduces the reference's
+    * back-to-back ~617 ms cycle cadence (~1.12 M rows/machine-day);
+    * a nonzero gap thins the stream for small fixtures spanning hours.
+    */
+  def generate(
+      machines: Seq[String],
+      startEpochMs: Long,
+      endEpochMs: Long,
+      idleGapMs: (Int, Int) = (0, 0),
+      errorRate: Double = 0.02,
+      seed: Long = 42L,
+      withEdgeCases: Boolean = true): Generated = {
+
+    val csv = new ArrayBuffer[String]()
+    val clean = new ArrayBuffer[CleanEvent]()
+    csv += "timestamp,machine_id,event_name,parameter_name,value"
+
+    def emit(tMs: Long, m: String, e: String, p: String, v: Option[Float]): Unit = {
+      csv += csvLine(iso(tMs), m, e, if (p == null) "" else p,
+        v.map(_.toString).getOrElse(""))
+      clean += CleanEvent(new java.sql.Timestamp(tMs), m, e,
+        if (p == null) "" else p, v)
+    }
+
+    machines.zipWithIndex.foreach { case (m, mi) =>
+      val rnd = new Random(seed + mi)
+      def delay(lo: Int, hi: Int): Long = (lo + rnd.nextInt(hi - lo + 1)).toLong
+      // ok-range value, or an error-range value with prob errorRate;
+      // ranges mirror generate_data.py:35-52 / schwellwerte.json thresholds
+      def vacAs(): Float = // ok (40,70), error > 70
+        if (rnd.nextDouble() < errorRate) sample1dp(rnd, 70.5, 80.0)
+        else sample1dp(rnd, 40.0, 69.9)
+      def vacPp(): Float = // ok (50,75), error > 75
+        if (rnd.nextDouble() < errorRate) sample1dp(rnd, 75.5, 85.0)
+        else sample1dp(rnd, 50.0, 74.9)
+      def release(): Float = // ok (450,550), error < 450
+        if (rnd.nextDouble() < errorRate) sample1dp(rnd, 400.0, 449.0)
+        else sample1dp(rnd, 450.1, 550.0)
+      def force(): Float = // ok (60,120), error outside [60,120]
+        if (rnd.nextDouble() < errorRate)
+          (if (rnd.nextBoolean()) sample1dp(rnd, 50.0, 59.4) else sample1dp(rnd, 120.6, 130.0))
+        else sample1dp(rnd, 60.1, 119.9)
+
+      var t = startEpochMs
+      if (withEdgeCases) {
+        // Orphan readings before the first Cycle_Start: cycle_seq stays 0,
+        // NULL cycle_time downstream (daily_aggregator.py:45,64 semantics).
+        emit(t - 5000, m, "AS_Check", "AS_VacuumUnits", Some(vacAs()))
+        emit(t - 4000, m, "Pick_Check", "PP_Force", Some(force()))
+        // Raw-only garbage the cleanse stage must drop:
+        csv += csvLine("not-a-timestamp", m, "AS_Check", "AS_VacuumUnits", "55.5")
+        csv += csvLine(iso(t - 3000), "", "AS_Check", "AS_VacuumUnits", "56.5")
+      }
+      while (t < endEpochMs) {
+        emit(t, m, "Cycle_Start", null, None)
+        val t1 = t + delay(130, 150)
+        emit(t1, m, "AS_Check", "AS_VacuumUnits", Some(vacAs()))
+        val t2 = t1 + delay(95, 105)
+        emit(t2, m, "Pick_Check", "PP_VacuumUnits", Some(vacPp())) // same-ms tie
+        emit(t2, m, "Pick_Check", "PP_Force", Some(force()))      // same-ms tie
+        val t3 = t2 + delay(50, 55)
+        emit(t3, m, "AS_Blowoff_Check", "AS_VacuumUnits", Some(release()))
+        val t4 = t3 + delay(220, 250)
+        emit(t4, m, "Place_Check", "PP_Force", Some(force()))     // same-ms tie
+        emit(t4, m, "Place_Check", "PP_VacuumUnits", Some(vacPp())) // same-ms tie
+        val t5 = t4 + delay(80, 100)
+        emit(t5, m, "Cycle_End", null, None)
+        t = t5 + delay(idleGapMs._1.max(1), idleGapMs._2.max(2))
+      }
+      if (withEdgeCases) {
+        // Trailing cycle with no Cycle_End: boundaries collapse to the
+        // Start row alone => cycle_time 0.0, not NULL.
+        emit(t, m, "Cycle_Start", null, None)
+        emit(t + 140, m, "AS_Check", "AS_VacuumUnits", Some(vacAs()))
+      }
+    }
+    Generated(csv.toSeq, clean.toSeq)
+  }
+
+  def writeCsv(path: String, lines: Seq[String]): Unit = {
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  def cleanDataset(spark: SparkSession, g: Generated): Dataset[CleanEvent] = {
+    import spark.implicits._
+    spark.createDataset(g.clean)
+  }
+}
+
+/** Fixed fixture locations used by [[graft.queries.PipelineQueries]] and
+  * their DuckDB oracles (absolute paths — the oracle SQL embeds them).
+  */
+object Fixtures {
+  val dir = "/root/repo/fixtures"
+  val rawCsv = s"$dir/machine_events_raw.csv"
+  val cleanParquet = s"$dir/machine_events_clean.parquet"
+  /** Glob the oracle uses (Spark writes parquet as a directory). */
+  val cleanParquetGlob = s"$cleanParquet/*.parquet"
+
+  /** 2 machines × 4 hours with 5–15 s idle gaps: ~23 k rows, enough for
+    * multi-hour rollups while staying committable. Starts at 22:00 so the
+    * window crosses a date boundary (exercises the date-bucketing paths).
+    */
+  def ensure(spark: SparkSession): Unit = synchronized {
+    val haveCsv = new java.io.File(rawCsv).exists()
+    val haveParquet = new java.io.File(cleanParquet).exists()
+    if (haveCsv && haveParquet) return
+    val start = java.time.Instant.parse("2024-10-16T22:00:00Z").toEpochMilli
+    val end = start + 4L * 3600 * 1000
+    val g = FixtureGen.generate(
+      Seq("DieBonder_01", "DieBonder_02"), start, end,
+      idleGapMs = (5000, 15000), errorRate = 0.02, seed = 42L)
+    if (!haveCsv) FixtureGen.writeCsv(rawCsv, g.csvLines)
+    if (!haveParquet)
+      FixtureGen.cleanDataset(spark, g).coalesce(1)
+        .write.mode("overwrite").parquet(cleanParquet)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine is the correctness baseline; the scale paths are the
+  * LSH (random-hyperplane) and IVF (coarse-quantizer) variants that bucket
+  * vectors so candidate generation never goes all-pairs. All arithmetic is
+  * promoted to double and accumulated in array order, so results are
+  * reproducible across engines to the last ulp.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All pairs (a < b) with cosine ≥ tau — O(n²) by construction; the
+    * baseline oracle-checkable form, NOT the scale path (use [[lshPairs]]).
+    * Norms are computed once per vector, so the pair loop does one dot each.
+    */
+  def bruteForcePairs(emb: DataFrame, tau: Double, idCol: String = "vec_id"): DataFrame = {
+    val withNorm = emb.select(col(idCol), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col(idCol).as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col(idCol).as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= tau)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** Brute-force top-k neighbors for each query vector (queries broadcast;
+    * ties broken by neighbor id for determinism).
+    */
+  def topK(emb: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col(idCol).as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("n_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk", "cosine")
+  }
+
+  /** Deterministic ±1 hyperplane signs for LSH, seeded. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id (one int, `numPlanes` sign bits). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val signs = typedLit(p)
+      when(dot(emb, signs) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce[Column](_.bitwiseOR(_))
+
+  /** LSH-bucketed near-neighbor pairs: vectors hash to a sign-pattern
+    * bucket; only same-bucket pairs are generated, then verified with exact
+    * cosine ≥ tau. With p planes the expected bucket population is n/2^p —
+    * candidate volume is Σ bucket² ≪ n². Recall is probabilistic (angle
+    * θ collides with prob (1-θ/π)^p); see SimilaritySpec's measured-recall
+    * test for the operating point.
+    */
+  def lshPairs(
+      emb: DataFrame,
+      tau: Double,
+      numPlanes: Int = 8,
+      seed: Long = 42L,
+      idCol: String = "vec_id"): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64, seed)
+    val withB = emb.select(
+      col(idCol), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"),
+      norm(col("embedding")).as("nrm"))
+    val a = withB.select(col("bucket"), col(idCol).as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = withB.select(col("bucket"), col(idCol).as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= tau)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidStride`-th
+    * vector is a centroid) partitions the corpus into inverted lists; a query
+    * probes only the `nProbe` nearest lists. This is the index layout a
+    * 100 TB deployment would persist (lists = partition key).
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroidStride: Long = 100L,
+      nProbe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val centroids = emb.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
+    // Assign every vector to its nearest centroid (broadcast centroids;
+    // one pass, no shuffle beyond the final grouping).
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(desc("c_cos"), asc("c_id"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol).as("n_id"), col("embedding").as("n_emb"), col("c_id").as("list_id"))
+    // Each query probes its nProbe nearest lists.
+    val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("c_cos"), asc("c_id"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("list_id"))
+    val scored = probes.join(assigned, Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("n_emb")))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("cosine"), asc("n_id"))))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk", "cosine")
+  }
+}

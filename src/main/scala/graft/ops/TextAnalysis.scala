@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline analysis operators over a documents table: token/size
+  * stats, quality scoring, marker-based language id, and content
+  * fingerprinting. All are narrow, codegen-friendly column expressions —
+  * no UDFs — so they run at scan speed on a 100 TB corpus.
+  */
+object TextAnalysis {
+
+  /** Token pattern shared with the DuckDB oracle: words, digit runs, or
+    * single non-space symbols (a BPE-ish first split).
+    */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  private def countIn(arr: Column, values: Seq[String]): Column =
+    size(filter(arr, w => w.isin(values.map(lit): _*)))
+
+  val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document size/shape statistics + a deterministic quality score
+    * (stopword ratio + short-doc penalty — the usual cheap heuristics).
+    */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_calc"),
+      size(w).as("n_words"),
+      size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).as("n_tokens"),
+      size(array_distinct(w)).as("n_distinct_words"),
+      countIn(w, stopwords).as("n_stopwords"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_words"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_words").cast("double") / col("n_words"))
+      .withColumn("quality_score",
+        when(col("n_words") >= 20, lit(1.0)).otherwise(lit(0.5)) * col("distinct_ratio"))
+  }
+
+  /** Marker-word language id: count hits per language's marker set, take
+    * the argmax (ties broken by fixed language order). A real deployment
+    * swaps the marker sets for char-n-gram profiles; the operator shape
+    * (per-row argmax over k scores) is identical.
+    */
+  def langId(
+      docs: DataFrame,
+      markers: Map[String, Seq[String]] = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "fr" -> Seq("le", "la", "les")),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    val langs = markers.keys.toSeq.sorted
+    val scored = docs.select(
+      col(idCol) +: langs.map(l => countIn(w, markers(l)).as(s"hits_$l")): _*)
+    // argmax with deterministic tiebreak: first lang (sorted) with max hits
+    val best = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"hits_$l") === greatest(langs.map(x => col(s"hits_$x")): _*) &&
+        greatest(langs.map(x => col(s"hits_$x")): _*) > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", best)
+      .select(Seq(col(idCol), col("lang_pred")) ++ langs.map(l => col(s"hits_$l")): _*)
+  }
+
+  /** Content fingerprint: md5 of case-folded, symbol-stripped,
+    * whitespace-collapsed text — the key for fuzzy-exact dedup of documents
+    * differing only in formatting.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))).as("fingerprint"))
+}

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale text-pipeline curation: exact
+  * (hash-groupBy), n-gram Jaccard (candidate pairs via a shingle inverted
+  * index — never all-pairs), MinHash/LSH banding, and SimHash.
+  *
+  * Scale design (100 TB): every variant generates candidate pairs only
+  * inside shared buckets (shingle, MinHash band, SimHash block), so the
+  * join fan-out is bounded by bucket sizes, not n². Hot buckets are pruned
+  * with a document-frequency cap (`maxShingleDf`), the standard
+  * stop-shingle defense against quadratic blowup on boilerplate.
+  */
+object TextDedup {
+
+  /** Exact duplicate groups by content hash. At scale this is one shuffle
+    * on a 128-bit key; the text column itself is never shuffled.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word k-grams per document: (id, shingle) rows.
+    * Documents shorter than k words produce no shingles.
+    */
+  def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    docs
+      .filter(size(ws) >= k)
+      .select(
+        col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(ws) - lit(k - 1)),
+          i => concat_ws(" ", (0 until k).map(off => element_at(ws, i + lit(off))): _*)
+        ))).as("shingle"))
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard similarity.
+    *
+    * Inverted-index plan: (id, shingle) self-join on shingle builds only
+    * pairs that co-occur in ≥1 bucket; intersection size falls out of the
+    * pair count, union from per-doc shingle counts. Shingles appearing in
+    * more than `maxShingleDf` docs are dropped from candidate generation
+    * (both sides of the oracle must apply the same cap).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      k: Int = 2,
+      tau: Double = 0.8,
+      maxShingleDf: Long = 1000L,
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, k, idCol).persist()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select("shingle"),
+      Seq("shingle"))
+    val inter = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("sz", "sz1")), Seq("d1"))
+      .join(broadcast(sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("sz", "sz2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** MinHash signatures: per doc, the min of `numHashes` seeded xxhash64
+    * values over its shingle set — a mergeable, fixed-width sketch of the
+    * shingle set (hash family: xxhash64 with the seed mixed in as a column).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame =
+    sh.groupBy(idCol)
+      .agg(
+        min(xxhash64(lit(0), col("shingle"))).as("mh0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")): _*)
+
+  /** LSH-banded MinHash near-dup pairs: signatures are cut into
+    * `numHashes / rowsPerBand` bands; docs colliding on any full band become
+    * candidates; candidates are verified with exact Jaccard ≥ tau.
+    *
+    * Probability a pair with Jaccard j collides: 1 - (1 - j^r)^b — with
+    * r=4, b=32 the S-curve crosses ~0.5 at j≈0.42, so recall at tau=0.8 is
+    * effectively 1 while far pairs are never joined.
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      k: Int = 2,
+      numHashes: Int = 128,
+      rowsPerBand: Int = 4,
+      tau: Double = 0.8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val sh = shingles(docs, k, idCol).persist()
+    val sig = minHashSignatures(sh, numHashes, idCol)
+    val numBands = numHashes / rowsPerBand
+    // One (id, band, bandHash) row per band; collisions inside a band bucket
+    // are the candidate pairs.
+    val banded = sig.select(
+      col(idCol),
+      explode(array((0 until numBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+            .as("band_hash"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    verifyJaccard(candidates, sh, tau, idCol)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle set. */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, tau: Double, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sh.select(col(idCol).as("d1"), col("shingle")), Seq("d1"))
+      .join(sh.select(col(idCol).as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("sz", "sz1")), Seq("d1"))
+      .join(broadcast(sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("sz", "sz2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** 64-bit SimHash per document over its word set: each token hash votes
+    * ±1 per bit position; the sign of the vote sum is the fingerprint bit.
+    */
+  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val votes = tok.groupBy(idCol).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce[Column](_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, candidate-generated by
+    * exact match on one of four 16-bit blocks (pigeonhole: distance ≤ 3
+    * guarantees at least one of 4 blocks is identical).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val sig = simHash(docs, idCol).persist()
+    val blocks = sig.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("blk_val"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.blk"), col("bb.blk_val"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

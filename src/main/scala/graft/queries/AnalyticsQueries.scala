@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Headline analytics queries over the TPC-H-ish star schema — these are the
+  * bench workload (sf0.1) and double as correctness rows for the join/agg
+  * operator families at a scale where plan shape matters.
+  *
+  * Plan notes (verified via `.explain("formatted")`):
+  *   - dimension joins (`part`, `supplier`, `nation`, `region`, `customer`)
+  *     are explicitly `broadcast()` — at 100 TB the fact table never
+  *     shuffles for a dimension join;
+  *   - aggregations are partial+final hash aggs (map-side combine) with a
+  *     single shuffle on the grouping keys;
+  *   - filters sit directly on the scan so parquet pushdown prunes row
+  *     groups (`PushedFilters` in the plan), and only referenced columns
+  *     are read (`ReadSchema`).
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Q1-style pricing summary: wide scan, 4 groups, heavy partial agg.
+    // sum_charge is emitted raw (6-decimal exact value has no safe rounding
+    // grid); the driver's canonicalization rounds it on both sides.
+    Q("q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (round(sum("l_quantity"), 2) / count("l_quantity")).as("avg_qty"),
+          (round(sum("l_extendedprice"), 2) / count("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+        |  round(sum(l_quantity), 2) / count(l_quantity) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) / count(l_extendedprice) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q3-style shipping priority: fact-fact join (orders⨝lineitem, shuffle
+    // on orderkey) with a broadcast customer dimension.
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, dir).filter(col("o_orderdate") < "1999-01-01")
+        val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > "1999-01-01")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(
+            col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Q5-style local-supplier revenue: 5-way join; every dimension
+    // broadcast, single shuffle on the grouping key.
+    Q("q5_region_revenue",
+      (s, dir) => {
+        val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, dir)
+        val supp = Tables.supplier(s, dir)
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+        Tables.lineitem(s, dir)
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin)),
+
+    // J2-style broadcast dimension join: revenue by brand.
+    Q("j2_brand_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT p_brand,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin))
+  )
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** LLM-training-data-pipeline operators: dedup, similarity search, text
+  * analysis, JSON extraction, multimodal plumbing — over the
+  * `documents`/`embeddings`/`events` corpus tables.
+  *
+  * Hash-based sketches (MinHash, SimHash, LSH) have no DuckDB-portable hash
+  * function, so those rows are rows-only here and get their correctness
+  * from ScalaTest recall/equivalence checks against the exact variants
+  * (DedupSpec / SimilaritySpec).
+  */
+object ExtQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on content.
+    Q("ext_dedup_exact",
+      (s, dir) => TextDedup.exactGroups(Tables.documents(s, dir)),
+      Some("SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_docs " +
+        "FROM documents GROUP BY md5(text)")),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    Q("ext_dedup_jaccard",
+      (s, dir) => TextDedup.jaccardPairs(Tables.documents(s, dir), k = 2, tau = 0.8,
+        maxShingleDf = 1000L),
+      Some("""WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |), rare AS (
+        |  SELECT * FROM sh WHERE shingle IN (
+        |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.8""".stripMargin)),
+
+    // MinHash/LSH near-dup pairs (rows-only: xxhash64 is not portable).
+    // Equivalence to ext_dedup_jaccard at tau=0.8 is asserted in DedupSpec.
+    Q("ext_dedup_minhash",
+      (s, dir) => TextDedup.minHashPairs(Tables.documents(s, dir), k = 2,
+        numHashes = 128, rowsPerBand = 4, tau = 0.8),
+      None),
+
+    // SimHash near-dup pairs (rows-only; DedupSpec checks recall).
+    Q("ext_dedup_simhash",
+      (s, dir) => TextDedup.simHashPairs(Tables.documents(s, dir), maxHamming = 3),
+      None),
+
+    // Embedding near-dup / similarity-threshold pairs — brute-force cosine
+    // baseline (tau below the corpus' top pair cosines; gap-checked).
+    Q("ext_ann_cosine_pairs",
+      (s, dir) => Similarity.bruteForcePairs(Tables.embeddings(s, dir), tau = 0.45),
+      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
+
+    // Brute-force cosine top-k for a fixed query set.
+    Q("ext_ann_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.topK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some("""WITH c AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5)
+        |SELECT q_id, n_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rk,
+        |  cosine
+        |FROM c
+        |QUALIFY rk <= 10""".stripMargin)),
+
+    // LSH-bucketed ANN pairs (rows-only; SimilaritySpec measures recall
+    // against the brute-force baseline).
+    Q("ext_ann_lsh",
+      (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir), tau = 0.45, numPlanes = 8),
+      None),
+
+    // IVF-partitioned top-k (rows-only; SimilaritySpec measures recall).
+    Q("ext_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          centroidStride = 50L, nProbe = 3)
+      },
+      None),
+
+    // Text statistics + quality score.
+    Q("ext_text_stats",
+      (s, dir) => TextAnalysis.stats(Tables.documents(s, dir)),
+      Some(s"""SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to','in'))) AS INT) AS n_stopwords,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS distinct_ratio,
+        |  (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0 ELSE 0.5 END)
+        |    * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' '))) AS quality_score
+        |FROM documents""".stripMargin)),
+
+    // Marker-based language id (argmax over marker-hit counts).
+    Q("ext_text_langid",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+      Some("""WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS INT) AS hits_en,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das'))) AS INT) AS hits_de,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les'))) AS INT) AS hits_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN hits_de = greatest(hits_de, hits_en, hits_fr) AND greatest(hits_de, hits_en, hits_fr) > 0 THEN 'de'
+        |    WHEN hits_en = greatest(hits_de, hits_en, hits_fr) AND greatest(hits_de, hits_en, hits_fr) > 0 THEN 'en'
+        |    WHEN hits_fr = greatest(hits_de, hits_en, hits_fr) AND greatest(hits_de, hits_en, hits_fr) > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred,
+        |  hits_de, hits_en, hits_fr
+        |FROM h""".stripMargin)),
+
+    // Normalized-content fingerprint (rolling-hash family; md5 of the
+    // canonical form).
+    Q("ext_text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir)),
+      Some("SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) " +
+        "AS fingerprint FROM documents")),
+
+    // JSON extraction from the events props column: path extraction as
+    // string and schema-full parse to a typed value.
+    Q("ext_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_int")),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events""".stripMargin)),
+
+    // Multimodal metadata decode over a binary payload column (stubbed
+    // decoder, real mapPartitions plumbing; metadata is a pure function of
+    // payload size so the oracle can mirror it).
+    Q("ext_multimodal_meta",
+      (s, dir) => Multimodal.decodeMeta(s, Tables.documents(s, dir)).toDF(),
+      Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + strlen(text) % 577 AS INT) AS width,
+        |  CAST(64 + (strlen(text) * 31) % 353 AS INT) AS height,
+        |  CAST(1 + strlen(text) % 7 AS INT) AS n_frames
+        |FROM documents""".stripMargin))
+  )
+}
