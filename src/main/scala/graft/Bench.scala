@@ -1,24 +1,85 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fixtures.FixtureGen
+import graft.model.Rules
+import graft.pipeline.DailyAggregatorJob
+
+/** Benchmark main: every declared catalog query against
+  * `SPARK_GRAFT_SF_DIR` (driver: sf0.1) plus the reference-shaped workload
+  * — one simulated machine-day (~1.12 M rows, `generate_data.py` cadence)
+  * through the full pipeline. Prints ONE JSON line.
+  *
+  * Evaluation is forced with a `noop`-format write: unlike `count()`,
+  * Catalyst cannot prune projections or skip expression work, so timings
+  * reflect the real operator cost.
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    graft.queries.Catalog.all.foreach { q =>
+      results(q.name) =
+        try time(force(q.run(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0
+        }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Reference-shaped workload: one machine-day at the generator's real
+    // cadence (~617 ms/cycle, 8 rows/cycle ≈ 1.12 M rows), full pipeline
+    // (cleanse → cycles → rules → enriched events + hourly summary), both
+    // outputs forced. CSV generation itself is excluded from the timing.
+    results("machine_day_pipeline") =
+      try {
+        val csv = new java.io.File("/tmp/graft_bench/machine_day.csv")
+        if (!csv.exists()) {
+          val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
+          val g = FixtureGen.generate(
+            Seq("DieBonder_01"), start, start + 24L * 3600 * 1000,
+            idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
+          FixtureGen.writeCsv(csv.getPath, g.csvLines)
+        }
+        time {
+          val out = DailyAggregatorJob.run(spark, csv.getPath, Rules.referenceDefaults)
+          force(out.enrichedEvents)
+          force(out.hourlySummary)
+          out.unpersist()
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] machine_day failed: ${e.getMessage}"); -1.0
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

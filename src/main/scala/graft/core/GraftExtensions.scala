@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions.VectorDot
+
+/** Engine extensions: native Catalyst functions registered via
+  * `SparkSessionExtensions` (`.withExtensions(new GraftExtensions)`), or
+  * after the fact on any session via [[GraftExtensions.ensure]] — query
+  * code calls `ensure` so the functions exist even on a driver-created
+  * session we didn't build.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+}
+
+object GraftExtensions {
+
+  private val vectorDotDescriptor = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      VectorDot(children(0), children(1)))
+
+  /** Idempotently register on an existing session. */
+  def ensure(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("vector_dot"))) {
+      registry.createOrReplaceTempFunction(
+        "vector_dot", vectorDotDescriptor._3, "built-in")
+    }
+  }
+
+  /** `vector_dot` as a Column op (registers on the session if needed). */
+  def vectorDot(spark: SparkSession, a: Column, b: Column): Column = {
+    ensure(spark)
+    call_function("vector_dot", a, b)
+  }
+}

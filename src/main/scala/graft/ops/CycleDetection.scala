@@ -15,8 +15,10 @@ import graft.model.Schemas
   * identical semantics:
   *   - running sum of a start flag over a window partitioned by machine and
   *     ordered by (event_timestamp, uid) — the frame is made explicit here
-  *     (`rowsBetween(unboundedPreceding, currentRow)`), which is what the
-  *     reference gets implicitly from ORDER BY (`:40-43`);
+  *     (`rowsBetween(unboundedPreceding, currentRow)`); note Spark's
+  *     implicit frame under ORDER BY is RANGE-based, which coincides with
+  *     ROWS only because the uid tiebreaker makes the ordering key unique
+  *     (`:40-43`);
   *   - events before the first `Cycle_Start` keep `cycle_seq = 0` and flow
   *     through un-filtered (`:64`) — they later get NULL cycle_time;
   *   - boundaries come from min/max timestamp over only Start/End rows

@@ -54,8 +54,11 @@ object HourlyRollup {
     * manual pivot with no extra pass over the data.
     */
   def eventSummary(flaggedEvents: DataFrame, cycleTimes: DataFrame): DataFrame = {
+    // Explicit broadcast: cycle_times is 1/8th of the events and 3 columns
+    // wide (~140 k rows/machine-day); hinting makes the plan deterministic
+    // at 100× scale instead of depending on stats estimation.
     val withStart = flaggedEvents.join(
-      cycleTimes.select("machine_id", "cycle_seq", "cycle_start_ts"),
+      broadcast(cycleTimes.select("machine_id", "cycle_seq", "cycle_start_ts")),
       Seq("machine_id", "cycle_seq"),
       "left")
 

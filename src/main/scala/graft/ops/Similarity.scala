@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.core.GraftExtensions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -13,27 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-order double dot product via higher-order functions —
+    * session-free reference form; the DataFrame operators below use the
+    * codegen'd [[graft.functions.VectorDot]] (bit-identical, ~an order of
+    * magnitude faster: primitive loop inside whole-stage codegen vs
+    * interpreted lambdas + a materialized zipped array per row).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Codegen'd dot (registers `vector_dot` on the session if needed). */
+  def dot(spark: SparkSession)(a: Column, b: Column): Column =
+    GraftExtensions.vectorDot(spark, a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(spark: SparkSession)(a: Column): Column = sqrt(dot(spark)(a, a))
+
+  def cosine(spark: SparkSession)(a: Column, b: Column): Column =
+    dot(spark)(a, b) / (norm(spark)(a) * norm(spark)(b))
 
   /** All pairs (a < b) with cosine ≥ tau — O(n²) by construction; the
     * baseline oracle-checkable form, NOT the scale path (use [[lshPairs]]).
     * Norms are computed once per vector, so the pair loop does one dot each.
     */
   def bruteForcePairs(emb: DataFrame, tau: Double, idCol: String = "vec_id"): DataFrame = {
-    val withNorm = emb.select(col(idCol), col("embedding"), norm(col("embedding")).as("nrm"))
+    val s = emb.sparkSession
+    val withNorm = emb.select(col(idCol), col("embedding"), norm(s)(col("embedding")).as("nrm"))
     val a = withNorm.select(col(idCol).as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withNorm.select(col(idCol).as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .withColumn("cosine", dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= tau)
       .select("a_id", "b_id", "cosine")
   }
@@ -42,10 +55,11 @@ object Similarity {
     * ties broken by neighbor id for determinism).
     */
   def topK(emb: DataFrame, queries: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
     val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
     val c = emb.select(col(idCol).as("n_id"), col("embedding").as("n_emb"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cosine", cosine(s)(col("q_emb"), col("n_emb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
     scored
@@ -61,10 +75,10 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id (one int, `numPlanes` sign bits). */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+  def lshBucket(spark: SparkSession)(emb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val signs = typedLit(p)
-      when(dot(emb, signs) >= 0.0, lit(1 << j)).otherwise(lit(0))
+      when(dot(spark)(emb, signs) >= 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce[Column](_.bitwiseOR(_))
 
   /** LSH-bucketed near-neighbor pairs: vectors hash to a sign-pattern
@@ -80,18 +94,19 @@ object Similarity {
       numPlanes: Int = 8,
       seed: Long = 42L,
       idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
     val planes = hyperplanes(numPlanes, 64, seed)
     val withB = emb.select(
       col(idCol), col("embedding"),
-      lshBucket(col("embedding"), planes).as("bucket"),
-      norm(col("embedding")).as("nrm"))
+      lshBucket(s)(col("embedding"), planes).as("bucket"),
+      norm(s)(col("embedding")).as("nrm"))
     val a = withB.select(col("bucket"), col(idCol).as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withB.select(col("bucket"), col(idCol).as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .withColumn("cosine", dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= tau)
       .select("a_id", "b_id", "cosine")
   }
@@ -108,12 +123,13 @@ object Similarity {
       centroidStride: Long = 100L,
       nProbe: Int = 2,
       idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
     val centroids = emb.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
     // Assign every vector to its nearest centroid (broadcast centroids;
     // one pass, no shuffle beyond the final grouping).
     val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCol)
           .orderBy(desc("c_cos"), asc("c_id"))))
@@ -122,7 +138,7 @@ object Similarity {
     // Each query probes its nProbe nearest lists.
     val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("c_cos", cosine(s)(col("q_emb"), col("c_emb")))
       .withColumn("prk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(desc("c_cos"), asc("c_id"))))
@@ -130,7 +146,7 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("c_id").as("list_id"))
     val scored = probes.join(assigned, Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cosine", cosine(s)(col("q_emb"), col("n_emb")))
     scored
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")

@@ -58,9 +58,17 @@ object TextDedup {
         .filter(col("df") <= maxShingleDf)
         .select("shingle"),
       Seq("shingle"))
+      .join(broadcast(sizes), Seq(idCol))
+    // Length-ratio pruning inside the join condition: J(A,B) can never
+    // exceed min(|A|,|B|)/max(|A|,|B|), so pairs whose shingle-set sizes
+    // differ by more than tau are pruned BEFORE the intersection count —
+    // identical output, much smaller candidate volume (the dominant cost
+    // at corpus scale).
     val inter = rare.as("a")
       .join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("b.sz") * lit(1.0) >= lit(tau) * col("a.sz") &&
+          col("a.sz") * lit(1.0) >= lit(tau) * col("b.sz"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
     inter

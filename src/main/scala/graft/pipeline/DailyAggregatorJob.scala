@@ -20,11 +20,12 @@ import graft.ops.{CycleDetection, ErrorRules, HourlyRollup}
   */
 object DailyAggregatorJob {
 
-  final case class Outputs(enrichedEvents: DataFrame, hourlySummary: DataFrame) {
-    def unpersist(): Unit = {
-      enrichedEvents.sparkSession.sharedState.cacheManager // no-op handle
-      ()
-    }
+  final case class Outputs(
+      enrichedEvents: DataFrame,
+      hourlySummary: DataFrame,
+      private val persisted: Seq[DataFrame] = Nil) {
+    /** Release the intermediates persisted by [[process]]. */
+    def unpersist(): Unit = persisted.foreach(_.unpersist())
   }
 
   /** Step 4 — scan + normalize (`daily_aggregator.py:152-168`). */
@@ -66,7 +67,7 @@ object DailyAggregatorJob {
 
     val summary = HourlyRollup.hourlySummary(flagged, cycles)
 
-    Outputs(enriched, summary)
+    Outputs(enriched, summary, persisted = Seq(flagged, cycles))
   }
 
   /** Convenience: full run from a CSV path. */
