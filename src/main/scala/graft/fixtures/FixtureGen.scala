@@ -114,8 +114,8 @@ object FixtureGen {
         val t3 = t2 + delay(50, 55)
         emit(t3, m, "AS_Blowoff_Check", "AS_VacuumUnits", Some(release()))
         val t4 = t3 + delay(220, 250)
-        emit(t4, m, "Place_Check", "PP_Force", Some(force()))     // same-ms tie
-        emit(t4, m, "Place_Check", "PP_VacuumUnits", Some(vacPp())) // same-ms tie
+        emit(t4, m, "Place_Check", "PP_Force", Some(force()))      // same-ms tie
+        emit(t4, m, "Place_Check", "PP_VacuumUnits", Some(release())) // same-ms tie (release reading, ok 450-550)
         val t5 = t4 + delay(80, 100)
         emit(t5, m, "Cycle_End", null, None)
         t = t5 + delay(idleGapMs._1.max(1), idleGapMs._2.max(2))

@@ -53,6 +53,54 @@ object CycleDetection {
     df.withColumn(seqCol, sum(when(isMarker, 1).otherwise(0)).over(w))
   }
 
+  /** Scale-safe form of [[sessionizeByMarker]]: a two-phase distributed
+    * prefix sum that removes the one-partition-per-key bottleneck.
+    *
+    * The plain window is sequential per partition key — fine for a
+    * machine-day (~1.12 M rows), a cliff for a machine-year in one key.
+    * Here rows are first bucketed by a time chunk (`bucketCol`, e.g.
+    * `floor(epoch/3600)`): phase 1 runs the running sum *within* each
+    * (key, bucket) — all buckets in parallel; phase 2 computes per-bucket
+    * marker totals (tiny: one row per bucket), prefix-sums those per key
+    * with a second window (over #buckets rows, not #events), and adds the
+    * offset of all prior buckets back. Output is identical to the
+    * single-window form (same running count; bucket boundaries are
+    * time-ordered), verified by CycleDetectionSpec's equivalence test.
+    */
+  def sessionizeByMarkerScalable(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      orderCols: Seq[Column],
+      isMarker: Column,
+      bucketCol: Column,
+      seqCol: String = "cycle_seq"): DataFrame = {
+    val keyed = df.withColumn("graft_bucket", bucketCol)
+    // Phase 1: local running sum inside each (key, bucket) — parallel.
+    val localW = Window
+      .partitionBy((partitionKeys.map(col) :+ col("graft_bucket")): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("graft_local_seq",
+      sum(when(isMarker, 1).otherwise(0)).over(localW))
+    // Phase 2: offsets = markers in all PRIOR buckets of the same key —
+    // a prefix sum over the per-bucket totals (rows = #buckets, tiny).
+    val offsetW = Window
+      .partitionBy(partitionKeys.map(col): _*)
+      .orderBy(col("graft_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy((partitionKeys.map(col) :+ col("graft_bucket")): _*)
+      .agg(sum(when(isMarker, 1).otherwise(0)).as("graft_bucket_markers"))
+      .withColumn("graft_offset",
+        coalesce(sum("graft_bucket_markers").over(offsetW), lit(0L)))
+      .drop("graft_bucket_markers")
+    local
+      .join(broadcast(offsets), partitionKeys :+ "graft_bucket")
+      .withColumn(seqCol, col("graft_local_seq") + col("graft_offset"))
+      // restore the input column order (the join moves its keys first)
+      .select((df.columns.map(col) :+ col(seqCol)): _*)
+  }
+
   /** Reference-parity cycle detection.
     *
     * @return (events with `cycle_seq`, cycle_times with

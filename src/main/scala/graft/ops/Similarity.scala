@@ -81,31 +81,42 @@ object Similarity {
       when(dot(spark)(emb, signs) >= 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce[Column](_.bitwiseOR(_))
 
-  /** LSH-bucketed near-neighbor pairs: vectors hash to a sign-pattern
-    * bucket; only same-bucket pairs are generated, then verified with exact
-    * cosine ≥ tau. With p planes the expected bucket population is n/2^p —
-    * candidate volume is Σ bucket² ≪ n². Recall is probabilistic (angle
-    * θ collides with prob (1-θ/π)^p); see SimilaritySpec's measured-recall
-    * test for the operating point.
+  /** Multi-table random-hyperplane LSH near-neighbor pairs: `numTables`
+    * independent sign-pattern hashes of `numPlanes` bits each
+    * (OR-amplification); a pair is a candidate if it collides in ANY
+    * table, then verified with exact cosine ≥ tau (precision 1 by
+    * construction). Collision prob for angle θ is 1-(1-(1-θ/π)^p)^L —
+    * p=4, L=8 gives ~0.75 recall at cos 0.4 while candidate volume stays
+    * Σ bucket² per table ≪ n². See SimilaritySpec's measured-recall test.
     */
   def lshPairs(
       emb: DataFrame,
       tau: Double,
-      numPlanes: Int = 8,
+      numPlanes: Int = 4,
+      numTables: Int = 8,
       seed: Long = 42L,
       idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
-    val planes = hyperplanes(numPlanes, 64, seed)
     val withB = emb.select(
       col(idCol), col("embedding"),
-      lshBucket(s)(col("embedding"), planes).as("bucket"),
-      norm(s)(col("embedding")).as("nrm"))
-    val a = withB.select(col("bucket"), col(idCol).as("a_id"),
+      norm(s)(col("embedding")).as("nrm"),
+      explode(array((0 until numTables).map { t =>
+        struct(
+          lit(t).as("table_id"),
+          lshBucket(s)(col("embedding"), hyperplanes(numPlanes, 64, seed + t))
+            .as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("embedding"), col("nrm"),
+        col("tb.table_id"), col("tb.bucket"))
+    val a = withB.select(col("table_id"), col("bucket"), col(idCol).as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = withB.select(col("bucket"), col(idCol).as("b_id"),
+    val b = withB.select(col("table_id"), col("bucket"), col(idCol).as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("table_id", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm"))
+      .dropDuplicates("a_id", "b_id")
       .withColumn("cosine", dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cosine") >= tau)
       .select("a_id", "b_id", "cosine")

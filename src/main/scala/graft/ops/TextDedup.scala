@@ -162,17 +162,26 @@ object TextDedup {
     votes.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` bits, candidate-generated by
-    * exact match on one of four 16-bit blocks (pigeonhole: distance ≤ 3
-    * guarantees at least one of 4 blocks is identical).
+  /** SimHash near-dup pairs within `maxHamming` bits, candidate-generated
+    * by exact match on one of `numBlocks` equal bit blocks (pigeonhole:
+    * distance ≤ numBlocks-1 guarantees at least one identical block, so
+    * candidate generation is lossless for maxHamming ≤ numBlocks-1).
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id"): DataFrame = {
+  def simHashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      numBlocks: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(64 % numBlocks == 0, "numBlocks must divide 64")
+    require(maxHamming <= numBlocks - 1, "pigeonhole needs maxHamming <= numBlocks-1")
+    val bits = 64 / numBlocks
+    val mask = (1L << bits) - 1L
     val sig = simHash(docs, idCol).persist()
     val blocks = sig.select(
       col(idCol), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until numBlocks).map { b =>
         struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("blk_val"))
+          shiftright(col("simhash"), b * bits).bitwiseAND(mask).as("blk_val"))
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.blk"), col("bb.blk_val"))
     blocks.as("a")

@@ -92,7 +92,8 @@ object ExtQueries {
     // LSH-bucketed ANN pairs (rows-only; SimilaritySpec measures recall
     // against the brute-force baseline).
     Q("ext_ann_lsh",
-      (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir), tau = 0.45, numPlanes = 8),
+      (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir), tau = 0.45,
+        numPlanes = 4, numTables = 8),
       None),
 
     // IVF-partitioned top-k (rows-only; SimilaritySpec measures recall).

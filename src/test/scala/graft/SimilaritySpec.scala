@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.Similarity
+
+/** ANN variants vs the brute-force baseline on the real embeddings. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir).cache()
+
+  test("codegen vector_dot is bit-identical to the higher-order-function dot") {
+    val diff = emb.select(
+      (Similarity.dot(spark)(col("embedding"), col("embedding")) -
+        Similarity.dotHof(col("embedding"), col("embedding"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].collect().head
+    assert(diff == 0.0)
+  }
+
+  test("topK returns exactly k deterministic neighbors per query") {
+    val out = Similarity.topK(emb, emb.filter($"vec_id" < 3), k = 5).cache()
+    val counts = out.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+    // deterministic across runs
+    val again = Similarity.topK(emb, emb.filter($"vec_id" < 3), k = 5)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
+  test("LSH pairs are a verified subset of brute force, with measured recall") {
+    val tau = 0.4
+    val brute = Similarity.bruteForcePairs(emb, tau)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshPairs(emb, tau, numPlanes = 4, numTables = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh.subsetOf(brute), "cosine-verified candidates can never exceed brute force")
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // p=4 planes, L=8 tables: P[collide | cos=0.4] = 1-(1-(1-θ/π)^4)^8 ≈ 0.75
+    assert(recall >= 0.5, s"recall $recall of ${brute.size}")
+  }
+
+  test("IVF top-k recall@10 vs exact top-k") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topK(emb, queries, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, centroidStride = 50L, nProbe = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall@10 $recall")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, TextAnalysis}
+
+/** Text analysis, fingerprinting, multimodal plumbing. */
+class TextAndJsonSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counting: words, digit runs, single symbols") {
+    val df = Seq((1L, "hello world 42 !? end")).toDF("doc_id", "text")
+    val row = TextAnalysis.stats(df).collect().head
+    assert(row.getAs[Int]("n_words") == 5)
+    assert(row.getAs[Int]("n_tokens") == 6) // hello, world, 42, !, ?, end
+  }
+
+  test("stats ratios are consistent") {
+    val df = Seq((1L, "the the cat")).toDF("doc_id", "text")
+    val row = TextAnalysis.stats(df).collect().head
+    assert(row.getAs[Int]("n_stopwords") == 2)
+    assert(row.getAs[Int]("n_distinct_words") == 2)
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 2.0 / 3) < 1e-15)
+  }
+
+  test("fingerprint is invariant to case, punctuation and extra whitespace") {
+    val df = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df)
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId picks the language with most marker hits, 'und' when none") {
+    val df = Seq(
+      (1L, "the cat of a house"),
+      (2L, "der hund die katze"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val preds = TextAnalysis.langId(df)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("multimodal decodeMeta: real mapPartitions plumbing, deterministic stub values") {
+    val df = Seq((7L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val meta = Multimodal.decodeMeta(spark, df).collect().head
+    assert(meta.n_bytes == 10L)
+    assert(meta.width == 64 + 10 % 577)
+    assert(meta.height == 64 + (10 * 31) % 353)
+    assert(meta.n_frames == 1 + 10 % 7)
+    // schema is the typed product, not a blob
+    assert(Multimodal.decodeMeta(spark, df).toDF().columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "n_frames"))
+  }
+}
