@@ -1,0 +1,157 @@
+package graft.io
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.types._
+
+/** JDBC sinks for the pipeline outputs.
+  *
+  * The reference appends and swallows the PK violation on re-runs
+  * (`src/daily_aggregator.py:266-275` catches
+  * `duplicate key value violates unique constraint` and skips the whole
+  * write) — "idempotent" only in the sense that the second run writes
+  * nothing. [[upsert]] implements the semantics the reference's README
+  * *claims* (`README.md:36-41`): a true per-row merge, executed
+  * executor-side with batched statements — each partition opens one
+  * connection and writes its rows, so throughput scales with executors at
+  * 100 TB instead of bottlenecking on the driver.
+  */
+object JdbcSinks {
+
+  /** Plain append (reference S2/S3 path). */
+  def append(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** SQL dialect for the merge statement. */
+  sealed trait UpsertDialect {
+    def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String
+  }
+
+  /** PostgreSQL `INSERT … ON CONFLICT (pk) DO UPDATE SET …`. */
+  case object PostgresUpsert extends UpsertDialect {
+    def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+      val updates = cols.filterNot(keyCols.contains)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $table (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})
+         |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates""".stripMargin
+    }
+  }
+
+  /** Portable two-statement upsert (UPDATE, INSERT when no row matched) —
+    * works on any JDBC target incl. Derby, whose MERGE rejects a VALUES
+    * source. Row-at-a-time on the update path; fine for the summary's
+    * ≤ 24 rows/machine-day, use [[PostgresUpsert]] for bulk merges.
+    */
+  case object UpdateInsertUpsert extends UpsertDialect {
+    def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String =
+      sqlPair(table, cols, keyCols)._1
+    def sqlPair(table: String, cols: Seq[String], keyCols: Seq[String]): (String, String) = {
+      val nonKeys = cols.filterNot(keyCols.contains)
+      val update = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+      val insert = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      (update, insert)
+    }
+  }
+
+  private def bind(st: PreparedStatement, row: Row, schema: StructType): Unit =
+    bindOrdered(st, row, schema, schema.fieldNames.toSeq)
+
+  /** Bind `fields` (schema field names, in statement-parameter order). */
+  private def bindOrdered(st: PreparedStatement, row: Row, schema: StructType,
+      fields: Seq[String]): Unit =
+    fields.zipWithIndex.foreach { case (name, pos) =>
+      val i = schema.fieldIndex(name)
+      val f = schema.fields(i)
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      (v, f.dataType) match {
+        case (null, dt) => st.setNull(pos + 1, sqlType(dt))
+        case (x: Timestamp, _) => st.setTimestamp(pos + 1, x)
+        case (x: java.sql.Date, _) => st.setDate(pos + 1, x)
+        case (x: String, _) => st.setString(pos + 1, x)
+        case (x: Float, _) => st.setFloat(pos + 1, x)
+        case (x: Double, _) => st.setDouble(pos + 1, x)
+        case (x: Long, _) => st.setLong(pos + 1, x)
+        case (x: Int, _) => st.setInt(pos + 1, x)
+        case (x: Boolean, _) => st.setBoolean(pos + 1, x)
+        case (x, _) => st.setObject(pos + 1, x)
+      }
+    }
+
+  private def sqlType(dt: DataType): Int = dt match {
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
+    case StringType => java.sql.Types.VARCHAR
+    case FloatType => java.sql.Types.FLOAT
+    case DoubleType => java.sql.Types.DOUBLE
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case BooleanType => java.sql.Types.BOOLEAN
+    case _ => java.sql.Types.OTHER
+  }
+
+  /** Executor-side batched upsert: one connection per partition, one
+    * prepared merge statement, batches of `batchSize`. Idempotent:
+    * re-running the same day updates in place instead of failing the PK.
+    */
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      dialect: UpsertDialect = PostgresUpsert,
+      props: Map[String, String] = Map.empty,
+      batchSize: Int = 500): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val nonKeys = cols.filterNot(keyCols.contains)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn: Connection = DriverManager.getConnection(url, p)
+        try {
+          conn.setAutoCommit(false)
+          dialect match {
+            case PostgresUpsert =>
+              val st = conn.prepareStatement(PostgresUpsert.sql(table, cols, keyCols))
+              try {
+                var n = 0
+                rows.foreach { row =>
+                  bind(st, row, schema)
+                  st.addBatch()
+                  n += 1
+                  if (n % batchSize == 0) st.executeBatch()
+                }
+                st.executeBatch()
+                conn.commit()
+              } finally st.close()
+            case UpdateInsertUpsert =>
+              val (updSql, insSql) = UpdateInsertUpsert.sqlPair(table, cols, keyCols)
+              val upd = conn.prepareStatement(updSql)
+              val ins = conn.prepareStatement(insSql)
+              try {
+                rows.foreach { row =>
+                  bindOrdered(upd, row, schema, nonKeys ++ keyCols)
+                  if (upd.executeUpdate() == 0) {
+                    bind(ins, row, schema)
+                    ins.executeUpdate()
+                  }
+                }
+                conn.commit()
+              } finally { upd.close(); ins.close() }
+          }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** JDBC scan (reference S5: the dashboard read path). */
+  def read(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+}

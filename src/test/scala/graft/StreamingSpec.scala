@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.{FixtureGen, Fixtures}
+import graft.io.JdbcSinks
+import graft.ops.CycleDetection
+import graft.pipeline.DailyAggregatorJob
+import graft.streaming.StreamingPipeline
+
+/** Streaming ≡ batch on the fixture, including cross-micro-batch state. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Fixture CSV split into two time-ordered files => two micro-batches
+    * (maxFilesPerTrigger=1), so cycle state must survive a batch boundary.
+    */
+  private lazy val streamDir: String = {
+    Fixtures.ensure(spark)
+    val lines = scala.io.Source.fromFile(Fixtures.rawCsv, "UTF-8").getLines().toSeq
+    val (header, rows) = (lines.head, lines.tail)
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val mid = java.time.Instant.parse("2024-10-17T00:00:00Z").toEpochMilli
+    def tsOf(l: String): Long =
+      try java.time.Instant.parse(l.takeWhile(_ != ',')).toEpochMilli
+      catch { case _: Exception => 0L } // garbage rows -> first file
+    val (early, late) = rows.partition(tsOf(_) < mid)
+    FixtureGen.writeCsv(s"$dir/day1_part1.csv", header +: early)
+    FixtureGen.writeCsv(s"$dir/day2_part2.csv", header +: late)
+    dir
+  }
+
+  test("stateful cycle_seq across micro-batches equals the batch window") {
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, streamDir, maxFilesPerTrigger = 1))
+    val q = StreamingPipeline.withCycleSeq(clean).toDF()
+      .writeStream.format("memory").queryName("seq_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("seq_out")
+    val (batch, _) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)))
+    val batchAligned = batch.select(
+      "event_timestamp", "machine_id", "event_name", "parameter_name", "value", "cycle_seq")
+    assert(streamed.count() == batchAligned.count())
+    assert(batchAligned.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batchAligned).count() == 0)
+    // two micro-batches actually happened (state crossed a boundary)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+  }
+
+  test("watermarked hourly windows + foreachBatch upsert match batch cycle counts") {
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE stream_summary (
+          |  summary_date DATE NOT NULL, hour_of_day INT NOT NULL,
+          |  machine_id VARCHAR(50) NOT NULL, cycle_count BIGINT,
+          |  PRIMARY KEY (summary_date, hour_of_day, machine_id))""".stripMargin)
+      st.close()
+    } finally conn.close()
+
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, streamDir, maxFilesPerTrigger = 1))
+    val counts = StreamingPipeline.hourlyCycleCounts(clean)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q = StreamingPipeline.startJdbcUpsert(
+      counts, url, "stream_summary", JdbcSinks.UpdateInsertUpsert, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = JdbcSinks.read(spark, url, "stream_summary")
+      .select(date_format(col("summary_date"), "yyyy-MM-dd"),
+        col("hour_of_day"), col("machine_id"), col("cycle_count"))
+      .as[(String, Int, String, Long)].collect().toSet
+
+    // batch oracle: count Cycle_Start per (date, hour, machine)
+    val want = DailyAggregatorJob.cleanse(
+        DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv))
+      .filter(col("event_name") === "Cycle_Start")
+      .groupBy(
+        date_format(col("event_timestamp"), "yyyy-MM-dd").as("d"),
+        hour(col("event_timestamp")).as("h"), col("machine_id"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Int, String, Long)].collect().toSet
+
+    assert(got == want)
+  }
+}
