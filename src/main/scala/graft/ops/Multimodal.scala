@@ -44,12 +44,58 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaMeta] = {
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaPayload]
+    payloads(docs, idCol)
       .mapPartitions { it =>
         // per-partition init site (codec/model handle goes here)
         it.map(stubDecode)
       }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int, frame: Array[Byte])
+
+  final case class Features(doc_id: Long, features: Array[Float])
+
+  private def payloads(docs: DataFrame, idCol: String): Dataset[MediaPayload] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col("text").cast("binary").as("payload")).as[MediaPayload]
+  }
+
+  /** Frame sampling: split each payload into its `n_frames` (from the stub
+    * decode) equal chunks — one output row per frame. The real analogue is
+    * keyframe extraction; the explode shape (1 row in → n rows out via
+    * mapPartitions) and the per-frame binary column are production-real.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): Dataset[Frame] = {
+    import spark.implicits._
+    payloads(docs, idCol).mapPartitions { it =>
+      it.flatMap { p =>
+        val meta = stubDecode(p)
+        val n = p.payload.length
+        val sz = (n + meta.n_frames - 1) / meta.n_frames // ceil
+        (0 until meta.n_frames).iterator.map { i =>
+          val from = math.min(i * sz, n)
+          val until = math.min((i + 1) * sz, n)
+          Frame(p.doc_id, i, until - from, java.util.Arrays.copyOfRange(p.payload, from, until))
+        }
+      }
+    }
+  }
+
+  /** Feature extraction stub: a 16-dim byte-histogram "embedding" per
+    * payload (normalized). A real model swap changes only the body —
+    * batch shape (iterator in, fixed-dim float vectors out) is what a
+    * GPU-backed extractor needs.
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): Dataset[Features] = {
+    import spark.implicits._
+    payloads(docs, idCol).mapPartitions { it =>
+      it.map { p =>
+        val hist = new Array[Float](16)
+        p.payload.foreach(b => hist((b & 0xFF) % 16) += 1f)
+        val n = math.max(1, p.payload.length).toFloat
+        Features(p.doc_id, hist.map(_ / n))
+      }
+    }
   }
 }

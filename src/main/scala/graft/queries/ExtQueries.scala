@@ -173,6 +173,23 @@ object ExtQueries {
         |  CAST(64 + strlen(text) % 577 AS INT) AS width,
         |  CAST(64 + (strlen(text) * 31) % 353 AS INT) AS height,
         |  CAST(1 + strlen(text) % 7 AS INT) AS n_frames
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // Frame sampling: 1 payload row → n_frames binary rows (keyframe-
+    // extraction shape); frame lengths are a pure function of payload size
+    // so the oracle mirrors the chunking arithmetic.
+    Q("ext_multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(s, Tables.documents(s, dir))
+        .toDF().select("doc_id", "frame_idx", "frame_len"),
+      Some("""WITH m AS (
+        |  SELECT doc_id, strlen(text) AS n, CAST(1 + strlen(text) % 7 AS INT) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, nf, CAST((n + nf - 1) // nf AS INT) AS sz,
+        |    CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, frame_idx,
+        |  CAST(least((frame_idx + 1) * sz, n) - least(frame_idx * sz, n) AS INT) AS frame_len
+        |FROM f""".stripMargin))
   )
 }

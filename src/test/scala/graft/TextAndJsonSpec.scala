@@ -57,4 +57,20 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(spark, df).toDF().columns.toSeq ==
       Seq("doc_id", "n_bytes", "width", "height", "n_frames"))
   }
+
+  test("frame sampling reassembles to the original payload") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text") // 26 bytes, 5 frames
+    val frames = Multimodal.sampleFrames(spark, df).collect().sortBy(_.frame_idx)
+    assert(frames.length == 1 + 26 % 7)
+    assert(frames.map(_.frame_len).sum == 26)
+    assert(new String(frames.flatMap(_.frame), "UTF-8") == "abcdefghijklmnopqrstuvwxyz")
+  }
+
+  test("feature extraction emits normalized fixed-dim vectors") {
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, df).collect().head
+    assert(feats.features.length == 16)
+    assert(math.abs(feats.features.sum - 1.0f) < 1e-6)
+    assert(feats.features(('a' & 0xFF) % 16) == 1.0f)
+  }
 }
