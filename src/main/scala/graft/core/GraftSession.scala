@@ -12,27 +12,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** Settings shared by local and cluster deployments. */
+  private def common(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+
+  /** Production factory for a real cluster: master/deploy come from
+    * spark-submit; shuffle partitions sized 3× total cores (AQE coalesces
+    * down at runtime), 128 MB scan partitions so a 100 TB input splits into
+    * ~800 k well-sized tasks, and vector/dedup functions registered via
+    * extensions.
+    */
+  def cluster(totalCores: Int, appName: String = "graft"): SparkSession = {
+    val spark = common(SparkSession.builder())
+      .appName(appName)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", (totalCores * 3).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .getOrCreate()
+    GraftExtensions.ensure(spark)
+    spark
+  }
+
+  /** Local harness session. Note `common`: ANSI off is PySpark-3.5
+    * reference parity (failed casts/parses yield NULL — cleanse depends on
+    * it; Spark 4 flipped the default), and nanosAsLong lets the
+    * TIMESTAMP(NANOS) events table scan as int64 (floored to µs in
+    * Tables.events, matching DuckDB's truncation).
+    */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
-      .builder()
+    val spark = common(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.session.timeZone", "UTC")
-      // Reference parity: PySpark 3.5 pre-ANSI semantics — failed casts
-      // and to_timestamp parses yield NULL (the cleanse stage depends on
-      // it); Spark 4 flipped the default to true.
-      .config("spark.sql.ansi.enabled", "false")
-      // The corpus events table stores TIMESTAMP(NANOS) parquet, which
-      // Spark has no native type for; read the raw int64 and floor to
-      // microseconds in Tables.events (matching DuckDB's ns→µs truncation).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.ensure(spark)
     spark
   }
 }
