@@ -28,18 +28,18 @@ object ExtQueries {
     Q("ext_dedup_jaccard",
       (s, dir) => TextDedup.jaccardPairs(Tables.documents(s, dir), k = 2, tau = 0.8,
         maxShingleDf = 1000L),
+      // Pure exact-Jaccard oracle (no df cap): the Spark side's candidate
+      // pruning (df cap, prefix + length filters) is output-identical, so
+      // both sides produce exactly the pairs with true Jaccard >= 0.8.
       Some("""WITH sh AS (
         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |        WHERE len(string_split(text, ' ')) >= 2),
         |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
-        |), rare AS (
-        |  SELECT * FROM sh WHERE shingle IN (
-        |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
         |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2,
         |  CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
