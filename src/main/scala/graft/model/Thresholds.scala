@@ -76,4 +76,12 @@ object Rules {
 
   def loadFile(path: String): Seq[EventRule] =
     parseJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Reference behavior (`daily_aggregator.py:131-141`): a MISSING config
+    * file is tolerated — no rules, all events clean; malformed JSON is
+    * fatal and propagates.
+    */
+  def loadFileOrEmpty(path: String): Seq[EventRule] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) loadFile(path)
+    else Seq.empty
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{EventRule, Threshold}
+import graft.ops.{CycleDetection, ErrorRules}
+
+/** Property-style invariants of the core operators over seeded random
+  * event streams (SURVEY §5 item 4) — 10 deterministic trials each.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = 1729036800000L
+
+  /** Random (machine, offsetMs, isMarker) stream; unique (machine, offset)
+    * so ordering is total.
+    */
+  private def randomStream(seed: Int): List[(String, Long, Boolean)] = {
+    val rnd = new Random(seed)
+    val n = 1 + rnd.nextInt(60)
+    List.fill(n)((
+      s"M${1 + rnd.nextInt(3)}",
+      rnd.nextLong(5000L),
+      rnd.nextDouble() < 0.25))
+      .groupBy(r => (r._1, r._2)).values.map(_.head).toList
+  }
+
+  private def toDf(rows: List[(String, Long, Boolean)]) =
+    rows.map { case (m, off, marker) =>
+      (new Timestamp(base + off), m, if (marker) "Cycle_Start" else "Reading")
+    }.toDF("event_timestamp", "machine_id", "event_name")
+
+  test("cycle_seq equals the number of preceding-or-current markers, per machine") {
+    (1 to 10).foreach { seed =>
+      val rows = randomStream(seed)
+      val out = CycleDetection.sessionizeByMarker(
+        toDf(rows), Seq("machine_id"),
+        Seq(col("event_timestamp")), col("event_name") === "Cycle_Start")
+        .select("machine_id", "event_timestamp", "cycle_seq")
+        .as[(String, Timestamp, Long)].collect()
+      val expected = rows.groupBy(_._1).flatMap { case (m, rs) =>
+        var seq = 0L
+        rs.sortBy(_._2).map { case (_, off, marker) =>
+          if (marker) seq += 1
+          (m, base + off) -> seq
+        }
+      }
+      out.foreach { case (m, ts, seq) =>
+        assert(seq == expected((m, ts.getTime)), s"seed=$seed row ($m, $ts)")
+      }
+    }
+  }
+
+  test("scalable prefix-sum sessionization ≡ single window on random streams") {
+    (1 to 6).foreach { seed =>
+      val df = toDf(randomStream(100 + seed))
+      val oc = Seq(col("event_timestamp"))
+      val marker = col("event_name") === "Cycle_Start"
+      val single = CycleDetection.sessionizeByMarker(df, Seq("machine_id"), oc, marker)
+      val scalable = CycleDetection.sessionizeByMarkerScalable(
+        df, Seq("machine_id"), oc, marker,
+        bucketCol = floor(unix_micros(col("event_timestamp")) / lit(1000L * 1000000)))
+      assert(single.exceptAll(scalable).count() == 0, s"seed=$seed")
+      assert(scalable.exceptAll(single).count() == 0, s"seed=$seed")
+    }
+  }
+
+  test("rule disjunction: flag(r1 ++ r2) == flag(r1) OR flag(r2) row-wise") {
+    val r1 = Seq(EventRule("P", "E", Threshold.Above(100.0)))
+    val r2 = Seq(EventRule("P", "E", Threshold.Below(0.0)))
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(200 + seed)
+      val vs = List.fill(40)(
+        if (rnd.nextDouble() < 0.15) None else Some(rnd.between(-50.0f, 200.0f)))
+      val df = vs.zipWithIndex.map { case (v, i) => (i, "P", "E", v) }
+        .toDF("id", "parameter_name", "event_name", "value")
+      def flags(rules: Seq[EventRule]) =
+        ErrorRules.flag(df, rules).orderBy("id").select("is_error").as[Int].collect().toSeq
+      val combined = flags(r1 ++ r2)
+      val orOfParts = flags(r1).zip(flags(r2)).map { case (a, b) => math.max(a, b) }
+      assert(combined == orOfParts, s"seed=$seed")
+    }
+  }
+
+  test("in-cycle event count equals the sum of per-cycle group sizes") {
+    (1 to 6).foreach { seed =>
+      val seq = CycleDetection.sessionizeByMarker(
+        toDf(randomStream(300 + seed)), Seq("machine_id"),
+        Seq(col("event_timestamp")), col("event_name") === "Cycle_Start")
+      val inCycle = seq.filter($"cycle_seq" > 0).count()
+      val groupSum = seq.filter($"cycle_seq" > 0)
+        .groupBy("machine_id", "cycle_seq").count()
+        .agg(coalesce(sum("count"), lit(0L))).as[Long].collect().head
+      assert(inCycle == groupSum, s"seed=$seed")
+    }
+  }
+
+  test("missing config file tolerated: no rules, all clean (reference parity)") {
+    assert(graft.model.Rules.loadFileOrEmpty("/no/such/config.json") == Seq.empty)
+  }
+}
