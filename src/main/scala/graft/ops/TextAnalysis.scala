@@ -42,23 +42,38 @@ object TextAnalysis {
         when(col("n_words") >= 20, lit(1.0)).otherwise(lit(0.5)) * col("distinct_ratio"))
   }
 
-  /** Marker-word language id: count hits per language's marker set, take
-    * the argmax (ties broken by fixed language order). A real deployment
-    * swaps the marker sets for char-n-gram profiles; the operator shape
-    * (per-row argmax over k scores) is identical.
+  /** Character-n-gram language id: each language has a signature profile
+    * of char n-grams (space-padded, so word-boundary grams count too);
+    * the score is the total occurrence count of the profile's grams in
+    * the padded text, and the prediction is the argmax (ties broken by
+    * fixed language order, `und` when no gram fires). Occurrences are
+    * counted with the length-difference trick —
+    * `(len(t) - len(replace(t, g, ''))) / len(g)` — which is a single
+    * codegen'd expression per gram on both engines (identical
+    * non-overlapping left-to-right scan semantics in Spark and DuckDB).
+    * Swap the profiles for trained ones at deployment; the operator shape
+    * (per-row argmax over k linear scores) is unchanged.
     */
+  val defaultProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " th", "he ", " of ", " and "),
+    "de" -> Seq(" der ", " die ", " und ", "ch ", " ein"),
+    "fr" -> Seq(" le ", " les ", " de ", " et ", "ou "))
+
   def langId(
       docs: DataFrame,
-      markers: Map[String, Seq[String]] = Map(
-        "en" -> Seq("the", "a", "of"),
-        "de" -> Seq("der", "die", "das"),
-        "fr" -> Seq("le", "la", "les")),
+      profiles: Map[String, Seq[String]] = defaultProfiles,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = words(col(textCol))
-    val langs = markers.keys.toSeq.sorted
-    val scored = docs.select(
-      col(idCol) +: langs.map(l => countIn(w, markers(l)).as(s"hits_$l")): _*)
+    val langs = profiles.keys.toSeq.sorted
+    def score(l: String): Column =
+      profiles(l).map { g =>
+        ((length(col("graft_padded")) -
+          length(expr(s"replace(graft_padded, '$g', '')"))) / lit(g.length)).cast("int")
+      }.reduce(_ + _)
+    val scored = docs
+      // pad with spaces so boundary grams match at text edges
+      .withColumn("graft_padded", concat(lit(" "), col(textCol), lit(" ")))
+      .select(col(idCol) +: langs.map(l => score(l).as(s"hits_$l")): _*)
     // argmax with deterministic tiebreak: first lang (sorted) with max hits
     val best = langs.foldRight(lit("und")) { (l, acc) =>
       when(col(s"hits_$l") === greatest(langs.map(x => col(s"hits_$x")): _*) &&

@@ -125,23 +125,34 @@ object ExtQueries {
         |       / len(string_split(text, ' '))) AS quality_score
         |FROM documents""".stripMargin)),
 
-    // Marker-based language id (argmax over marker-hit counts).
+    // Char-n-gram language id (argmax over signature-gram occurrence
+    // counts). Oracle SQL is generated from the same profile map so the
+    // two sides cannot drift.
     Q("ext_text_langid",
       (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
-      Some("""WITH h AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS INT) AS hits_en,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das'))) AS INT) AS hits_de,
-        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les'))) AS INT) AS hits_fr
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN hits_de = greatest(hits_de, hits_en, hits_fr) AND greatest(hits_de, hits_en, hits_fr) > 0 THEN 'de'
-        |    WHEN hits_en = greatest(hits_de, hits_en, hits_fr) AND greatest(hits_de, hits_en, hits_fr) > 0 THEN 'en'
-        |    WHEN hits_fr = greatest(hits_de, hits_en, hits_fr) AND greatest(hits_de, hits_en, hits_fr) > 0 THEN 'fr'
-        |    ELSE 'und' END AS lang_pred,
-        |  hits_de, hits_en, hits_fr
-        |FROM h""".stripMargin)),
+      Some {
+        val langs = TextAnalysis.defaultProfiles.keys.toSeq.sorted
+        def scoreSql(l: String): String =
+          TextAnalysis.defaultProfiles(l).map { g =>
+            s"CAST((length(p) - length(replace(p, '$g', ''))) / ${g.length} AS INT)"
+          }.mkString(" + ")
+        val hitCols = langs.map(l => s"    ${scoreSql(l)} AS hits_$l").mkString(",\n")
+        val g = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+        // langId's foldRight gives sorted-language priority on ties
+        val cases = langs.map(l =>
+          s"    WHEN hits_$l = $g AND $g > 0 THEN '$l'").mkString("\n")
+        s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |$hitCols
+           |  FROM padded)
+           |SELECT doc_id,
+           |  CASE
+           |$cases
+           |    ELSE 'und' END AS lang_pred,
+           |  ${langs.map(l => s"hits_$l").mkString(", ")}
+           |FROM h""".stripMargin
+      }),
 
     // Normalized-content fingerprint (rolling-hash family; md5 of the
     // canonical form).

@@ -73,6 +73,53 @@ object StreamingPipeline {
       }
   }
 
+  final case class CycleOpenState(counter: Long, openStartMs: Option[Long])
+
+  final case class StreamCycleTime(
+      machine_id: String,
+      cycle_seq: Long,
+      cycle_start_ts: Timestamp,
+      cycle_time_seconds: Float)
+
+  /** Streaming A1/C2: per-machine open-cycle state — a Cycle_Start opens
+    * a cycle (incrementing the running counter), the matching Cycle_End
+    * closes it and emits the boundary row with its epoch-seconds duration
+    * (the batch C2 semantics). A cycle spanning two micro-batches closes
+    * correctly because the open start lives in state. A final End-less
+    * cycle stays open and never emits — the one documented divergence
+    * from batch, which closes it with duration 0.0 at end-of-file
+    * (streams have no end-of-file).
+    */
+  def cycleTimes(clean: Dataset[CleanedEvent]): Dataset[StreamCycleTime] = {
+    import clean.sparkSession.implicits._
+    clean
+      .groupByKey(_.machine_id)
+      .flatMapGroupsWithState[CycleOpenState, StreamCycleTime](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (machine: String, events: Iterator[CleanedEvent], state: GroupState[CycleOpenState]) =>
+          var st = state.getOption.getOrElse(CycleOpenState(0L, None))
+          val out = scala.collection.mutable.ArrayBuffer[StreamCycleTime]()
+          events.toSeq
+            .sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
+            .foreach { e =>
+              e.event_name match {
+                case Schemas.cycleStartEvent =>
+                  st = CycleOpenState(st.counter + 1, Some(e.event_timestamp.getTime))
+                case Schemas.cycleEndEvent =>
+                  st.openStartMs.foreach { startMs =>
+                    out += StreamCycleTime(
+                      machine, st.counter, new Timestamp(startMs),
+                      ((e.event_timestamp.getTime / 1000.0) - (startMs / 1000.0)).toFloat)
+                  }
+                  st = st.copy(openStartMs = None)
+                case _ => ()
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Batch cleanse re-expressed on the stream (identical expressions). */
   def cleanse(raw: DataFrame): Dataset[CleanedEvent] = {
     import raw.sparkSession.implicits._

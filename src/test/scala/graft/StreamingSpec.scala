@@ -53,6 +53,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("stateful cycle times across micro-batches equal batch boundaries (closed cycles)") {
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, streamDir, maxFilesPerTrigger = 1))
+    val q = StreamingPipeline.cycleTimes(clean).toDF()
+      .writeStream.format("memory").queryName("ct_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ct_out")
+      .select(col("machine_id"), col("cycle_seq"),
+        col("cycle_start_ts"), round(col("cycle_time_seconds"), 3).as("ct"))
+    val (_, batchCycles) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)))
+    // exclude each machine's trailing End-less cycle (batch closes it with
+    // 0.0 at end-of-file; the stream keeps it open)
+    val lastSeq = batchCycles.groupBy("machine_id").agg(max("cycle_seq").as("mx"))
+    val batchClosed = batchCycles
+      .join(lastSeq, Seq("machine_id"))
+      .filter(col("cycle_seq") < col("mx"))
+      .select(col("machine_id"), col("cycle_seq"),
+        col("cycle_start_ts"), round(col("cycle_time_seconds"), 3).as("ct"))
+    assert(streamed.count() == batchClosed.count())
+    assert(batchClosed.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batchClosed).count() == 0)
+  }
+
   test("watermarked hourly windows + foreachBatch upsert match batch cycle counts") {
     val url = "jdbc:derby:memory:graftstream;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
