@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Layouts, Tables}
+import graft.ops.Skew
+
+/** The explicit 100 TB techniques: bucketed co-located joins (no shuffle
+  * in the executed plan) and salted skew joins (identical results).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    Layouts.writeBucketed(Tables.lineitem(spark, dir), "li_bucketed", Seq("l_orderkey"), 8)
+    Layouts.writeBucketed(Tables.orders(spark, dir), "ord_bucketed", Seq("o_orderkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      // the join itself is co-located; the only exchange allowed is the
+      // final aggregation's
+      val joinOnly = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+      joinOnly.write.format("noop").mode("overwrite").save()
+      assert(Layouts.isShuffleFree(joinOnly),
+        "bucketed equi-join must not shuffle either side")
+      // and it computes the right thing
+      val expect = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.agg(sum("n")).as[Long].collect().head == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join output is identical to the plain join on skewed data") {
+    // heavy tail: 90% of rows share one key
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")
+    val small = Seq((7L, "hot"), (10L, "a"), (20L, "b"), (4000L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+}
