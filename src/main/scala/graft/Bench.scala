@@ -50,6 +50,8 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0
         }
+      // isolate queries: no cross-query cache reuse or cache pressure
+      spark.sharedState.cacheManager.clearCache()
     }
 
     // Reference-shaped workload: one machine-day at the generator's real

@@ -28,9 +28,22 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         count(lit(1)).as("count_order"))
 
+  /** Session settings every catalog query depends on, applied per call so
+    * the queries behave identically on a driver-created session: pre-ANSI
+    * cast semantics (reference parity), UTC (all date/time formatting),
+    * and nanos-as-long (the TIMESTAMP(NANOS) events table).
+    */
+  private def prepare(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Catalog.all.map(q => q.name -> q.run).toMap
+    Catalog.all.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      prepare(s); q.run(s, dir)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

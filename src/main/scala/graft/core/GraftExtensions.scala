@@ -23,8 +23,11 @@ object GraftExtensions {
   private val vectorDotDescriptor = (
     FunctionIdentifier("vector_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      VectorDot(children(0), children(1)))
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"vector_dot requires exactly 2 arguments, got ${children.length}")
+      VectorDot(children(0), children(1))
+    })
 
   /** Idempotently register on an existing session. */
   def ensure(spark: SparkSession): Unit = {

@@ -54,11 +54,13 @@ object HourlyRollup {
     * manual pivot with no extra pass over the data.
     */
   def eventSummary(flaggedEvents: DataFrame, cycleTimes: DataFrame): DataFrame = {
-    // Explicit broadcast: cycle_times is 1/8th of the events and 3 columns
-    // wide (~140 k rows/machine-day); hinting makes the plan deterministic
-    // at 100× scale instead of depending on stats estimation.
+    // No broadcast hint here on purpose: cycle_times grows linearly with
+    // the input (one row per cycle ≈ 1/8th of events), so a forced
+    // broadcast would hard-fail past the 8 GB broadcast limit at scale.
+    // AQE picks broadcast-hash at runtime when the actual size is small
+    // (a machine-day is ~140 k rows) and falls back to SMJ when it isn't.
     val withStart = flaggedEvents.join(
-      broadcast(cycleTimes.select("machine_id", "cycle_seq", "cycle_start_ts")),
+      cycleTimes.select("machine_id", "cycle_seq", "cycle_start_ts"),
       Seq("machine_id", "cycle_seq"),
       "left")
 

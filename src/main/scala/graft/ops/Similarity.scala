@@ -94,6 +94,7 @@ object Similarity {
       tau: Double,
       numPlanes: Int = 4,
       numTables: Int = 8,
+      dim: Int = 64,
       seed: Long = 42L,
       idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
@@ -103,7 +104,7 @@ object Similarity {
       explode(array((0 until numTables).map { t =>
         struct(
           lit(t).as("table_id"),
-          lshBucket(s)(col("embedding"), hyperplanes(numPlanes, 64, seed + t))
+          lshBucket(s)(col("embedding"), hyperplanes(numPlanes, dim, seed + t))
             .as("bucket"))
       }: _*)).as("tb"))
       .select(col(idCol), col("embedding"), col("nrm"),
@@ -135,8 +136,16 @@ object Similarity {
       nProbe: Int = 2,
       idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
-    val centroids = emb.filter(col(idCol) % centroidStride === 0)
+    // Hash-based centroid sampling (id-value independent: works for
+    // non-contiguous / 1-based / hashed id spaces), with a fallback so a
+    // tiny or unlucky table still yields a non-empty quantizer instead of
+    // silently returning zero results.
+    val sampled = emb.filter(pmod(xxhash64(col(idCol)), lit(centroidStride)) === 0)
       .select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
+    val centroids =
+      if (sampled.isEmpty)
+        emb.limit(1).select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
+      else sampled
     // Assign every vector to its nearest centroid (broadcast centroids;
     // one pass, no shuffle beyond the final grouping).
     val assigned = emb.crossJoin(broadcast(centroids))

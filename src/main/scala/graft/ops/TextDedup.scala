@@ -52,9 +52,12 @@ object TextDedup {
     *
     * Inverted-index plan: (id, shingle) self-join on shingle builds only
     * pairs that co-occur in ≥1 bucket; intersection size falls out of the
-    * pair count, union from per-doc shingle counts. Shingles appearing in
-    * more than `maxShingleDf` docs are dropped from candidate generation
-    * (both sides of the oracle must apply the same cap).
+    * pair count, union from per-doc shingle counts. `maxShingleDf` drops
+    * shingles from CANDIDATE GENERATION only (verification always uses
+    * the full sets): with the cap disabled (`Long.MaxValue`) the result
+    * is exactly the τ-pairs; a finite cap is the standard stop-shingle
+    * approximation for boilerplate-heavy corpora and may miss pairs whose
+    * only shared shingles are capped.
     */
   def jaccardPairs(
       docs: DataFrame,

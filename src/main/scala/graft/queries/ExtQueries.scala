@@ -26,8 +26,12 @@ object ExtQueries {
 
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
     Q("ext_dedup_jaccard",
+      // df cap disabled here so the result is EXACTLY the tau>=0.8 pairs
+      // (the cap drops shingles from candidate generation — an
+      // approximation knob for boilerplate-heavy corpora that would break
+      // oracle identity if it ever bound)
       (s, dir) => TextDedup.jaccardPairs(Tables.documents(s, dir), k = 2, tau = 0.8,
-        maxShingleDf = 1000L),
+        maxShingleDf = Long.MaxValue),
       // Pure exact-Jaccard oracle (no df cap): the Spark side's candidate
       // pruning (df cap, prefix + length filters) is output-identical, so
       // both sides produce exactly the pairs with true Jaccard >= 0.8.

@@ -85,10 +85,12 @@ object StreamingPipeline {
     * a cycle (incrementing the running counter), the matching Cycle_End
     * closes it and emits the boundary row with its epoch-seconds duration
     * (the batch C2 semantics). A cycle spanning two micro-batches closes
-    * correctly because the open start lives in state. A final End-less
-    * cycle stays open and never emits — the one documented divergence
-    * from batch, which closes it with duration 0.0 at end-of-file
-    * (streams have no end-of-file).
+    * correctly because the open start lives in state. A cycle whose End
+    * is lost closes with duration 0.0 when the next Start arrives (batch
+    * parity). Documented divergences from batch: the FINAL open cycle
+    * never emits (streams have no end-of-file; batch closes it with 0.0),
+    * and a duplicated Cycle_End extends the batch boundary but is ignored
+    * here (well-formed Start/End alternation assumed).
     */
   def cycleTimes(clean: Dataset[CleanedEvent]): Dataset[StreamCycleTime] = {
     import clean.sparkSession.implicits._
@@ -104,6 +106,14 @@ object StreamingPipeline {
             .foreach { e =>
               e.event_name match {
                 case Schemas.cycleStartEvent =>
+                  // batch parity: a cycle whose End never arrived before
+                  // the next Start still exists with boundaries collapsed
+                  // to its Start row — emit it with duration 0.0 (what
+                  // the batch min/max-over-Start&End grouping produces)
+                  st.openStartMs.foreach { startMs =>
+                    out += StreamCycleTime(
+                      machine, st.counter, new Timestamp(startMs), 0.0f)
+                  }
                   st = CycleOpenState(st.counter + 1, Some(e.event_timestamp.getTime))
                 case Schemas.cycleEndEvent =>
                   st.openStartMs.foreach { startMs =>
@@ -143,8 +153,12 @@ object StreamingPipeline {
         hour(col("w.start")).as("hour_of_day"),
         col("machine_id"), col("cycle_count"))
 
-  /** Stream → JDBC upsert via foreachBatch: each micro-batch merges into
-    * the summary table; upsert idempotence makes batch replays safe.
+  /** Stream → JDBC upsert via foreachBatch: each micro-batch merges the
+    * CHANGED windows into the summary table (update mode — so the
+    * watermark actually evicts window state and write volume stays
+    * proportional to fresh data; complete mode would retain all state
+    * forever and rewrite the full history every batch). Upsert idempotence
+    * makes batch replays safe.
     */
   def startJdbcUpsert(
       counts: DataFrame,
@@ -153,7 +167,7 @@ object StreamingPipeline {
       dialect: graft.io.JdbcSinks.UpsertDialect,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     counts.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, _: Long) =>
         graft.io.JdbcSinks.upsert(df, url, table,
