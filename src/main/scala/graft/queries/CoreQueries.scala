@@ -292,6 +292,23 @@ object CoreQueries {
         |  COALESCE(sum_big_purchase, 0.0) AS sum_big_purchase
         |FROM s FULL OUTER JOIN b USING (d)""".stripMargin)),
 
+    // Skew-mitigation form of J1: the salted join must be OUTPUT-IDENTICAL
+    // to the plain join (the oracle is the unsalted SQL) — proving the
+    // hot-key spreading is semantics-free.
+    Q("j1_salted_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val userSegments = ev.select(col("user_id")).distinct()
+          .withColumn("segment", pmod(col("user_id"), lit(5L)))
+        graft.ops.Skew.saltedJoin(
+          ev.select("event_id", "user_id"), userSegments, Seq("user_id"),
+          saltBuckets = 8)
+          .select("event_id", "user_id", "segment")
+      },
+      Some("""WITH seg AS (SELECT DISTINCT user_id, user_id % 5 AS segment FROM events)
+        |SELECT event_id, e.user_id, segment
+        |FROM events e JOIN seg USING (user_id)""".stripMargin)),
+
     // O1/O2 + dashboard Q2 shape: per-(date, hour) load, ordered by hour.
     Q("o1_o2_day_load",
       (s, dir) => Tables.events(s, dir)
