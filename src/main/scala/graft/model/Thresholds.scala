@@ -56,7 +56,7 @@ object Rules {
   def parseJson(json: String): Seq[EventRule] = {
     val root: JsonNode = new ObjectMapper().readTree(json)
     if (root == null || !root.isObject) return Seq.empty
-    root.fields().asScala.toSeq.flatMap { e =>
+    root.properties().asScala.toSeq.flatMap { e =>
       val (key, node) = (e.getKey, e.getValue)
       if (key.startsWith("_") || !node.isObject) None
       else parameterEventMapping.get(key).flatMap { case (param, event) =>

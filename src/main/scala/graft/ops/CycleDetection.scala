@@ -98,7 +98,7 @@ object CycleDetection {
       .join(broadcast(offsets), partitionKeys :+ "graft_bucket")
       .withColumn(seqCol, col("graft_local_seq") + col("graft_offset"))
       // restore the input column order (the join moves its keys first)
-      .select((df.columns.map(col) :+ col(seqCol)): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col(seqCol): _*)
   }
 
   /** Reference-parity cycle detection.
