@@ -82,6 +82,29 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, n_bytes: Long, resized: Array[Byte])
+
+  /** Resize stub: emits target-dimension metadata plus a deterministic
+    * byte subsample standing in for the rescaled pixel buffer (every
+    * `stride`-th byte, stride chosen so output ≈ targetW·targetH/256
+    * bytes). The real analogue swaps the subsample for a scaler call;
+    * the 1-row-in/1-smaller-row-out mapPartitions shape is identical.
+    */
+  def resize(spark: SparkSession, docs: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "doc_id"): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    payloads(docs, idCol).mapPartitions { it =>
+      it.map { p =>
+        val n = p.payload.length
+        val outLen = math.max(1, math.min(n, targetW * targetH / 256))
+        val stride = math.max(1, n / outLen)
+        val out = (0 until n by stride).take(outLen).map(p.payload).toArray
+        ResizedMedia(p.doc_id, targetW, targetH, n.toLong, out)
+      }
+    }
+  }
+
   /** Feature extraction stub: a 16-dim byte-histogram "embedding" per
     * payload (normalized). A real model swap changes only the body —
     * batch shape (iterator in, fixed-dim float vectors out) is what a

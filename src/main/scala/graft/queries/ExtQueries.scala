@@ -205,6 +205,22 @@ object ExtQueries {
         |  FROM m)
         |SELECT doc_id, frame_idx,
         |  CAST(least((frame_idx + 1) * sz, n) - least(frame_idx * sz, n) AS INT) AS frame_len
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // Resize: target dims + deterministic subsample length (the stub's
+    // output size is a pure function of payload size, mirrored in SQL).
+    Q("ext_multimodal_resize",
+      (s, dir) => Multimodal.resize(s, Tables.documents(s, dir), targetW = 224, targetH = 224)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          org.apache.spark.sql.functions.length(col("resized")).as("resized_len")),
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |  greatest(1, least(n, (224 * 224) // 256)) AS out_len FROM m),
+        |st AS (SELECT doc_id, n, out_len, greatest(1, n // out_len) AS stride FROM s)
+        |SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(least(out_len, (n + stride - 1) // stride) AS INT) AS resized_len
+        |FROM st""".stripMargin))
   )
 }

@@ -66,6 +66,16 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(new String(frames.flatMap(_.frame), "UTF-8") == "abcdefghijklmnopqrstuvwxyz")
   }
 
+  test("resize emits target dims and a bounded deterministic subsample") {
+    val df = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
+    val r = Multimodal.resize(spark, df, 224, 224).collect().head
+    assert((r.width, r.height) == (224, 224))
+    assert(r.n_bytes == 1000L)
+    assert(r.resized.length == 196) // 224*224/256, < n
+    val r2 = Multimodal.resize(spark, df, 224, 224).collect().head
+    assert(r.resized.toSeq == r2.resized.toSeq)
+  }
+
   test("feature extraction emits normalized fixed-dim vectors") {
     val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, df).collect().head
