@@ -95,6 +95,7 @@ object Similarity {
       numPlanes: Int = 4,
       numTables: Int = 8,
       dim: Int = 64,
+      multiProbe: Boolean = true,
       seed: Long = 42L,
       idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
@@ -109,7 +110,20 @@ object Similarity {
       }: _*)).as("tb"))
       .select(col(idCol), col("embedding"), col("nrm"),
         col("tb.table_id"), col("tb.bucket"))
-    val a = withB.select(col("table_id"), col("bucket"), col(idCol).as("a_id"),
+    // Multi-probe: one side of the join also visits every 1-bit-flipped
+    // bucket, so pairs whose sign patterns differ in exactly one plane
+    // still collide — per-table hit prob goes from q^p to
+    // q^p + p·q^(p-1)(1-q) at the cost of (p+1)× candidate rows on one
+    // side (NOT candidates²; flipping one side covers both directions
+    // since the flip relation is symmetric).
+    val aProbes =
+      if (!multiProbe) withB
+      else withB.select(
+        col(idCol), col("embedding"), col("nrm"), col("table_id"),
+        explode(array(
+          col("bucket") +: (0 until numPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+    val a = aProbes.select(col("table_id"), col("bucket"), col(idCol).as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withB.select(col("table_id"), col("bucket"), col(idCol).as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))

@@ -96,9 +96,9 @@ object TextDedup {
     verifyJaccard(candidates, sh, tau, idCol)
   }
 
-  /** MinHash signatures: per doc, the min of `numHashes` seeded xxhash64
-    * values over its shingle set — a mergeable, fixed-width sketch of the
-    * shingle set (hash family: xxhash64 with the seed mixed in as a column).
+  /** MinHash signatures, column form: per doc, the min of `numHashes`
+    * seeded xxhash64 values over its shingle set. Kept as the reference
+    * implementation for [[minHashSignaturesAgg]]'s parity test.
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame =
     sh.groupBy(idCol)
@@ -106,6 +106,17 @@ object TextDedup {
         min(xxhash64(lit(0), col("shingle"))).as("mh0"),
         (1 until numHashes).map(i =>
           min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")): _*)
+
+  /** MinHash signatures via the custom [[graft.functions.MinHashAggregator]]
+    * — one mergeable Array[Long] buffer per doc instead of `numHashes`
+    * separate column aggregates; bit-identical signatures (same hash
+    * family), returned as one `sig` array column.
+    */
+  def minHashSignaturesAgg(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+    val mh = udaf(new graft.functions.MinHashAggregator(numHashes),
+      org.apache.spark.sql.Encoders.STRING)
+    sh.groupBy(idCol).agg(mh(col("shingle")).as("sig"))
+  }
 
   /** LSH-banded MinHash near-dup pairs: signatures are cut into
     * `numHashes / rowsPerBand` bands; docs colliding on any full band become
@@ -124,16 +135,17 @@ object TextDedup {
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val sh = shingles(docs, k, idCol).persist()
-    val sig = minHashSignatures(sh, numHashes, idCol)
+    val sig = minHashSignaturesAgg(sh, numHashes, idCol)
     val numBands = numHashes / rowsPerBand
     // One (id, band, bandHash) row per band; collisions inside a band bucket
-    // are the candidate pairs.
+    // are the candidate pairs. element_at is 1-based.
     val banded = sig.select(
       col(idCol),
       explode(array((0 until numBands).map { b =>
         struct(
           lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1)): _*)
             .as("band_hash"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.band_hash"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Tables
@@ -41,6 +42,19 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     val recall = (exact intersect sim).size.toDouble / exact.size
     assert(recall >= 0.85, s"simhash recall $recall of ${exact.size} pairs")
+  }
+
+  test("MinHashAggregator signatures are bit-identical to the column-min form") {
+    val sh = TextDedup.shingles(docs, 2).persist()
+    val n = 32
+    val colForm = TextDedup.minHashSignatures(sh, n)
+      .select(col("doc_id"), array((0 until n).map(i => col(s"mh$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val aggForm = TextDedup.minHashSignaturesAgg(sh, n)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(aggForm.keySet == colForm.keySet)
+    aggForm.foreach { case (id, sig) => assert(sig == colForm(id), s"doc $id") }
+    sh.unpersist()
   }
 
   test("shingles: documents shorter than k words produce none; k-grams are distinct") {

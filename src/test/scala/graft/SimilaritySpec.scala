@@ -35,13 +35,19 @@ class SimilaritySpec extends AnyFunSuite {
     val tau = 0.4
     val brute = Similarity.bruteForcePairs(emb, tau)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshPairs(emb, tau, numPlanes = 4, numTables = 8)
+    val plain = Similarity.lshPairs(emb, tau, numPlanes = 4, numTables = 8,
+      multiProbe = false).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val probed = Similarity.lshPairs(emb, tau, numPlanes = 4, numTables = 8)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty)
-    assert(lsh.subsetOf(brute), "cosine-verified candidates can never exceed brute force")
-    val recall = (brute intersect lsh).size.toDouble / brute.size
-    // p=4 planes, L=8 tables: P[collide | cos=0.4] = 1-(1-(1-θ/π)^4)^8 ≈ 0.75
-    assert(recall >= 0.5, s"recall $recall of ${brute.size}")
+    assert(plain.subsetOf(brute) && probed.subsetOf(brute),
+      "cosine-verified candidates can never exceed brute force")
+    assert(plain.subsetOf(probed), "multi-probe only adds candidates")
+    val recallPlain = (brute intersect plain).size.toDouble / brute.size
+    val recallProbed = (brute intersect probed).size.toDouble / brute.size
+    // p=4, L=8: P[collide | cos=0.4] ≈ 0.75 plain; ≈ 0.998 with 1-bit probes
+    assert(recallPlain >= 0.5, s"plain recall $recallPlain of ${brute.size}")
+    assert(recallProbed >= 0.9, s"probed recall $recallProbed of ${brute.size}")
   }
 
   test("IVF top-k recall@10 vs exact top-k") {
