@@ -38,12 +38,20 @@ object HourlyRollup {
     .withColumn("hour_of_day", hour(col("cycle_start_ts")))
     .filter(col("summary_date").isNotNull)
 
-  /** Cycle-side hourly stats (`daily_aggregator.py:193-205`). */
-  def cycleSummary(cycleTimes: DataFrame): DataFrame =
+  /** Cycle-side hourly stats (`daily_aggregator.py:193-205`).
+    *
+    * `approxDistinct` swaps the exact `countDistinct` for HLL++
+    * (`approx_count_distinct`, rsd 1%) — the 100 TB opt-in when the
+    * distinct key set per group is itself huge. Off by default: the input
+    * here has one row per cycle, so exact counting costs the same as
+    * `count(*)` and stays reference-faithful.
+    */
+  def cycleSummary(cycleTimes: DataFrame, approxDistinct: Boolean = false): DataFrame =
     withHourBucket(cycleTimes)
       .groupBy("summary_date", "hour_of_day", "machine_id")
       .agg(
-        countDistinct("cycle_seq").as("cycle_count"),
+        (if (approxDistinct) approx_count_distinct("cycle_seq", 0.01)
+         else countDistinct("cycle_seq")).as("cycle_count"),
         avg("cycle_time_seconds").as("avg_cycle_time_seconds"),
         min("cycle_time_seconds").as("min_cycle_time_seconds"),
         max("cycle_time_seconds").as("max_cycle_time_seconds"))
