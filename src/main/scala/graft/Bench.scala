@@ -66,7 +66,11 @@ object Bench {
           val g = FixtureGen.generate(
             Seq("DieBonder_01"), start, start + 24L * 3600 * 1000,
             idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
-          FixtureGen.writeCsv(csv.getPath, g.csvLines)
+          // write-then-rename so a crashed run can't leave a truncated file
+          // that a later run would silently benchmark
+          val tmp = new java.io.File(csv.getPath + ".tmp")
+          FixtureGen.writeCsv(tmp.getPath, g.csvLines)
+          if (!tmp.renameTo(csv)) throw new java.io.IOException(s"rename failed: $tmp")
         }
         time {
           val out = DailyAggregatorJob.run(spark, csv.getPath, Rules.referenceDefaults)

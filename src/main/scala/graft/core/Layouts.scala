@@ -31,9 +31,25 @@ object Layouts {
 
   /** True when the executed plan of `df` contains no shuffle exchange —
     * the property bucketed co-located joins buy.
+    *
+    * Under AQE the root is an `AdaptiveSparkPlanExec`, which is a
+    * LeafExecNode — a naive `collect` over the root never descends into
+    * the real plan and reports ANY query as shuffle-free. We unwrap
+    * adaptive roots and materialized query stages explicitly (a
+    * `ShuffleQueryStageExec` IS a shuffle).
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.isEmpty
+    countShuffles(df.queryExecution.executedPlan) == 0
+
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      countShuffles(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+      1 + countShuffles(s.plan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      countShuffles(q.plan)
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      1 + e.children.map(countShuffles).sum
+    case other => other.children.map(countShuffles).sum
+  }
 }

@@ -109,6 +109,10 @@ object JdbcSinks {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     val nonKeys = cols.filterNot(keyCols.contains)
+    require(dialect != UpdateInsertUpsert || nonKeys.nonEmpty,
+      "UpdateInsertUpsert needs at least one non-key column " +
+        "(an all-key table would render 'UPDATE t SET' with no assignments); " +
+        "use PostgresUpsert (ON CONFLICT DO NOTHING semantics apply) or append")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val p = new java.util.Properties()

@@ -65,13 +65,17 @@ object TextDedup {
       tau: Double = 0.8,
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(docs, k, idCol).persist()
+    // no persist/broadcast hints: shingling is codegen-cheap (recompute
+    // beats a session-lifetime cache leak for a library function — cache
+    // `docs` upstream if reusing), and `sizes` grows with the corpus so
+    // broadcast selection belongs to AQE, not a hint
+    val sh = shingles(docs, k, idCol)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf),
       Seq("shingle"))
-      .join(broadcast(sizes), Seq(idCol))
+      .join(sizes, Seq(idCol))
     // PPJoin-family prefix filtering (output-identical): J(A,B) ≥ τ implies
     // |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, so in ANY fixed global shingle order the
     // two prefixes of length sz - ⌈τ·sz⌉ + 1 must share a shingle. Rank
@@ -134,7 +138,7 @@ object TextDedup {
       tau: Double = 0.8,
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
-    val sh = shingles(docs, k, idCol).persist()
+    val sh = shingles(docs, k, idCol)
     val sig = minHashSignaturesAgg(sh, numHashes, idCol)
     val numBands = numHashes / rowsPerBand
     // One (id, band, bandHash) row per band; collisions inside a band bucket
@@ -207,7 +211,7 @@ object TextDedup {
     require(maxHamming <= numBlocks - 1, "pigeonhole needs maxHamming <= numBlocks-1")
     val bits = 64 / numBlocks
     val mask = (1L << bits) - 1L
-    val sig = simHash(docs, idCol).persist()
+    val sig = simHash(docs, idCol)
     val blocks = sig.select(
       col(idCol), col("simhash"),
       explode(array((0 until numBlocks).map { b =>

@@ -65,7 +65,9 @@ object CoreQueries {
     // (not just parquet) is exercised; oracle reads the same rows natively.
     Q("s1_p1_csv_scan",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s1").toString
+        // fixed location, overwritten each run — a fresh createTempDirectory
+        // per invocation would leak a full CSV copy of events every round
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1_roundtrip"
         Tables.events(s, dir)
           .select(
             col("event_id"),

@@ -96,8 +96,14 @@ object ExtQueries {
     // LSH-bucketed ANN pairs (rows-only; SimilaritySpec measures recall
     // against the brute-force baseline).
     Q("ext_ann_lsh",
+      // multiProbe off here: candidate volume scales with
+      // L·(p+1)·n²/2^p, and at p=4 the (p+1) probe factor cancels the
+      // bucketing gain (measured 1.6s → 17s at sf0.1). Probing pays only
+      // with more planes (p ≥ 8) or when recall, not throughput, is the
+      // binding constraint — it stays a library option with its recall
+      // pinned in SimilaritySpec.
       (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir), tau = 0.45,
-        numPlanes = 4, numTables = 8),
+        numPlanes = 4, numTables = 8, multiProbe = false),
       None),
 
     // IVF-partitioned top-k (rows-only; SimilaritySpec measures recall).

