@@ -82,6 +82,27 @@ object Bench {
         System.err.println(s"[bench] machine_day failed: ${e.getMessage}"); -1.0
       }
 
+    // Head-to-head: reference-semantics single window vs the two-phase
+    // distributed prefix sum on the same ~1.12 M-row single-machine stream
+    // (the worst case for the window: ONE partition does all the work).
+    try {
+      val clean = DailyAggregatorJob.cleanse(
+        DailyAggregatorJob.readRawCsv(spark, "/tmp/graft_bench/machine_day.csv"))
+      import org.apache.spark.sql.functions._
+      val oc = Seq(col("event_timestamp"), col("parameter_name"))
+      val marker = col("event_name") === "Cycle_Start"
+      results("w2_single_window") = time(force(
+        graft.ops.CycleDetection.sessionizeByMarker(
+          clean, Seq("machine_id"), oc, marker)))
+      results("w2_two_phase_prefix_sum") = time(force(
+        graft.ops.CycleDetection.sessionizeByMarkerScalable(
+          clean, Seq("machine_id"), oc, marker,
+          bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000)))))
+      spark.sharedState.cacheManager.clearCache()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] w2 comparison failed: ${e.getMessage}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
