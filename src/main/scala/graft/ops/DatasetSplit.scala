@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test splitting for training-data pipelines.
+  *
+  * The split is a pure function of CONTENT (first 16 bits of md5), not of
+  * row order, partitioning, or a random seed — so it is reproducible
+  * across runs, engines, and re-shards, and a document always lands in
+  * the same split even when the corpus around it changes (the property
+  * that keeps eval sets uncontaminated as data grows). Never use
+  * `rand()`-based splits for corpus curation: they reshuffle on every
+  * recompute.
+  */
+object DatasetSplit {
+
+  val Granularity = 65536 // 16 bits of md5
+
+  /** Stable bucket in [0, 65536) from a content column. */
+  def hashBucket(content: Column): Column =
+    conv(substring(md5(content), 1, 4), 16, 10).cast("int")
+
+  /** Assign a named split by cumulative weight thresholds (scaled to the
+    * bucket granularity, floor-rounded; the last split absorbs the
+    * remainder). Weights are (name, fraction) in order.
+    */
+  def assign(
+      df: DataFrame,
+      contentCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      bucketCol: String = "bucket",
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val thresholds = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(w => math.floor(w * Granularity).toLong)
+    val b = col(bucketCol)
+    val expr = weights.init.zip(thresholds.init).foldRight(lit(weights.last._1)) {
+      case (((name, _), t), acc) => when(b < t, lit(name)).otherwise(acc)
+    }
+    df.withColumn(bucketCol, hashBucket(col(contentCol)))
+      .withColumn(splitCol, expr)
+  }
+}

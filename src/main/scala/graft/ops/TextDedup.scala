@@ -181,6 +181,38 @@ object TextDedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair list: iterative
+    * min-label propagation (each round every vertex adopts the smallest
+    * label among itself and its neighbors) until fixpoint — the standard
+    * dataframe-only components algorithm, O(component diameter) rounds,
+    * each round one join + one groupBy. Returns (id, cluster_id) where
+    * cluster_id is the smallest doc id in the component — turning dedup
+    * PAIRS into dedup GROUPS with a canonical keeper.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      converged = next.exceptAll(labels).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** 64-bit SimHash per document over its word set: each token hash votes
     * ±1 per bit position; the sign of the vote sum is the fingerprint bit.
     */

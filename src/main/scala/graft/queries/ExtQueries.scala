@@ -52,6 +52,50 @@ object ExtQueries {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.8""".stripMargin)),
 
+    // Dedup clusters: connected components over the exact near-dup pairs —
+    // min-label propagation on the Spark side, a recursive reachability
+    // CTE in DuckDB; both compute (doc, min id in its component).
+    Q("ext_dedup_clusters",
+      (s, dir) => TextDedup.clusters(
+        TextDedup.jaccardPairs(Tables.documents(s, dir), k = 2, tau = 0.8,
+          maxShingleDf = Long.MaxValue))
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS label FROM verts
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin)),
+
+    // Deterministic content-hash dataset split (train/val/test) — a pure
+    // function of md5(text), reproducible across engines and reruns.
+    Q("ext_split_assign",
+      (s, dir) => graft.ops.DatasetSplit.assign(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "bucket", "split"),
+      Some("""SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 4)) AS INT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 52428 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin)),
+
     // MinHash/LSH near-dup pairs (rows-only: xxhash64 is not portable).
     // Equivalence to ext_dedup_jaccard at tau=0.8 is asserted in DedupSpec.
     Q("ext_dedup_minhash",

@@ -57,6 +57,26 @@ class DedupSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("clusters: min-label propagation finds connected components and keepers") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("d1", "d2")
+    val got = TextDedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("hash split: stable, content-keyed, proportions near weights") {
+    import graft.ops.DatasetSplit
+    val big = Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = DatasetSplit.assign(big, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = DatasetSplit.assign(big, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "split must be deterministic")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train frac ${frac("train")}")
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
   test("shingles: documents shorter than k words produce none; k-grams are distinct") {
     val df = Seq((1L, "a b c b a b"), (2L, "single")).toDF("doc_id", "text")
     val sh = TextDedup.shingles(df, 2).as[(Long, String)].collect().toSeq
