@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually runs — quality gate → near-duplicate removal (keep one doc
+  * per cluster) → deterministic split assignment — plus eval-set
+  * decontamination. Everything is built from the already-verified
+  * operators (TextAnalysis, TextDedup, DatasetSplit), so each stage keeps
+  * its own oracle/test coverage and this module stays pure composition.
+  */
+object Curation {
+
+  /** Quality-gate + dedup + split.
+    *
+    * @return (doc_id, n_words, quality_score, bucket, split) for every
+    *         KEPT document: passes the quality thresholds and is its
+    *         near-dup cluster's canonical keeper (smallest doc id;
+    *         unclustered docs keep themselves).
+    */
+  def curate(
+      docs: DataFrame,
+      minWords: Int = 20,
+      minQuality: Double = 0.3,
+      dedupTau: Double = 0.8): DataFrame = {
+    val st = TextAnalysis.stats(docs).select("doc_id", "n_words", "quality_score")
+    val good = docs.join(st, "doc_id")
+      .filter(col("n_words") >= minWords && col("quality_score") >= minQuality)
+    // docs that are IN a near-dup cluster but are not its keeper
+    val dupLosers = TextDedup.clusters(
+        TextDedup.jaccardPairs(docs, k = 2, tau = dedupTau, maxShingleDf = Long.MaxValue))
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    DatasetSplit.assign(
+      good.join(dupLosers, Seq("doc_id"), "left_anti"), "text")
+      .select("doc_id", "n_words", "quality_score", "bucket", "split")
+  }
+
+  /** Eval-set decontamination: train-side documents sharing at least one
+    * word k-gram with any test-side document. At corpus scale this is a
+    * shingle-inverted-index semi-join — the same bucketed shape as dedup,
+    * never doc×doc.
+    *
+    * @return distinct contaminated train doc ids (doc_id column).
+    */
+  def contaminated(train: DataFrame, test: DataFrame, k: Int = 5): DataFrame = {
+    val trainSh = TextDedup.shingles(train, k)
+    val testSh = TextDedup.shingles(test, k).select("shingle").distinct()
+    trainSh.join(testSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
+}

@@ -96,6 +96,78 @@ object ExtQueries {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin)),
 
+    // End-to-end curation: quality gate -> drop near-dup non-keepers ->
+    // deterministic split. Pure composition of already-oracle-checked
+    // stages; the oracle recombines the same SQL fragments.
+    Q("ext_curation_pipeline",
+      (s, dir) => graft.ops.Curation.curate(Tables.documents(s, dir))
+        .select("doc_id", "n_words", "split"),
+      Some("""WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS label FROM verts
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |losers AS (
+        |  SELECT id AS doc_id FROM (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE cluster_id <> id),
+        |stats AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0 ELSE 0.5 END)
+        |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' '))) AS quality_score
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 52428 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM stats
+        |WHERE n_words >= 20 AND quality_score >= 0.3
+        |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
+    // Decontamination: train-split docs sharing any 5-gram with a
+    // test-split doc (shingle semi-join, the bucketed shape).
+    Q("ext_decontaminate",
+      (s, dir) => {
+        val assigned = graft.ops.DatasetSplit.assign(
+          Tables.documents(s, dir).select("doc_id", "text"), "text")
+        graft.ops.Curation.contaminated(
+          assigned.filter(col("split") === "train"),
+          assigned.filter(col("split") === "test"), k = 5)
+      },
+      Some("""WITH assigned AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 52428 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 58982 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |shingle AS (
+        |  SELECT doc_id, split,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+        |  FROM (SELECT doc_id, split, string_split(text, ' ') AS ws FROM assigned
+        |        WHERE len(string_split(text, ' ')) >= 5),
+        |       LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i))
+        |SELECT DISTINCT tr.doc_id
+        |FROM shingle tr
+        |WHERE tr.split = 'train'
+        |  AND tr.s IN (SELECT s FROM shingle WHERE split = 'test')""".stripMargin)),
+
     // MinHash/LSH near-dup pairs (rows-only: xxhash64 is not portable).
     // Equivalence to ext_dedup_jaccard at tau=0.8 is asserted in DedupSpec.
     Q("ext_dedup_minhash",
