@@ -86,6 +86,36 @@ object CoreQueries {
       },
       Some(s"SELECT event_id, strftime(ts, '$tsFmtDuck') AS event_ts, event_type, value FROM events")),
 
+    // JSON-lines source: same roundtrip pattern as S1 — write the events
+    // as JSON, read back with an explicit schema (no inference).
+    Q("s1_json_scan",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1_json"
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            date_format(col("ts"), tsFmtSpark).as("event_ts"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").json(tmp)
+        s.read
+          .schema("event_id BIGINT, event_ts STRING, event_type STRING, value DOUBLE")
+          .json(tmp)
+      },
+      Some(s"SELECT event_id, strftime(ts, '$tsFmtDuck') AS event_ts, event_type, value FROM events")),
+
+    // ORC source: columnar roundtrip through the third file format the
+    // engine serves (verified against the parquet-side oracle).
+    Q("s1_orc_scan",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1_orc"
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            date_format(col("ts"), tsFmtSpark).as("event_ts"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+      },
+      Some(s"SELECT event_id, strftime(ts, '$tsFmtDuck') AS event_ts, event_type, value FROM events")),
+
     // P2/P7: cast to float + not-null/comparison filter.
     Q("p2_p7_cast_filter",
       (s, dir) => Tables.events(s, dir)

@@ -45,6 +45,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned parquet sink prunes partitions on read") {
+    Fxt.ensure(spark)
+    val out = graft.pipeline.DailyAggregatorJob.run(
+      spark, graft.fixtures.Fixtures.rawCsv, graft.model.Rules.referenceDefaults)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    out.hourlySummary
+      .withColumn("summary_date", date_format(col("summary_date"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("summary_date").parquet(dir)
+    out.unpersist()
+    val read = spark.read.parquet(dir).filter(col("summary_date") === "2024-10-17")
+    // the physical scan must carry a partition filter (directory pruning,
+    // not a post-scan filter over all partitions)
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*summary_date[^\\]]*\\].*"),
+      s"no partition filter in plan:\n$plan")
+    assert(read.count() > 0)
+    assert(read.select("summary_date").distinct().count() == 1)
+  }
+
   test("salted join output is identical to the plain join on skewed data") {
     // heavy tail: 90% of rows share one key
     val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")

@@ -78,6 +78,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batchClosed).count() == 0)
   }
 
+  test("cycle state survives a full query restart from the checkpoint") {
+    // file1 arrives, query runs and STOPS; file2 arrives, a NEW query on
+    // the same checkpoint resumes — the running counters must continue,
+    // not restart, so the union of both runs equals the batch result.
+    val dir = Files.createTempDirectory("graft_restart").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val src = new java.io.File(streamDir).listFiles().map(_.getPath).sorted
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src(0)),
+      java.nio.file.Paths.get(s"$dir/part1.csv"))
+
+    StreamingSpec.restartRows.clear()
+    def run(): Unit = {
+      val clean = StreamingPipeline.cleanse(
+        StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+      val q = StreamingPipeline.withCycleSeq(clean).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingSpec.restartRows.synchronized {
+            StreamingSpec.restartRows ++= df.collect()
+          }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()                                  // processes file1, stops
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src(1)),
+      java.nio.file.Paths.get(s"$dir/part2.csv"))
+    run()                                  // restarts from checkpoint, file2
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_timestamp",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("machine_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("parameter_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.FloatType),
+      org.apache.spark.sql.types.StructField("cycle_seq",
+        org.apache.spark.sql.types.LongType)))
+    val streamed = spark.createDataFrame(
+      java.util.Arrays.asList(StreamingSpec.restartRows.toSeq: _*), schema)
+    val (batch, _) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)))
+    val batchAligned = batch.select(
+      "event_timestamp", "machine_id", "event_name", "parameter_name", "value", "cycle_seq")
+    assert(streamed.count() == batchAligned.count())
+    assert(batchAligned.exceptAll(streamed).count() == 0)
+  }
+
   test("watermarked hourly windows + foreachBatch upsert match batch cycle counts") {
     val url = "jdbc:derby:memory:graftstream;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
@@ -116,4 +169,11 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(got == want)
   }
+}
+
+/** Driver-side collector for the checkpoint-restart test (foreachBatch
+  * sinks are recoverable; the memory sink is not).
+  */
+object StreamingSpec {
+  val restartRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
 }
