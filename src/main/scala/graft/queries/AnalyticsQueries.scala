@@ -50,6 +50,26 @@ object AnalyticsQueries {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Q6-style forecast revenue: pure filter-scan aggregate — every
+    // predicate reaches the parquet scan (PushedFilters), zero joins, one
+    // exchange for the single output row. The canonical pushdown probe.
+    Q("q6_forecast_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01" &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24.0)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin)),
+
     // Q3-style shipping priority: fact-fact join (orders⨝lineitem, shuffle
     // on orderkey) with a broadcast customer dimension.
     Q("q3_shipping_priority",
