@@ -11,6 +11,20 @@ class EntrySpec extends AnyFunSuite {
       Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order"))
   }
 
+  test("queries self-configure a driver-like session (nanos, ANSI, timezone)") {
+    // simulate a driver-created session that lacks our parity configs
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    // events scan would throw Illegal Parquet type without the per-call
+    // prepare(); date formatting would shift without UTC
+    val df = SparkEntry.queries("f2_f3_time_buckets")(s, "/root/testdata/sf0.001")
+    val row = df.filter(org.apache.spark.sql.functions.col("event_id") === 0).collect().head
+    assert(row.getAs[String]("d") == "2024-01-01") // UTC date, not EST
+    assert(df.count() > 0)
+  }
+
   test("every catalog query name is unique and every oracle key has a query") {
     val names = graft.queries.Catalog.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
