@@ -176,6 +176,26 @@ object CoreQueries {
       (s, dir) => sessionized(s, dir).select("event_id", "session_seq"),
       Some(s"SELECT event_id, session_seq FROM ($sessionizedSql) t")),
 
+    // W3 (beyond-reference window family): lag/lead/rank — inter-event
+    // gaps and per-user event ranking, the windows the north star needs.
+    Q("w3_lag_lead_rank",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir).select(
+          col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"),
+          date_format(lead(col("ts"), 1).over(w), tsFmtSpark).as("next_ts"),
+          row_number().over(w).as("event_rank"))
+      },
+      Some(s"""SELECT event_id,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        |  strftime(lead(ts, 1) OVER w, '$tsFmtDuck') AS next_ts,
+        |  CAST(row_number() OVER w AS INT) AS event_rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     // A1/C2: per-session min/max boundaries + duration.
     Q("a1_c2_session_bounds",
       sessionBounds,

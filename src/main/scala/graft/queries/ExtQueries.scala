@@ -287,6 +287,31 @@ object ExtQueries {
       Some("SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) " +
         "AS fingerprint FROM documents")),
 
+    // Corpus n-gram frequency table: top word-bigrams with deterministic
+    // tiebreak — the corpus-statistics pass every tokenizer/vocab build
+    // starts from (bounded output, single shuffle on the shingle).
+    Q("ext_text_top_ngrams",
+      (s, dir) => {
+        val sh = TextDedup.shingles(Tables.documents(s, dir), 2)
+        // top-k via orderBy+limit (TakeOrdered — per-partition heaps, no
+        // global single-partition sort), then rank the 20 survivors
+        val top = sh.groupBy("shingle").agg(countDistinct("doc_id").as("doc_freq"))
+          .orderBy(desc("doc_freq"), asc("shingle")).limit(20)
+        top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("doc_freq"), asc("shingle"))))
+      },
+      Some("""WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i))
+        |SELECT shingle, doc_freq, CAST(rk AS INT) AS rk FROM (
+        |  SELECT shingle, count(DISTINCT doc_id) AS doc_freq,
+        |    row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, shingle) AS rk
+        |  FROM sh GROUP BY shingle)
+        |WHERE rk <= 20""".stripMargin)),
+
     // JSON extraction from the events props column: path extraction as
     // string and schema-full parse to a typed value.
     Q("ext_json_extract",
