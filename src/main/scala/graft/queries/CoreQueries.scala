@@ -344,6 +344,25 @@ object CoreQueries {
         |  COALESCE(sum_big_purchase, 0.0) AS sum_big_purchase
         |FROM s FULL OUTER JOIN b USING (d)""".stripMargin)),
 
+    // Set operators (beyond-reference §2.8 family): users who signed up
+    // but never purchased (EXCEPT), and the overlap count (INTERSECT).
+    Q("o4_set_ops",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select("user_id").distinct()
+        val bigBuyers = ev.filter(col("event_type") === "purchase" && col("value") > 95.0)
+          .select("user_id").distinct()
+        signups.exceptAll(bigBuyers)
+          .withColumn("overlap_users", lit(signups.intersect(bigBuyers).count()))
+      },
+      Some("""WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase' AND value > 95.0)
+        |SELECT user_id,
+        |  (SELECT count(*) FROM (SELECT user_id FROM s INTERSECT SELECT user_id FROM p)) AS overlap_users
+        |FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM p)""".stripMargin)),
+
     // Skew-mitigation form of J1: the salted join must be OUTPUT-IDENTICAL
     // to the plain join (the oracle is the unsalted SQL) — proving the
     // hot-key spreading is semantics-free.
