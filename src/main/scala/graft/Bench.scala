@@ -11,6 +11,10 @@ import graft.pipeline.DailyAggregatorJob
   * — one simulated machine-day (~1.12 M rows, `generate_data.py` cadence)
   * through the full pipeline. Prints ONE JSON line.
   *
+  * Each query runs `SPARK_GRAFT_BENCH_TRIALS` (default 3) times and
+  * reports the MEDIAN, so JIT warmup and first-touch IO land on whichever
+  * trial they land on instead of polluting whichever query runs first.
+  *
   * Evaluation is forced with a `noop`-format write: unlike `count()`,
   * Catalyst cannot prune projections or skip expression work, so timings
   * reflect the real operator cost.
@@ -44,14 +48,24 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    // median of `trials` runs; queries are isolated between trials (no
+    // cross-query or cross-trial cache reuse or cache pressure)
+    def timeMedian(body: => Unit): Double = {
+      val ts = (1 to trials).map { _ =>
+        val t = time(body)
+        spark.sharedState.cacheManager.clearCache()
+        t
+      }.sorted
+      ts(ts.length / 2)
+    }
+
     graft.queries.Catalog.all.foreach { q =>
       results(q.name) =
-        try time(force(q.run(spark, sfDir)))
+        try timeMedian(force(q.run(spark, sfDir)))
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0
         }
-      // isolate queries: no cross-query cache reuse or cache pressure
-      spark.sharedState.cacheManager.clearCache()
     }
 
     // Reference-shaped workload: one machine-day at the generator's real
@@ -72,7 +86,7 @@ object Bench {
           FixtureGen.writeCsv(tmp.getPath, g.csvLines)
           if (!tmp.renameTo(csv)) throw new java.io.IOException(s"rename failed: $tmp")
         }
-        time {
+        timeMedian {
           val out = DailyAggregatorJob.run(spark, csv.getPath, Rules.referenceDefaults)
           force(out.enrichedEvents)
           force(out.hourlySummary)
@@ -91,14 +105,13 @@ object Bench {
       import org.apache.spark.sql.functions._
       val oc = Seq(col("event_timestamp"), col("parameter_name"))
       val marker = col("event_name") === "Cycle_Start"
-      results("w2_single_window") = time(force(
+      results("w2_single_window") = timeMedian(force(
         graft.ops.CycleDetection.sessionizeByMarker(
           clean, Seq("machine_id"), oc, marker)))
-      results("w2_two_phase_prefix_sum") = time(force(
+      results("w2_two_phase_prefix_sum") = timeMedian(force(
         graft.ops.CycleDetection.sessionizeByMarkerScalable(
           clean, Seq("machine_id"), oc, marker,
           bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000)))))
-      spark.sharedState.cacheManager.clearCache()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] w2 comparison failed: ${e.getMessage}")
     }

@@ -97,6 +97,14 @@ object JdbcSinks {
   /** Executor-side batched upsert: one connection per partition, one
     * prepared merge statement, batches of `batchSize`. Idempotent:
     * re-running the same day updates in place instead of failing the PK.
+    *
+    * For [[UpdateInsertUpsert]] the frame is repartitioned by `keyCols`
+    * first, so one key lives in one task and two partitions can't race
+    * the non-atomic UPDATE-then-INSERT; a retried/zombie task carrying
+    * the same key can still lose the race, so the INSERT runs under a
+    * savepoint and retries as an UPDATE on a duplicate-key error
+    * (SQLState 23xxx) — the savepoint keeps the transaction alive on
+    * engines (Postgres) that abort it on any statement failure.
     */
   def upsert(
       df: DataFrame,
@@ -113,7 +121,12 @@ object JdbcSinks {
       "UpdateInsertUpsert needs at least one non-key column " +
         "(an all-key table would render 'UPDATE t SET' with no assignments); " +
         "use PostgresUpsert (ON CONFLICT DO NOTHING semantics apply) or append")
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    val partitioned = dialect match {
+      case UpdateInsertUpsert =>
+        df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      case _ => df
+    }
+    partitioned.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val p = new java.util.Properties()
         props.foreach { case (k, v) => p.setProperty(k, v) }
@@ -143,7 +156,21 @@ object JdbcSinks {
                   bindOrdered(upd, row, schema, nonKeys ++ keyCols)
                   if (upd.executeUpdate() == 0) {
                     bind(ins, row, schema)
-                    ins.executeUpdate()
+                    val sp = conn.setSavepoint()
+                    try {
+                      ins.executeUpdate()
+                      conn.releaseSavepoint(sp)
+                    } catch {
+                      case e: java.sql.SQLException
+                          if Option(e.getSQLState).exists(_.startsWith("23")) =>
+                        // a concurrent writer inserted this key between our
+                        // UPDATE (0 rows) and INSERT — roll back to the
+                        // savepoint and apply ours as an update
+                        conn.rollback(sp)
+                        bindOrdered(upd, row, schema, nonKeys ++ keyCols)
+                        upd.executeUpdate()
+                        ()
+                    }
                   }
                 }
                 conn.commit()

@@ -14,22 +14,45 @@ object Curation {
 
   /** Quality-gate + dedup + split.
     *
+    * Dedup runs AMONG THE QUALITY-PASSING DOCS ONLY — so the keeper of
+    * every near-dup cluster is itself a kept document (smallest good doc
+    * id). Deduping over all docs first would silently drop a whole
+    * cluster whenever its min-id keeper happened to fail the quality
+    * gate, losing content that had a high-quality representative; gating
+    * first also shingles a smaller corpus.
+    *
     * @return (doc_id, n_words, quality_score, bucket, split) for every
     *         KEPT document: passes the quality thresholds and is its
-    *         near-dup cluster's canonical keeper (smallest doc id;
-    *         unclustered docs keep themselves).
+    *         near-dup cluster's canonical keeper (smallest passing doc
+    *         id; unclustered docs keep themselves).
     */
   def curate(
       docs: DataFrame,
       minWords: Int = 20,
       minQuality: Double = 0.3,
       dedupTau: Double = 0.8): DataFrame = {
+    val good = qualityGate(docs, minWords, minQuality)
+    curateDeduped(good,
+      TextDedup.jaccardPairs(good, k = 2, tau = dedupTau, maxShingleDf = Long.MaxValue))
+  }
+
+  /** The quality-gate stage alone: docs plus (n_words, quality_score),
+    * filtered to the passing rows.
+    */
+  def qualityGate(docs: DataFrame, minWords: Int, minQuality: Double): DataFrame = {
     val st = TextAnalysis.stats(docs).select("doc_id", "n_words", "quality_score")
-    val good = docs.join(st, "doc_id")
+    docs.join(st, "doc_id")
       .filter(col("n_words") >= minWords && col("quality_score") >= minQuality)
+  }
+
+  /** [[curate]] with the near-dup pairs supplied by the caller (computed
+    * over the SAME quality-passing set, e.g. a dedup stage that already
+    * ran) — a pipeline that has pairs in hand must not repay shingling
+    * and candidate generation.
+    */
+  def curateDeduped(good: DataFrame, pairs: DataFrame): DataFrame = {
     // docs that are IN a near-dup cluster but are not its keeper
-    val dupLosers = TextDedup.clusters(
-        TextDedup.jaccardPairs(docs, k = 2, tau = dedupTau, maxShingleDf = Long.MaxValue))
+    val dupLosers = TextDedup.clusters(pairs)
       .filter(col("cluster_id") =!= col("id"))
       .select(col("id").as("doc_id"))
     DatasetSplit.assign(

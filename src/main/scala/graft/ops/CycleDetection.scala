@@ -94,8 +94,11 @@ object CycleDetection {
       .withColumn("graft_offset",
         coalesce(sum("graft_bucket_markers").over(offsetW), lit(0L)))
       .drop("graft_bucket_markers")
+    // no broadcast hint: offsets is #keys × #buckets rows and grows
+    // linearly with the data this function exists to scale to — AQE
+    // broadcasts it when it is actually small and falls back otherwise
     local
-      .join(broadcast(offsets), partitionKeys :+ "graft_bucket")
+      .join(offsets, partitionKeys :+ "graft_bucket")
       .withColumn(seqCol, col("graft_local_seq") + col("graft_offset"))
       // restore the input column order (the join moves its keys first)
       .select(df.columns.toIndexedSeq.map(col) :+ col(seqCol): _*)

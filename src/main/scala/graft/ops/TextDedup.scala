@@ -65,11 +65,28 @@ object TextDedup {
       tau: Double = 0.8,
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id"): DataFrame = {
-    // no persist/broadcast hints: shingling is codegen-cheap (recompute
-    // beats a session-lifetime cache leak for a library function — cache
-    // `docs` upstream if reusing), and `sizes` grows with the corpus so
-    // broadcast selection belongs to AQE, not a hint
-    val sh = shingles(docs, k, idCol)
+    // One shingling pass feeds four consumers (sizes, df counts, prefix
+    // ranking, verification sets) — materialize it once for the scope of
+    // this call and return the (small) verified pair list eagerly via
+    // localCheckpoint, so the persist can be dropped before returning and
+    // no cache entry outlives the function (measured: recomputing the
+    // posexplode+window shingle plan 4× was ~3/4 of this query's cost).
+    // No broadcast hints: `sizes` grows with the corpus, so broadcast
+    // selection belongs to AQE, not a hint.
+    val sh = shingles(docs, k, idCol).persist()
+    try {
+      jaccardPairsOn(sh, tau, maxShingleDf, idCol).localCheckpoint()
+    } finally {
+      sh.unpersist()
+      ()
+    }
+  }
+
+  /** [[jaccardPairs]] body over an already-materialized shingle table —
+    * lazy; callers own persistence of `sh` and evaluation of the result.
+    */
+  private def jaccardPairsOn(
+      sh: DataFrame, tau: Double, maxShingleDf: Long, idCol: String): DataFrame = {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -182,34 +199,69 @@ object TextDedup {
   }
 
   /** Connected components over a near-duplicate pair list: iterative
-    * min-label propagation (each round every vertex adopts the smallest
-    * label among itself and its neighbors) until fixpoint — the standard
-    * dataframe-only components algorithm, O(component diameter) rounds,
-    * each round one join + one groupBy. Returns (id, cluster_id) where
+    * min-label propagation with pointer jumping — each round every vertex
+    * adopts the smallest label among itself and its neighbors, then jumps
+    * to its label's label (path shortcutting), so rounds needed are
+    * O(log diameter), not O(diameter). Returns (id, cluster_id) where
     * cluster_id is the smallest doc id in the component — turning dedup
     * PAIRS into dedup GROUPS with a canonical keeper.
+    *
+    * Iterative-loop scale hygiene (the part that breaks first at 100 TB):
+    *   - every round's labels are `localCheckpoint()`ed — persist caches
+    *     data but not the PLAN, so without truncation each round's logical
+    *     plan references the previous round's and driver-side analysis
+    *     cost grows unboundedly;
+    *   - convergence is ONE cheap aggregate over the just-materialized
+    *     labels, not an `exceptAll` (two extra shuffles): labels only ever
+    *     decrease (min-aggregation over a finite set), so sum(label) is
+    *     strictly decreasing until the fixpoint and an unchanged checksum
+    *     IS convergence (DECIMAL(38,0) sum — no overflow at any corpus
+    *     size that fits in Long ids);
+    *   - the jump join's build side is keyed by unique id; the probe side
+    *     (label) is skewed inside big components — AQE skew-join splits it.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val verts = pairs.select(col("d1").as("src"))
+      .union(pairs.select(col("d2").as("src"))).distinct()
+    // self-loops fold "keep own label" into the neighbor-min aggregation,
+    // so the loop body is one join + one groupBy — no per-round union
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .union(verts.select(col("src"), col("src").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = verts.select(col("src").as("id"))
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint()
+    def checksum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prev = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      converged = next.exceptAll(labels).isEmpty
-      labels.unpersist()
+      // pointer jumping: label := label(label). Labels are always vertex
+      // ids (min over seen ids), so the self-join always matches; the
+      // coalesce is belt-and-braces for the left join. Self-joining the
+      // CHECKPOINTED frame keeps the plan trivially deduplicable.
+      val jumped = labels.as("a")
+        .join(labels.select(col("id").as("label"), col("label").as("label2")).as("b"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+      val next = edges.join(jumped.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy("src").agg(min("label").as("label"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
       labels = next
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusters() hit maxIter=$maxIter before converging: a component with " +
+          "diameter > 2^maxIter exists and its cluster_id is NOT the component " +
+          "minimum; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -65,9 +65,9 @@ object CoreQueries {
     // (not just parquet) is exercised; oracle reads the same rows natively.
     Q("s1_p1_csv_scan",
       (s, dir) => {
-        // fixed location, overwritten each run — a fresh createTempDirectory
-        // per invocation would leak a full CSV copy of events every round
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1_roundtrip"
+        // per-JVM scratch dir, overwritten each run — a fresh dir per
+        // invocation would leak a full CSV copy of events every round
+        val tmp = graft.core.TmpDirs.scoped("s1_roundtrip")
         Tables.events(s, dir)
           .select(
             col("event_id"),
@@ -90,7 +90,7 @@ object CoreQueries {
     // as JSON, read back with an explicit schema (no inference).
     Q("s1_json_scan",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1_json"
+        val tmp = graft.core.TmpDirs.scoped("s1_json")
         Tables.events(s, dir)
           .select(col("event_id"),
             date_format(col("ts"), tsFmtSpark).as("event_ts"),
@@ -106,7 +106,7 @@ object CoreQueries {
     // engine serves (verified against the parquet-side oracle).
     Q("s1_orc_scan",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1_orc"
+        val tmp = graft.core.TmpDirs.scoped("s1_orc")
         Tables.events(s, dir)
           .select(col("event_id"),
             date_format(col("ts"), tsFmtSpark).as("event_ts"),
@@ -353,8 +353,10 @@ object CoreQueries {
           .select("user_id").distinct()
         val bigBuyers = ev.filter(col("event_type") === "purchase" && col("value") > 95.0)
           .select("user_id").distinct()
-        signups.exceptAll(bigBuyers)
-          .withColumn("overlap_users", lit(signups.intersect(bigBuyers).count()))
+        // the INTERSECT count rides along as a broadcast 1-row aggregate —
+        // no eager driver-side job at plan-construction time
+        val overlap = signups.intersect(bigBuyers).agg(count(lit(1)).as("overlap_users"))
+        signups.exceptAll(bigBuyers).crossJoin(broadcast(overlap))
       },
       Some("""WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
         |p AS (SELECT DISTINCT user_id FROM events

@@ -96,15 +96,25 @@ object ExtQueries {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin)),
 
-    // End-to-end curation: quality gate -> drop near-dup non-keepers ->
-    // deterministic split. Pure composition of already-oracle-checked
-    // stages; the oracle recombines the same SQL fragments.
+    // End-to-end curation: quality gate -> near-dup removal AMONG THE
+    // PASSING DOCS (keeper = smallest passing id, so a cluster is never
+    // lost to a low-quality min-id doc) -> deterministic split. Pure
+    // composition of already-oracle-checked stages; the oracle recombines
+    // the same SQL fragments with the gate applied before shingling.
     Q("ext_curation_pipeline",
       (s, dir) => graft.ops.Curation.curate(Tables.documents(s, dir))
         .select("doc_id", "n_words", "split"),
-      Some("""WITH RECURSIVE sh AS (
+      Some("""WITH RECURSIVE stats AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0 ELSE 0.5 END)
+        |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' '))) AS quality_score
+        |  FROM documents),
+        |good AS (SELECT * FROM stats WHERE n_words >= 20 AND quality_score >= 0.3),
+        |sh AS (
         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM good
         |        WHERE len(string_split(text, ' ')) >= 2),
         |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
         |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -125,21 +135,13 @@ object ExtQueries {
         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
         |losers AS (
         |  SELECT id AS doc_id FROM (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
-        |  WHERE cluster_id <> id),
-        |stats AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-        |    (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0 ELSE 0.5 END)
-        |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |         / len(string_split(text, ' '))) AS quality_score
-        |  FROM documents)
+        |  WHERE cluster_id <> id)
         |SELECT doc_id, n_words,
         |  CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 52428 THEN 'train'
         |       WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INT) < 58982 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM stats
-        |WHERE n_words >= 20 AND quality_score >= 0.3
-        |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+        |FROM good
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
     // Decontamination: train-split docs sharing any 5-gram with a
     // test-split doc (shingle semi-join, the bucketed shape).
@@ -353,6 +355,26 @@ object ExtQueries {
         |SELECT doc_id, frame_idx,
         |  CAST(least((frame_idx + 1) * sz, n) - least(frame_idx * sz, n) AS INT) AS frame_len
         |FROM f""".stripMargin)),
+
+    // Feature extraction: 16-dim normalized byte-histogram "embedding"
+    // per payload, exploded to (doc_id, dim, value) rows. The histogram is
+    // a pure function of the payload bytes (here: ASCII text), so DuckDB
+    // mirrors it per-character; both sides divide float/float so the
+    // IEEE-single quotients agree bitwise.
+    Q("ext_multimodal_features",
+      (s, dir) => Multimodal.extractFeatures(s, Tables.documents(s, dir))
+        .toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value"))),
+      Some("""WITH n AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, ord(text[i]) % 16 AS dim
+        |  FROM n, LATERAL (SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i)),
+        |h AS (SELECT doc_id, dim, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |d AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS dim)
+        |SELECT n.doc_id, d.dim,
+        |  CAST(COALESCE(h.cnt, 0) AS REAL) / CAST(greatest(n.n, 1) AS REAL) AS value
+        |FROM n CROSS JOIN d
+        |LEFT JOIN h ON h.doc_id = n.doc_id AND h.dim = d.dim""".stripMargin)),
 
     // Resize: target dims + deterministic subsample length (the stub's
     // output size is a pure function of payload size, mirrored in SQL).

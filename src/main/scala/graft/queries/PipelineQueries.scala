@@ -120,12 +120,13 @@ object PipelineQueries {
        |FROM cycsum FULL OUTER JOIN evsum USING (summary_date, hour_of_day, machine_id)""".stripMargin
   }
 
-  /** Spark-side rollup with dates stringified for the compare. The summary
-    * is tiny (≤ 24 rows/machine/day), so it is computed once per session
-    * and memoized as COLLECTED ROWS re-wrapped in a local DataFrame — the
-    * dashboard queries then read materialized data (like a dashboard reads
-    * the sink table), immune to the harness clearing the Spark cache
-    * between queries. Keys are weak so stopped sessions can be collected.
+  /** Spark-side rollup with dates stringified for the compare. Computed
+    * once per session and memoized as a PARQUET TEMP-SINK read back — the
+    * dashboard queries then read materialized data exactly like a
+    * dashboard reads the sink table, immune to the harness clearing the
+    * Spark cache between queries, and nothing is collected to the driver
+    * (the summary grows as machines × days × 24 at fleet scale). Keys are
+    * weak so stopped sessions can be collected.
     */
   private val rollupCache =
     java.util.Collections.synchronizedMap(
@@ -140,8 +141,10 @@ object PipelineQueries {
         val flagged = ErrorRules.flag(events, Rules.referenceDefaults)
         val full = HourlyRollup.hourlySummary(flagged, cycles)
           .withColumn("summary_date", date_format(col("summary_date"), "yyyy-MM-dd"))
-        val local = s.createDataFrame(
-          java.util.Arrays.asList(full.collect(): _*), full.schema)
+        val dir = graft.core.TmpDirs.scoped(
+          s"pipe_rollup_${System.identityHashCode(s)}")
+        full.write.mode("overwrite").parquet(dir)
+        val local = s.read.parquet(dir)
         rollupCache.put(s, local)
         local
       }

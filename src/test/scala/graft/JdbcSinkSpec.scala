@@ -96,4 +96,32 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(sql.contains("ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b, c = EXCLUDED.c"))
     assert(sql.contains("INSERT INTO t (a, b, c)"))
   }
+
+  // The Postgres path has no server in this harness, so its statement is
+  // pinned byte-for-byte against a recorded golden. Bind order for this
+  // dialect is the INSERT column list itself (schema field order): the
+  // executor binds `?` 1..n in schema order, which is exactly the order
+  // the column list renders in.
+  test("postgres upsert SQL matches the recorded golden (summary-table shape)") {
+    val sql = JdbcSinks.PostgresUpsert.sql("hourly_summary",
+      Seq("summary_date", "hour_of_day", "machine_id",
+        "cycle_count", "avg_cycle_time_seconds"),
+      Seq("summary_date", "hour_of_day", "machine_id"))
+    val golden =
+      """INSERT INTO hourly_summary (summary_date, hour_of_day, machine_id, cycle_count, avg_cycle_time_seconds)
+        |VALUES (?, ?, ?, ?, ?)
+        |ON CONFLICT (summary_date, hour_of_day, machine_id) DO UPDATE SET cycle_count = EXCLUDED.cycle_count, avg_cycle_time_seconds = EXCLUDED.avg_cycle_time_seconds""".stripMargin
+    assert(sql == golden)
+    assert(sql.count(_ == '?') == 5)
+  }
+
+  test("update-insert upsert SQL pair matches the recorded goldens (bind: non-keys then keys)") {
+    val (upd, ins) = JdbcSinks.UpdateInsertUpsert.sqlPair("hourly_summary",
+      Seq("summary_date", "hour_of_day", "machine_id", "cycle_count"),
+      Seq("summary_date", "hour_of_day", "machine_id"))
+    assert(upd == "UPDATE hourly_summary SET cycle_count = ? " +
+      "WHERE summary_date = ? AND hour_of_day = ? AND machine_id = ?")
+    assert(ins == "INSERT INTO hourly_summary " +
+      "(summary_date, hour_of_day, machine_id, cycle_count) VALUES (?, ?, ?, ?)")
+  }
 }
