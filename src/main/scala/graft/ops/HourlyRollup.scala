@@ -99,9 +99,22 @@ object HourlyRollup {
   /** Full-outer join of the two summaries + zero-fill + rounding + final
     * column order (`daily_aggregator.py:234-265`).
     */
-  def hourlySummary(flaggedEvents: DataFrame, cycleTimes: DataFrame): DataFrame = {
-    val joined = cycleSummary(cycleTimes)
-      .join(eventSummary(flaggedEvents, cycleTimes),
+  def hourlySummary(flaggedEvents: DataFrame, cycleTimes: DataFrame): DataFrame =
+    hourlySummary(flaggedEvents, cycleTimes, cycleTimes)
+
+  /** Variant with the event-side enrichment cycles separated from the
+    * cycle-stat cycles: an incremental caller (e.g. the streaming parity
+    * spec) can report an hour whose trailing cycle is still open — its
+    * events contribute to the event side while its not-yet-final cycle
+    * row is absent from the stats (which then zero-fill, exactly like the
+    * streaming aggregation).
+    */
+  def hourlySummary(
+      flaggedEvents: DataFrame,
+      enrichCycles: DataFrame,
+      statCycles: DataFrame): DataFrame = {
+    val joined = cycleSummary(statCycles)
+      .join(eventSummary(flaggedEvents, enrichCycles),
         Seq("summary_date", "hour_of_day", "machine_id"), "outer")
       .na.fill(0, zeroFillCols)
 

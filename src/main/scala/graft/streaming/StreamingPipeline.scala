@@ -153,6 +153,144 @@ object StreamingPipeline {
         hour(col("w.start")).as("hour_of_day"),
         col("machine_id"), col("cycle_count"))
 
+  /** One tagged row of the streaming summary's input union: `side = "e"`
+    * rows are events enriched with their cycle's start timestamp (the
+    * batch J1 join, resolved from state instead), `side = "c"` rows are
+    * closed-cycle boundary rows (one per cycle). Emitting BOTH from one
+    * `flatMapGroupsWithState` keeps the whole summary at exactly two
+    * stateful operators (FMGWS → windowed agg), the chained pattern
+    * Structured Streaming supports in append mode — two separate stateful
+    * branches joined downstream would not be.
+    */
+  final case class SummaryRow(
+      cycle_start_ts: Timestamp,
+      machine_id: String,
+      side: String,
+      event_name: String,
+      parameter_name: String,
+      value: Option[Float],
+      cycle_time_seconds: Option[Float])
+
+  /** Per-machine summary state: running cycle counter, the open cycle's
+    * start (cleared by its End — drives cycle-row emission), and the
+    * CURRENT cycle's start (kept after the End — events between an End
+    * and the next Start still belong to the ended cycle, exactly like the
+    * batch join on (machine, cycle_seq)).
+    */
+  final case class SummaryState(
+      counter: Long, openStartMs: Option[Long], lastStartMs: Option[Long])
+
+  /** Streaming input for the full hourly summary. Event rows carry the
+    * enclosing cycle's start timestamp (events before the first
+    * Cycle_Start are dropped — the batch left-join's null-date filter);
+    * cycle rows replicate [[cycleTimes]]'s emission rules, including the
+    * End-less cycle closed with 0.0 by the next Start and the final
+    * open cycle never emitting (the documented stream/batch divergence).
+    */
+  def summaryRows(clean: Dataset[CleanedEvent]): Dataset[SummaryRow] = {
+    import clean.sparkSession.implicits._
+    clean
+      .groupByKey(_.machine_id)
+      .flatMapGroupsWithState[SummaryState, SummaryRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (machine: String, events: Iterator[CleanedEvent], state: GroupState[SummaryState]) =>
+          var st = state.getOption.getOrElse(SummaryState(0L, None, None))
+          val out = scala.collection.mutable.ArrayBuffer[SummaryRow]()
+          events.toSeq
+            .sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
+            .foreach { e =>
+              e.event_name match {
+                case Schemas.cycleStartEvent =>
+                  st.openStartMs.foreach { startMs =>
+                    out += SummaryRow(new Timestamp(startMs), machine, "c",
+                      null, null, None, Some(0.0f))
+                  }
+                  val ms = e.event_timestamp.getTime
+                  st = SummaryState(st.counter + 1, Some(ms), Some(ms))
+                case Schemas.cycleEndEvent =>
+                  st.openStartMs.foreach { startMs =>
+                    out += SummaryRow(new Timestamp(startMs), machine, "c",
+                      null, null, None,
+                      Some(((e.event_timestamp.getTime / 1000.0) - (startMs / 1000.0)).toFloat))
+                  }
+                  st = st.copy(openStartMs = None)
+                case _ => ()
+              }
+              if (st.counter > 0)
+                out += SummaryRow(new Timestamp(st.lastStartMs.get), machine, "e",
+                  e.event_name, e.parameter_name, e.value, None)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** The FULL streaming hourly summary — all 19 batch columns
+    * ([[graft.ops.HourlyRollup.hourlySummary]] semantics) as one
+    * watermarked event-time window aggregation over [[summaryRows]]'
+    * tagged union. The batch job's full-outer join of cycle-side and
+    * event-side aggregations disappears: both sides live in the same
+    * (window, machine) group and aggregate conditionally on the tag, and
+    * the zero-fill falls out of `coalesce` over the conditional aggs.
+    * Late events beyond the watermark are dropped — the streaming
+    * trade-off the batch job doesn't make.
+    */
+  def hourlySummaryStream(
+      clean: Dataset[CleanedEvent],
+      rules: Seq[graft.model.EventRule],
+      watermark: String = "2 hours"): DataFrame = {
+    val flagged = graft.ops.ErrorRules.flag(summaryRows(clean).toDF(), rules)
+    val ev = col("side") === "e"
+    val cy = col("side") === "c"
+    def forceValue(event: String) =
+      when(ev && col("event_name") === event && col("parameter_name") === "PP_Force",
+        col("value"))
+    def errorCount(param: String, event: String) =
+      sum(when(ev && col("parameter_name") === param && col("event_name") === event &&
+        col("is_error") === 1, 1).otherwise(0))
+    val agg = flagged
+      .withWatermark("cycle_start_ts", watermark)
+      .groupBy(window(col("cycle_start_ts"), "1 hour").as("w"), col("machine_id"))
+      .agg(
+        avg(forceValue("Pick_Check")).as("avg_pick_force"),
+        max(forceValue("Pick_Check")).as("max_pick_force"),
+        min(forceValue("Pick_Check")).as("min_pick_force"),
+        avg(forceValue("Place_Check")).as("avg_place_force"),
+        max(forceValue("Place_Check")).as("max_place_force"),
+        min(forceValue("Place_Check")).as("min_place_force"),
+        errorCount("AS_VacuumUnits", "AS_Check").as("as_vacuum_error_count"),
+        errorCount("PP_VacuumUnits", "Pick_Check").as("pp_vacuum_error_count"),
+        errorCount("AS_VacuumUnits", "AS_Blowoff_Check").as("as_release_error_count"),
+        errorCount("PP_VacuumUnits", "Place_Check").as("pp_release_error_count"),
+        errorCount("PP_Force", "Pick_Check").as("pick_force_error_count"),
+        errorCount("PP_Force", "Place_Check").as("place_force_error_count"),
+        sum(when(ev, col("is_error")).otherwise(0)).as("total_error_count"),
+        count(when(cy, lit(1))).as("cycle_count"),
+        min(when(cy, col("cycle_time_seconds"))).as("min_cycle_time_seconds"),
+        max(when(cy, col("cycle_time_seconds"))).as("max_cycle_time_seconds"),
+        avg(when(cy, col("cycle_time_seconds"))).as("avg_cycle_time_seconds"))
+      .na.fill(0, Seq(
+        "cycle_count", "avg_cycle_time_seconds", "min_cycle_time_seconds",
+        "max_cycle_time_seconds", "avg_pick_force", "max_pick_force", "min_pick_force",
+        "avg_place_force", "max_place_force", "min_place_force"))
+    val rounded = Seq(
+      "min_cycle_time_seconds" -> 3, "max_cycle_time_seconds" -> 3, "avg_cycle_time_seconds" -> 3,
+      "avg_pick_force" -> 2, "max_pick_force" -> 2, "min_pick_force" -> 2,
+      "avg_place_force" -> 2, "max_place_force" -> 2, "min_place_force" -> 2
+    ).foldLeft(agg) { case (df, (c, scale)) => df.withColumn(c, round(col(c), scale)) }
+    rounded.select(
+      to_date(col("w.start")).as("summary_date"),
+      hour(col("w.start")).as("hour_of_day"),
+      col("machine_id"),
+      col("avg_pick_force"), col("max_pick_force"), col("min_pick_force"),
+      col("avg_place_force"), col("max_place_force"), col("min_place_force"),
+      col("as_vacuum_error_count"), col("pp_vacuum_error_count"),
+      col("as_release_error_count"), col("pp_release_error_count"),
+      col("pick_force_error_count"), col("place_force_error_count"),
+      col("cycle_count"), col("min_cycle_time_seconds"),
+      col("max_cycle_time_seconds"), col("avg_cycle_time_seconds"))
+  }
+
   /** Stream → JDBC upsert via foreachBatch: each micro-batch merges the
     * CHANGED windows into the summary table (update mode — so the
     * watermark actually evicts window state and write volume stays

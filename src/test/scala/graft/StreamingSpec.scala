@@ -131,6 +131,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchAligned.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming 19-column hourly summary equals the batch rollup on the fixture") {
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, streamDir, maxFilesPerTrigger = 1))
+    val summary = StreamingPipeline.hourlySummaryStream(
+      clean, graft.model.Rules.referenceDefaults)
+    val schema = summary.schema
+
+    // update-mode foreachBatch upsert into a driver-side map (last write
+    // per (date, hour, machine) wins — the JDBC upsert's semantics,
+    // without Derby's FLOAT/DOUBLE type laundering in the comparison)
+    StreamingSpec.summaryRows.clear()
+    val q = summary.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingSpec.summaryRows.synchronized {
+          df.collect().foreach { r =>
+            StreamingSpec.summaryRows((r.getDate(0), r.getInt(1), r.getString(2))) = r
+          }
+        }: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.createDataFrame(
+      java.util.Arrays.asList(StreamingSpec.summaryRows.values.toSeq: _*), schema)
+
+    // batch expectation: full enrichment, but each machine's trailing
+    // (still-open, End-less) cycle excluded from the cycle-stat side —
+    // the stream never emits a cycle row for a cycle that never closed
+    val (events, cycles) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)))
+    val flagged = graft.ops.ErrorRules.flag(events, graft.model.Rules.referenceDefaults)
+    val lastSeq = cycles.groupBy("machine_id").agg(max("cycle_seq").as("mx"))
+    val statCycles = cycles.join(lastSeq, Seq("machine_id"))
+      .filter(col("cycle_seq") < col("mx"))
+      .drop("mx")
+    val expected = graft.ops.HourlyRollup.hourlySummary(flagged, cycles, statCycles)
+
+    assert(streamed.columns.toSeq == expected.columns.toSeq)
+    assert(streamed.count() == expected.count())
+    assert(expected.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(expected).count() == 0)
+  }
+
   test("watermarked hourly windows + foreachBatch upsert match batch cycle counts") {
     val url = "jdbc:derby:memory:graftstream;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
@@ -176,4 +218,6 @@ class StreamingSpec extends AnyFunSuite {
   */
 object StreamingSpec {
   val restartRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+  val summaryRows = scala.collection.mutable.LinkedHashMap[
+    (java.sql.Date, Int, String), org.apache.spark.sql.Row]()
 }
