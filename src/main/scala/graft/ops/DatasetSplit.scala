@@ -21,6 +21,33 @@ object DatasetSplit {
   def hashBucket(content: Column): Column =
     conv(substring(md5(content), 1, 4), 16, 10).cast("int")
 
+  /** Deterministic stratified sampling — the domain-mixing step of corpus
+    * assembly: keep a content-keyed fraction of each stratum (language,
+    * source domain, …). Like [[assign]], membership is a pure function of
+    * content, so the sample is reproducible across engines and re-shards
+    * and monotone in the fraction (raising a stratum's weight only ADDS
+    * documents — incremental corpus rebuilds stay supersets). The salt
+    * decorrelates the sampling hash from the split hash: a doc's sample
+    * fate is independent of its train/val/test fate.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      contentCol: String = "text",
+      salt: String = "sample",
+      bucketCol: String = "sample_bucket"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    // fold in sorted order so the compiled when-chain is deterministic
+    val frac = fractions.toSeq.sortBy(_._1).foldRight(lit(defaultFraction): Column) {
+      case ((k, f), acc) => when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.withColumn(bucketCol, hashBucket(concat(lit(salt + ":"), col(contentCol))))
+      .filter(col(bucketCol) < frac * Granularity)
+  }
+
   /** Assign a named split by cumulative weight thresholds (scaled to the
     * bucket granularity, floor-rounded; the last split absorbs the
     * remainder). Weights are (name, fraction) in order.

@@ -42,6 +42,36 @@ object TextAnalysis {
         when(col("n_words") >= 20, lit(1.0)).otherwise(lit(0.5)) * col("distinct_ratio"))
   }
 
+  /** Repetition signals per document — the boilerplate/degenerate-text
+    * heuristics quality filters gate on (the "fraction of characters in
+    * duplicated n-grams" family): over NON-distinct word bigrams,
+    * `top_bigram_fraction` = occurrences of the most common bigram /
+    * total bigrams, and `dup_bigram_fraction` = occurrences belonging to
+    * any repeated bigram / total bigrams. Documents with fewer than 2
+    * words have no bigrams and produce no row.
+    *
+    * Scale shape: one shuffle on (doc, bigram) for the counts, one on doc
+    * for the rollup — the same bounded-fanout plan as shingling; nothing
+    * is collected per row beyond two longs.
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigrams = docs
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("w1", lead(col("word"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("word"), col("w1")).as("bigram"))
+    bigrams.groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_count"),
+        (max("c").cast("double") / sum("c")).as("top_bigram_fraction"),
+        (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum("c"))
+          .as("dup_bigram_fraction"))
+  }
+
   /** Character-n-gram language id: each language has a signature profile
     * of char n-grams (space-padded, so word-boundary grams count too);
     * the score is the total occurrence count of the profile's grams in

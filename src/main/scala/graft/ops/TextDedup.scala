@@ -184,6 +184,13 @@ object TextDedup {
     * re-join: a candidate set of c pairs costs c intersections of ~|doc|
     * elements instead of a c×|doc| row explosion through two shuffles
     * (measured ~4× faster on a dense corpus where candidates are many).
+    *
+    * Memory bound: `collect_list` holds ONE document's shingle set per
+    * row — ~|doc| strings, not a partition's worth — so the row size is
+    * bounded by the largest single document, the same bound any exact
+    * per-doc set comparison has. A corpus with pathological multi-GB
+    * single documents needs a length cap at ingest (truncate or reject),
+    * not a different verify plan.
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, tau: Double, idCol: String): DataFrame = {
     val sets = sh.groupBy(idCol)

@@ -289,6 +289,43 @@ object ExtQueries {
       Some("SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) " +
         "AS fingerprint FROM documents")),
 
+    // Repetition signals (Gopher-style quality filters): top/duplicate
+    // bigram fractions over NON-distinct word bigrams.
+    Q("ext_text_repetition",
+      (s, dir) => TextAnalysis.repetition(Tables.documents(s, dir)),
+      Some("""WITH bi AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_bigram_count,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_bigram_fraction,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+        |    AS dup_bigram_fraction
+        |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling (domain mixing): content-keyed
+    // per-language keep fractions — en halved, de quartered, rest kept.
+    // Pure function of md5('sample:' || text): reproducible across
+    // engines/re-shards and independent of the split hash.
+    Q("ext_sample_stratified",
+      (s, dir) => graft.ops.DatasetSplit.sampleStratified(
+        Tables.documents(s, dir).select("doc_id", "lang", "text"),
+        strataCol = "lang",
+        fractions = Map("en" -> 0.5, "de" -> 0.25))
+        .select("doc_id", "lang", "sample_bucket"),
+      Some("""WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('sample:' || text), 1, 4)) AS INT) AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_bucket FROM b
+        |WHERE sample_bucket < (CASE lang WHEN 'en' THEN 0.5
+        |                                 WHEN 'de' THEN 0.25
+        |                                 ELSE 1.0 END) * 65536""".stripMargin)),
+
     // Corpus n-gram frequency table: top word-bigrams with deterministic
     // tiebreak — the corpus-statistics pass every tokenizer/vocab build
     // starts from (bounded output, single shuffle on the shingle).

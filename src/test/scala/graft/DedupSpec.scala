@@ -77,6 +77,32 @@ class DedupSpec extends AnyFunSuite {
     assert(frac.keySet == Set("train", "val", "test"))
   }
 
+  test("stratified sample: deterministic, monotone in fraction, default keeps everything") {
+    import graft.ops.DatasetSplit
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "lang", "text")
+    def ids(fractions: Map[String, Double]) =
+      DatasetSplit.sampleStratified(docs, "lang", fractions)
+        .select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("en" -> 0.5))
+    assert(half == ids(Map("en" -> 0.5)), "sample must be deterministic")
+    // monotone: raising the fraction only adds documents
+    val quarter = ids(Map("en" -> 0.25))
+    assert(quarter.subsetOf(half))
+    // strata without a fraction keep everything
+    val nonEn = docs.filter(col("lang") =!= "en").select("doc_id").as[Long].collect().toSet
+    assert(nonEn.subsetOf(half))
+    // the sampled stratum is actually thinned to roughly its fraction
+    val en = docs.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val keptEn = half.intersect(en).size.toDouble / en.size
+    assert(math.abs(keptEn - 0.5) < 0.1, s"en keep fraction $keptEn")
+    // independent of the split hash: sampled-out docs are not biased by split
+    val splits = DatasetSplit.assign(docs, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val keptTrainFrac = half.count(id => splits(id) == "train").toDouble / half.size
+    assert(math.abs(keptTrainFrac - 0.8) < 0.08, s"train frac inside sample $keptTrainFrac")
+  }
+
   test("shingles: documents shorter than k words produce none; k-grams are distinct") {
     val df = Seq((1L, "a b c b a b"), (2L, "single")).toDF("doc_id", "text")
     val sh = TextDedup.shingles(df, 2).as[(Long, String)].collect().toSeq

@@ -25,6 +25,22 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("stopword_ratio") - 2.0 / 3) < 1e-15)
   }
 
+  test("repetition signals: top/dup bigram fractions over non-distinct bigrams") {
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> top 3/5, dup 5/5
+      (2L, "x y z"),       // bigrams: xy,yz -> top 1/2, dup 0
+      (3L, "single")       // no bigrams -> no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_count"),
+          r.getAs[Double]("top_bigram_fraction"), r.getAs[Double]("dup_bigram_fraction")))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((5L, 3L, 0.6, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5, 0.0)))
+  }
+
   test("fingerprint is invariant to case, punctuation and extra whitespace") {
     val df = Seq(
       (1L, "Hello,   World!"),
