@@ -149,27 +149,44 @@ object Similarity {
       centroidStride: Long = 100L,
       nProbe: Int = 2,
       idCol: String = "vec_id"): DataFrame = {
-    val s = emb.sparkSession
-    // Hash-based centroid sampling (id-value independent: works for
-    // non-contiguous / 1-based / hashed id spaces), with a fallback so a
-    // tiny or unlucky table still yields a non-empty quantizer instead of
-    // silently returning zero results.
+    val centroids = ivfCentroids(emb, centroidStride, idCol)
+    probeLists(ivfAssign(emb, centroids, idCol), centroids, queries, k, nProbe, idCol)
+  }
+
+  /** Deterministic coarse quantizer: hash-based centroid sampling
+    * (id-value independent: works for non-contiguous / 1-based / hashed
+    * id spaces), with a fallback so a tiny or unlucky table still yields
+    * a non-empty quantizer instead of silently returning zero results.
+    */
+  def ivfCentroids(emb: DataFrame, centroidStride: Long, idCol: String = "vec_id"): DataFrame = {
     val sampled = emb.filter(pmod(xxhash64(col(idCol)), lit(centroidStride)) === 0)
       .select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
-    val centroids =
-      if (sampled.isEmpty)
-        emb.limit(1).select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
-      else sampled
-    // Assign every vector to its nearest centroid (broadcast centroids;
-    // one pass, no shuffle beyond the final grouping).
-    val assigned = emb.crossJoin(broadcast(centroids))
+    if (sampled.isEmpty)
+      emb.limit(1).select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
+    else sampled
+  }
+
+  /** Assign every vector to its nearest centroid (broadcast centroids;
+    * one pass, no shuffle beyond the final grouping).
+    */
+  private def ivfAssign(emb: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
+    val s = emb.sparkSession
+    emb.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCol)
           .orderBy(desc("c_cos"), asc("c_id"))))
       .filter(col("rk") === 1)
       .select(col(idCol).as("n_id"), col("embedding").as("n_emb"), col("c_id").as("list_id"))
-    // Each query probes its nProbe nearest lists.
+  }
+
+  /** Each query probes its `nProbe` nearest lists; candidates are scored
+    * exactly and ranked per query.
+    */
+  private def probeLists(
+      assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, idCol: String): DataFrame = {
+    val s = assigned.sparkSession
     val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("q_emb"), col("c_emb")))
@@ -178,7 +195,7 @@ object Similarity {
           .orderBy(desc("c_cos"), asc("c_id"))))
       .filter(col("prk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("c_id").as("list_id"))
-    val scored = probes.join(assigned, Seq("list_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine(s)(col("q_emb"), col("n_emb")))
     scored
@@ -187,5 +204,35 @@ object Similarity {
           .orderBy(desc("cosine"), asc("n_id"))))
       .filter(col("rk") <= k)
       .select("q_id", "n_id", "rk", "cosine")
+  }
+
+  /** Persist an IVF index: the inverted lists as parquet PARTITIONED BY
+    * `list_id` plus the centroid table alongside. This is the 100 TB ANN
+    * deployment shape: the quantization pass runs once, and every probe
+    * afterwards reads only its `nProbe` list directories — on the
+    * partitioned layout the broadcast probe join triggers dynamic
+    * partition pruning, so a 2-of-50-lists probe scans ~4% of the index
+    * instead of 100%.
+    */
+  def writeIvfIndex(
+      emb: DataFrame, dir: String,
+      centroidStride: Long = 100L, idCol: String = "vec_id"): Unit = {
+    val centroids = ivfCentroids(emb, centroidStride, idCol)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(emb, centroids, idCol)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
+  /** Top-k over a persisted [[writeIvfIndex]] index — result-identical to
+    * [[ivfTopK]] on the same corpus/stride (pinned in SimilaritySpec),
+    * but the corpus scan is replaced by a pruned read of the probed
+    * lists.
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = spark.read.parquet(s"$dir/lists")
+    probeLists(assigned, centroids, queries, k, nProbe, idCol)
   }
 }

@@ -226,8 +226,21 @@ object TextDedup {
     *     size that fits in Long ids);
     *   - the jump join's build side is keyed by unique id; the probe side
     *     (label) is skewed inside big components — AQE skew-join splits it.
+    *
+    * `checkpointDir` switches the per-round materialization from
+    * `localCheckpoint` (executor block storage — fast, but a lost
+    * executor kills the lineage-truncated RDD and fails the job) to a
+    * reliable `checkpoint` into that directory. On a long-running
+    * 1000-executor job, executor loss is routine, so pass a durable path
+    * (HDFS/object store) there; local mode and tests keep the fast path.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clusters(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val verts = pairs.select(col("d1").as("src"))
       .union(pairs.select(col("d2").as("src"))).distinct()
     // self-loops fold "keep own label" into the neighbor-min aggregation,
@@ -236,9 +249,8 @@ object TextDedup {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .union(verts.select(col("src"), col("src").as("dst")))
       .persist()
-    var labels = verts.select(col("src").as("id"))
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = materialize(
+      verts.select(col("src").as("id")).withColumn("label", col("id")))
     def checksum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
     var prev = checksum(labels)
@@ -253,10 +265,10 @@ object TextDedup {
         .join(labels.select(col("id").as("label"), col("label").as("label2")).as("b"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-      val next = edges.join(jumped.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy("src").agg(min("label").as("label"))
-        .withColumnRenamed("src", "id")
-        .localCheckpoint()
+      val next = materialize(
+        edges.join(jumped.select(col("id").as("dst"), col("label")), Seq("dst"))
+          .groupBy("src").agg(min("label").as("label"))
+          .withColumnRenamed("src", "id"))
       val cs = checksum(next)
       converged = cs == prev
       prev = cs

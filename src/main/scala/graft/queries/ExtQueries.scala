@@ -233,6 +233,21 @@ object ExtQueries {
       },
       None),
 
+    // Persisted IVF index probe: build the partitioned on-disk index
+    // (lists as list_id= parquet directories) and answer top-k from it —
+    // the quantize-once / probe-many deployment shape. Result-identical
+    // to ext_ann_ivf (pinned in SimilaritySpec), rows-only for the same
+    // xxhash64 reason.
+    Q("ext_ann_ivf_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = graft.core.TmpDirs.scoped("ivf_index")
+        Similarity.writeIvfIndex(emb, idx, centroidStride = 50L)
+        Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
+          k = 10, nProbe = 3)
+      },
+      None),
+
     // Text statistics + quality score.
     Q("ext_text_stats",
       (s, dir) => TextAnalysis.stats(Tables.documents(s, dir)),

@@ -64,6 +64,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters with a reliable checkpoint dir match the fast localCheckpoint path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("d1", "d2")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val got = TextDedup.clusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("hash split: stable, content-keyed, proportions near weights") {
     import graft.ops.DatasetSplit
     val big = Tables.documents(spark, "/root/testdata/sf0.01")

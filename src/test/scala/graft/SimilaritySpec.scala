@@ -59,4 +59,26 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"ivf recall@10 $recall")
   }
+
+  test("persisted IVF index: probe results equal in-memory IVF; lists are partition dirs") {
+    val queries = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(emb, idx, centroidStride = 50L)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, queries, k = 10, nProbe = 3)
+    val inMemory = Similarity.ivfTopK(emb, queries, k = 10, centroidStride = 50L, nProbe = 3)
+    assert(indexed.count() == inMemory.count())
+    // the probe join dynamically prunes the partitioned list scan — only
+    // the probed list directories are read
+    assert(indexed.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "indexed probe must trigger dynamic partition pruning on list_id")
+    assert(inMemory.exceptAll(indexed).count() == 0)
+    assert(indexed.exceptAll(inMemory).count() == 0)
+    // the on-disk layout is one directory per inverted list — the unit of
+    // partition pruning a probe reads
+    val listDirs = new java.io.File(s"$idx/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).toSeq
+    assert(listDirs.nonEmpty)
+    val nCentroids = spark.read.parquet(s"$idx/centroids").count()
+    assert(listDirs.size <= nCentroids)
+  }
 }
