@@ -173,6 +173,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(expected).count() == 0)
   }
 
+  test("StreamingMain.run wires the watched dir into the 19-column JDBC summary") {
+    val url = "jdbc:derby:memory:graftmain;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE stream_full (
+          |  summary_date DATE NOT NULL, hour_of_day INT NOT NULL,
+          |  machine_id VARCHAR(50) NOT NULL,
+          |  avg_pick_force DOUBLE, max_pick_force FLOAT, min_pick_force FLOAT,
+          |  avg_place_force DOUBLE, max_place_force FLOAT, min_place_force FLOAT,
+          |  as_vacuum_error_count BIGINT, pp_vacuum_error_count BIGINT,
+          |  as_release_error_count BIGINT, pp_release_error_count BIGINT,
+          |  pick_force_error_count BIGINT, place_force_error_count BIGINT,
+          |  cycle_count BIGINT,
+          |  min_cycle_time_seconds FLOAT, max_cycle_time_seconds FLOAT,
+          |  avg_cycle_time_seconds DOUBLE,
+          |  PRIMARY KEY (summary_date, hour_of_day, machine_id))""".stripMargin)
+      st.close()
+    } finally conn.close()
+
+    val ckpt = Files.createTempDirectory("graft_main_ckpt").toString
+    val q = graft.streaming.StreamingMain.run(
+      spark, streamDir, url, "stream_full", JdbcSinks.UpdateInsertUpsert, ckpt,
+      graft.model.Rules.referenceDefaults)
+    try q.processAllAvailable() finally q.stop()
+
+    // batch expectation (trailing open cycles excluded from cycle stats);
+    // integer columns compared exactly — Derby launders FLOAT to double
+    // precision, so float columns are covered by the memory-sink parity
+    // test above, not re-checked through JDBC
+    val (events, cycles) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)))
+    val flagged = graft.ops.ErrorRules.flag(events, graft.model.Rules.referenceDefaults)
+    val lastSeq = cycles.groupBy("machine_id").agg(max("cycle_seq").as("mx"))
+    val statCycles = cycles.join(lastSeq, Seq("machine_id"))
+      .filter(col("cycle_seq") < col("mx")).drop("mx")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+      date_format(col("summary_date"), "yyyy-MM-dd"), col("hour_of_day"),
+      col("machine_id"), col("cycle_count"), col("as_vacuum_error_count"),
+      col("pick_force_error_count"))
+      .as[(String, Int, String, Long, Long, Long)].collect().toSet
+    val expected = key(
+      graft.ops.HourlyRollup.hourlySummary(flagged, cycles, statCycles))
+    val got = key(JdbcSinks.read(spark, url, "stream_full"))
+    assert(got == expected)
+  }
+
   test("watermarked hourly windows + foreachBatch upsert match batch cycle counts") {
     val url = "jdbc:derby:memory:graftstream;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
