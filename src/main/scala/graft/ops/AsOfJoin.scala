@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal point-in-time) join — the operator Spark's built-in
+  * joins lack: for every left row, attach the single most recent right
+  * row with the same key and `right.time <= left.time` (or strictly
+  * `<`), LEFT-OUTER style (no prior right row ⇒ nulls). The canonical
+  * uses are event attribution ("which view preceded this purchase") and
+  * point-in-time feature lookup ("the sensor state in force when this
+  * reading happened").
+  *
+  * Implementation is the union-tag form, NOT a range join: left and
+  * right rows are tagged, unioned, and shuffled ONCE on the key; a
+  * single ordered window then carries the latest right payload forward
+  * onto each left row (`last(_, ignoreNulls)` over unbounded-preceding).
+  * A naive `l JOIN r ON l.k = r.k AND r.t <= l.t` + max-per-row plan
+  * explodes to |matches| intermediate rows (potentially l×r per key);
+  * this stays O(l + r) rows end-to-end with one exchange and one sort —
+  * the plan you want when both sides are 100 TB event streams. Within
+  * a key, ties on time are resolved deterministically: the right row
+  * with the greatest `rightTiebreak` wins, and an equal-time right row
+  * sorts before (inclusive) or after (strict) the left row.
+  */
+object AsOfJoin {
+
+  /** @param left          probe side; all its columns pass through.
+    * @param right         reference side; only `rightCols` are attached.
+    * @param keys          equi-join key columns (present on both sides).
+    * @param leftTime      left ordering column (timestamp or numeric).
+    * @param rightTime     right ordering column.
+    * @param rightCols     right columns to carry onto matching left rows
+    *                      (must not collide with left column names after
+    *                      prefixing).
+    * @param rightTiebreak right column ordering equal-time right rows —
+    *                      the greatest value wins (e.g. an event id).
+    * @param inclusive     true ⇒ `right.time <= left.time` (an equal-time
+    *                      right row matches); false ⇒ strictly earlier.
+    * @param rightPrefix   prefix for the attached right columns.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      rightTiebreak: String,
+      inclusive: Boolean = true,
+      rightPrefix: String = "r_"): DataFrame = {
+    // Tag and union: right rows carry their payload in one struct column,
+    // left rows carry their full row in another; each side nulls the
+    // other's struct so the union is schema-aligned.
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        col(rightTiebreak).as("__tie"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
+    val rType = rTagged.schema("__r").dataType
+    val lType = lTagged.schema("__l").dataType
+    val unioned = lTagged
+      .withColumn("__tie", lit(null).cast(rTagged.schema("__tie").dataType))
+      .withColumn("__r", lit(null).cast(rType))
+      .unionByName(rTagged.withColumn("__l", lit(null).cast(lType)))
+
+    // Equal-time ordering encodes the bound: inclusive ⇒ right (side 0)
+    // sorts before left (side 1) and is visible to it; strict ⇒ left
+    // first. The side column fully separates left from right at equal
+    // time, so the tiebreak only orders right rows among themselves —
+    // ascending, so `last` picks the greatest.
+    val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, sideOrder, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: rightCols.map(c => col(s"__m.$c").as(rightPrefix + c)): _*)
+  }
+}

@@ -60,6 +60,33 @@ object Curation {
       .select("doc_id", "n_words", "quality_score", "bucket", "split")
   }
 
+  /** Per-domain cap — the source-mixing guard of corpus assembly: keep at
+    * most `maxPerDomain` documents per domain (source site, crawl host,
+    * …), preferring the highest quality_score (doc_id breaks ties), so
+    * one boilerplate-heavy domain cannot dominate the training mix.
+    *
+    * Scale shape: one shuffle on the domain; `row_number` sorts each
+    * domain inside its partition. Web-crawl domain counts are Zipfian, so
+    * a head domain can out-size an executor — AQE skew-split handles the
+    * sort spill, but for extreme heads pre-thin with an approximate
+    * per-domain quality threshold (`approx_percentile`) and exact-rank
+    * only the survivors; the cap semantics below stay the contract.
+    *
+    * @return the capped docs with (quality_score, domain_rank) attached.
+    */
+  def capPerDomain(
+      docs: DataFrame,
+      maxPerDomain: Int,
+      domainCol: String = "source"): DataFrame = {
+    val st = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    docs.join(st, "doc_id")
+      .withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
   /** Eval-set decontamination: train-side documents sharing at least one
     * word k-gram with any test-side document. At corpus scale this is a
     * shingle-inverted-index semi-join — the same bucketed shape as dedup,

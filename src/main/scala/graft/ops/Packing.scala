@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-order layout operators: the last mile between a curated
+  * corpus and what the trainer reads — a deterministic global shuffle
+  * into shards, and greedy packing of documents into fixed-size context
+  * windows.
+  *
+  * Both are pure functions of content hashes (like [[DatasetSplit]]):
+  * no `rand()`, no dependence on partitioning or row order, so shard
+  * layouts and pack assignments are bit-reproducible across engines,
+  * re-runs and re-shards. At cluster scale each shard maps to one
+  * output partition (`repartition(n, shard) + sortWithinPartitions`),
+  * so the whole layout is one shuffle; the within-shard window never
+  * sees more than one shard's rows per partition — there is no global
+  * single-partition sort anywhere.
+  */
+object Packing {
+
+  private def orderHash(contentCol: String, salt: String) =
+    md5(concat(lit(salt + ":"), col(contentCol)))
+
+  /** Deterministic global shuffle + sharding: every row gets a shard in
+    * [0, numShards) and a dense position within its shard, both derived
+    * from md5 of content (salted, so the order is independent of the
+    * split/sample hashes). Reading shards in order yields a fixed
+    * pseudo-random training order — the property "epoch 1 order is
+    * reproducible on any engine" that seeded `rand()` cannot give.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      numShards: Int,
+      contentCol: String = "text",
+      salt: String = "shuffle"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = orderHash(contentCol, salt)
+    val w = Window.partitionBy("shard_id").orderBy(col("__h").asc)
+    df.withColumn("__h", h)
+      .withColumn("shard_id", pmod(conv(substring(col("__h"), 1, 4), 16, 10).cast("int"),
+        lit(numShards)))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Greedy context-window packing: documents are laid out in shuffled
+    * order (per shard) and cut into bins of `contextLen` tokens — a doc
+    * opens a new bin when the running total before it has crossed the
+    * bin boundary. This is the streaming-concatenation packing most
+    * pretraining pipelines use (docs may straddle bin edges; `bin_id`
+    * names the bin a doc STARTS in, `bin_offset` where).
+    *
+    * One window per shard computes the running sum — the shard is the
+    * parallelism unit, so packing 100 TB is numShards independent
+    * sorted scans, not a global sequence.
+    */
+  def pack(
+      df: DataFrame,
+      contextLen: Int,
+      numShards: Int,
+      sizeCol: String,
+      contentCol: String = "text",
+      salt: String = "shuffle"): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val sharded = shuffleShards(df, numShards, contentCol, salt)
+    val w = Window.partitionBy("shard_id").orderBy(col("shard_pos").asc)
+    sharded
+      .withColumn("__cum_before",
+        coalesce(sum(col(sizeCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin_id", expr(s"__cum_before div $contextLen"))
+      .withColumn("bin_offset", (col("__cum_before") % contextLen).cast("long"))
+      .drop("__cum_before")
+  }
+}

@@ -206,6 +206,30 @@ object Similarity {
       .select("q_id", "n_id", "rk", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate dedup: connected components over
+    * the cosine ≥ tau pair graph, every vector labeled with its cluster
+    * (own id when unique) and a keeper flag (cluster minimum). This is
+    * the semantic-dedup step of a training-data pipeline — it catches
+    * paraphrase-level duplicates that n-gram methods miss.
+    *
+    * Pairs default to the exact [[bruteForcePairs]] baseline (oracle-
+    * checkable); at corpus scale pass [[lshPairs]] output instead — the
+    * clustering is pair-source-agnostic.
+    */
+  def dedupByEmbedding(
+      emb: DataFrame,
+      tau: Double,
+      idCol: String = "vec_id",
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(bruteForcePairs(emb, tau, idCol))
+      .select(col("a_id").as("d1"), col("b_id").as("d2"))
+    val cl = TextDedup.clusters(p).withColumnRenamed("id", idCol)
+    emb.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", (col("cluster_id") === col(idCol)).cast("int"))
+  }
+
   /** Persist an IVF index: the inverted lists as parquet PARTITIONED BY
     * `list_id` plus the centroid table alongside. This is the 100 TB ANN
     * deployment shape: the quantization pass runs once, and every probe

@@ -113,6 +113,28 @@ object TextAnalysis {
       .select(Seq(col(idCol), col("lang_pred")) ++ langs.map(l => col(s"hits_$l")): _*)
   }
 
+  /** PII patterns shared with the DuckDB oracle — deliberately simple
+    * character classes that mean the same thing in Java regex and RE2:
+    * emails, and international-prefix phone numbers of the `+C-NNN-NNNN`
+    * shape. Swap in audited patterns at deployment; the operator shape
+    * (codegen'd scan-replace-count, no UDF) is what matters at 100 TB.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: replace emails/phones with typed placeholder tokens and
+    * count the redactions per document (the audit trail a scrub job must
+    * emit). Counts are taken on the original text; replacement runs
+    * email-first (the patterns cannot overlap, so order is cosmetic).
+    */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("clean_text"))
+
   /** Content fingerprint: md5 of case-folded, symbol-stripped,
     * whitespace-collapsed text — the key for fuzzy-exact dedup of documents
     * differing only in formatting.

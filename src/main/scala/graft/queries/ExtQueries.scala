@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ops.{AsOfJoin, Curation, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
 
 /** LLM-training-data-pipeline operators: dedup, similarity search, text
   * analysis, JSON extraction, multimodal plumbing — over the
@@ -15,6 +15,9 @@ import graft.ops.{Multimodal, Similarity, TextAnalysis, TextDedup}
   * (DedupSpec / SimilaritySpec).
   */
 object ExtQueries {
+
+  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val tsFmtDuck  = "%Y-%m-%d %H:%M:%S.%f"
 
   val all: Seq[Q] = Seq(
 
@@ -247,6 +250,158 @@ object ExtQueries {
           k = 10, nProbe = 3)
       },
       None),
+
+    // Embedding-cosine near-dup DEDUP (vs the pair queries above): every
+    // vector labeled with its connected-component cluster over the
+    // cosine >= tau graph + keeper flag. Exact pairs here (oracle-
+    // checkable); at corpus scale the same clustering runs off lshPairs.
+    Q("ext_dedup_embed",
+      (s, dir) => Similarity.dedupByEmbedding(Tables.embeddings(s, dir), tau = 0.45),
+      Some("""WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS label FROM verts
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT e.vec_id,
+        |  COALESCE(cl.cluster_id, e.vec_id) AS cluster_id,
+        |  CAST(CASE WHEN COALESCE(cl.cluster_id, e.vec_id) = e.vec_id
+        |       THEN 1 ELSE 0 END AS INT) AS is_keeper
+        |FROM embeddings e LEFT JOIN cl ON cl.id = e.vec_id""".stripMargin)),
+
+    // As-of (point-in-time) join: attribute each purchase to the most
+    // recent prior-or-equal view by the same user. Spark has no asof
+    // operator — ops/AsOfJoin is the union-tag single-shuffle form;
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    Q("ext_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("v_event_id"), col("ts").as("v_ts"))
+        AsOfJoin.asOf(purchases, views,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "v_ts",
+          rightCols = Seq("v_event_id", "v_ts"), rightTiebreak = "v_event_id",
+          rightPrefix = "")
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmtSpark).as("purchase_ts"), col("value"),
+            col("v_event_id"),
+            date_format(col("v_ts"), tsFmtSpark).as("view_ts"),
+            (unix_micros(col("ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      },
+      Some(s"""SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '$tsFmtDuck') AS purchase_ts, p.value,
+        |  v.event_id AS v_event_id,
+        |  strftime(v.ts, '$tsFmtDuck') AS view_ts,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+
+    // Per-domain cap (source mixing): top-10 docs per source by quality.
+    // Output is rank/ids only; quality_score enters through the ordering,
+    // whose doubles are bit-identical on both engines (proven by
+    // ext_text_stats' hash match).
+    Q("ext_domain_cap",
+      (s, dir) => Curation.capPerDomain(Tables.documents(s, dir), maxPerDomain = 10)
+        .select("doc_id", "source", "domain_rank"),
+      Some("""WITH st AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1.0 ELSE 0.5 END)
+        |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' '))) AS q
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INT) AS domain_rank FROM (
+        |  SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY st.q DESC, d.doc_id) AS rk
+        |  FROM documents d JOIN st ON d.doc_id = st.doc_id)
+        |WHERE rk <= 10""".stripMargin)),
+
+    // PII scrub with an audit trail. The corpus is synthetic words, so
+    // deterministic fake emails/phones are injected from doc_id first
+    // (varying per doc so the counts are non-vacuous), then scrubbed.
+    Q("ext_text_pii_scrub",
+      (s, dir) => {
+        val dirty = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(pmod(col("doc_id"), lit(3)) =!= 0,
+              concat(lit(" reach me at user"), col("doc_id").cast("string"),
+                lit("@mail.example.com"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit(" call +1-555-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.scrubPii(dirty)
+      },
+      Some(s"""WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 <> 0
+        |          THEN ' reach me at user' || doc_id || '@mail.example.com'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |          ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+        |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text
+        |FROM dirty""".stripMargin)),
+
+    // Deterministic global shuffle into training shards: content-hash
+    // shard + dense within-shard position — the reproducible "epoch 1
+    // order" op. One shuffle; each shard sorts independently.
+    Q("ext_global_shuffle",
+      (s, dir) => Packing.shuffleShards(
+        Tables.documents(s, dir).select("doc_id", "text"), numShards = 16)
+        .select("doc_id", "shard_id", "shard_pos"),
+      Some("""SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shuffle:' || text), 1, 4)) AS INT) % 16 AS shard_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(('0x' || substr(md5('shuffle:' || text), 1, 4)) AS INT) % 16
+        |    ORDER BY md5('shuffle:' || text)) AS INT) AS shard_pos
+        |FROM documents""".stripMargin)),
+
+    // Greedy context-window packing on top of the shard order: running
+    // word total per shard cut into 2048-token bins; bin_id/bin_offset
+    // name where each doc starts.
+    Q("ext_doc_pack",
+      (s, dir) => Packing.pack(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).as("n_words")),
+        contextLen = 2048, numShards = 8, sizeCol = "n_words")
+        .select("doc_id", "shard_id", "shard_pos", "bin_id", "bin_offset"),
+      Some("""WITH s AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    md5('shuffle:' || text) AS h
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_words, h,
+        |    CAST(('0x' || substr(h, 1, 4)) AS INT) % 8 AS shard_id
+        |  FROM s),
+        |o AS (
+        |  SELECT doc_id, shard_id,
+        |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h) AS INT) AS shard_pos,
+        |    CAST(COALESCE(SUM(n_words) OVER (
+        |      PARTITION BY shard_id ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM sh)
+        |SELECT doc_id, shard_id, shard_pos,
+        |  CAST(cum // 2048 AS BIGINT) AS bin_id,
+        |  CAST(cum % 2048 AS BIGINT) AS bin_offset
+        |FROM o""".stripMargin)),
 
     // Text statistics + quality score.
     Q("ext_text_stats",

@@ -29,6 +29,19 @@ class CurationSpec extends AnyFunSuite {
     kept.unpersist()
   }
 
+  test("capPerDomain keeps exactly the top-N per source by (quality desc, id)") {
+    val docs = Tables.documents(spark, dir)
+    val capped = Curation.capPerDomain(docs, maxPerDomain = 3).cache()
+    assert(capped.groupBy("source").count().filter($"count" > 3).count() == 0)
+    val q = graft.ops.TextAnalysis.stats(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val expected = docs.select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2).values
+      .flatMap(ds => ds.map(_._1).sortBy(id => (-q(id), id)).take(3)).toSet
+    assert(capped.select("doc_id").as[Long].collect().toSet == expected)
+    capped.unpersist()
+  }
+
   test("contaminated finds exactly the train docs sharing a k-gram with test docs") {
     val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "totally unrelated words here indeed")).toDF("doc_id", "text")

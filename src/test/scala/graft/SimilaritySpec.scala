@@ -81,4 +81,26 @@ class SimilaritySpec extends AnyFunSuite {
     val nCentroids = spark.read.parquet(s"$idx/centroids").count()
     assert(listDirs.size <= nCentroids)
   }
+
+  test("dedupByEmbedding: near-dup pairs share a cluster, keeper is the component min") {
+    val dd = Similarity.dedupByEmbedding(emb, tau = 0.45).cache()
+    assert(dd.count() == emb.count())
+    val label = dd.select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = Similarity.bruteForcePairs(emb, tau = 0.45)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus has near-dup embeddings at tau=0.45")
+    pairs.foreach { case (a, b) => assert(label(a) == label(b), s"pair ($a,$b) split") }
+    // cluster ids are component minima; keeper flag marks exactly them
+    val keepers = dd.filter($"is_keeper" === 1).select("vec_id").as[Long].collect().toSet
+    label.groupBy(_._2).foreach { case (cl, members) =>
+      assert(cl == members.keys.min)
+      assert(keepers.contains(cl))
+    }
+    // vectors in no pair keep themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    label.filter(kv => !paired.contains(kv._1)).foreach { case (id, cl) =>
+      assert(id == cl)
+    }
+    dd.unpersist()
+  }
 }

@@ -99,4 +99,17 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(math.abs(feats.features.sum - 1.0f) < 1e-6)
     assert(feats.features(('a' & 0xFF) % 16) == 1.0f)
   }
+
+  test("scrubPii replaces emails and phones with typed tokens and counts them") {
+    val df = Seq(
+      (1L, "hello bob@x.org and +1-555-0100 plus carol.smith@y.example.io end"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(df)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (e1, p1, clean1) = got(1L)
+    assert(e1 == 2 && p1 == 1)
+    assert(clean1 == "hello <EMAIL> and <PHONE> plus <EMAIL> end")
+    assert(!clean1.contains("@") && !clean1.contains("555"))
+    assert(got(2L) == ((0, 0, "no pii here at all")))
+  }
 }
