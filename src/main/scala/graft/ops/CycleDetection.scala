@@ -53,6 +53,33 @@ object CycleDetection {
     df.withColumn(seqCol, sum(when(isMarker, 1).otherwise(0)).over(w))
   }
 
+  /** Gap-based (timeout) sessionization — the complement of the marker
+    * form: a new session starts when the gap to the previous event of the
+    * same key exceeds `gapSeconds` (or at the key's first event). This is
+    * the canonical clickstream/session-window semantics; the marker form
+    * covers explicit delimiters, this one covers inactivity timeouts.
+    * Returns the input plus `seqCol` (sessions numbered from 1).
+    *
+    * Same scale shape as [[sessionizeByMarker]] (one window per key,
+    * running sum of boundary flags), and the same two-phase prefix-sum
+    * escape hatch applies when one key outgrows a partition.
+    */
+  def sessionizeByGap(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      orderTiebreak: Seq[Column] = Seq.empty,
+      seqCol: String = "session_seq"): DataFrame = {
+    val order = col(tsCol).asc +: orderTiebreak
+    val lagW = Window.partitionBy(partitionKeys.map(col): _*).orderBy(order: _*)
+    val sumW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(lagW)
+    val isNew = prev.isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(prev)) > gapSeconds * 1000000L
+    df.withColumn(seqCol, sum(when(isNew, 1).otherwise(0)).over(sumW))
+  }
+
   /** Scale-safe form of [[sessionizeByMarker]]: a two-phase distributed
     * prefix sum that removes the one-partition-per-key bottleneck.
     *

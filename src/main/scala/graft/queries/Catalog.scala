@@ -34,5 +34,6 @@ final case class Q(
 
 object Catalog {
   def all: Seq[Q] =
-    CoreQueries.all ++ AnalyticsQueries.all ++ ExtQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ AnalyticsQueries.all ++ OlapQueries.all ++
+      ExtQueries.all ++ PipelineQueries.all
 }

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{CycleDetection, Resample}
+
+/** Beyond-reference OLAP/analytics operators: gap sessionization, exact
+  * discrete percentiles, cube/grouping sets, pivot-to-wide, and
+  * time-series resample + forward fill. Everything stays on the catalog's
+  * numeric-parity rules (see [[Q]]).
+  */
+object OlapQueries {
+
+  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val tsFmtDuck  = "%Y-%m-%d %H:%M:%S.%f"
+
+  val all: Seq[Q] = Seq(
+
+    // Gap/timeout sessionization (vs the marker form of w2): a session
+    // breaks after >30 min of inactivity per user; emit per-session
+    // bounds, size, and integer-µs duration.
+    Q("w4_gap_sessions",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        CycleDetection.sessionizeByGap(ev, Seq("user_id"), "ts",
+          gapSeconds = 1800L, orderTiebreak = Seq(col("event_id").asc))
+          .groupBy("user_id", "session_seq")
+          .agg(min("ts").as("s_ts"), max("ts").as("e_ts"),
+            count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"), col("session_seq"),
+            date_format(col("s_ts"), tsFmtSpark).as("session_start"),
+            date_format(col("e_ts"), tsFmtSpark).as("session_end"),
+            col("n_events"),
+            (unix_micros(col("e_ts")) - unix_micros(col("s_ts"))).as("duration_us"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '$tsFmtDuck') AS session_start,
+        |  strftime(max(ts), '$tsFmtDuck') AS session_end,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin)),
+
+    // Exact discrete percentiles (p50/p95 of event value per type) via
+    // explicit rank selection — deterministic on both engines, unlike
+    // interpolated percentile whose float arithmetic differs in ulps.
+    // At 100 TB the same column ships as approx_percentile (t-digest)
+    // the way A2 ships approx_count_distinct — exact rank here is the
+    // oracle-checkable contract.
+    Q("a8_percentile_disc",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val n = Window.partitionBy("event_type")
+        ev.select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(n))
+          .groupBy("event_type")
+          .agg(
+            max("n").as("n"),
+            max(when(col("rk") === greatest(lit(1L), ceil(lit(0.5) * col("n"))),
+              col("value"))).as("p50"),
+            max(when(col("rk") === greatest(lit(1L), ceil(lit(0.95) * col("n"))),
+              col("value"))).as("p95"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN value END) AS p50,
+        |  max(CASE WHEN rk = greatest(1, ceil(0.95 * n)) THEN value END) AS p95
+        |FROM r GROUP BY event_type""".stripMargin)),
+
+    // CUBE over (returnflag, linestatus): all four grouping-set levels in
+    // one pass, grouping bits disambiguating subtotal rows ('(all)'
+    // instead of NULL keys so row identity is unambiguous in the
+    // driver's canonicalization).
+    Q("a9_cube_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("int").as("gid"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("gid"), col("sum_qty"), col("n_rows")),
+      Some("""SELECT
+        |  COALESCE(l_returnflag, '(all)') AS l_returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // Pivot to wide: per-user event-type counts as columns. The value
+    // list is explicit — at scale that skips pivot's driver-side
+    // distinct-collect pass, and the whole reshape compiles to one
+    // conditional-aggregation pass (no extra shuffle vs a plain groupBy).
+    Q("p14_pivot_wide",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Hourly resample + forward fill per user: dense grid between each
+    // user's first and last active hour; gap hours carry n_rows=0 and
+    // the last seen hourly revenue (round(sum,2) — grid-safe per the
+    // catalog parity rules).
+    Q("ts_resample_ffill",
+      (s, dir) => Resample.resampleFfill(
+        Tables.events(s, dir), keys = Seq("user_id"), tsCol = "ts",
+        aggs = Seq("rev" -> round(sum("value"), 2)))
+        .select(
+          col("user_id"),
+          date_format(col("bucket"), tsFmtSpark).as("bucket_ts"),
+          col("n_rows"), col("is_gap"),
+          col("rev"), col("rev_ffill")),
+      Some(s"""WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n_rows, round(sum(value), 2) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM b GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, g.bucket
+        |  FROM bounds,
+        |       LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket) g)
+        |SELECT s.user_id,
+        |  strftime(s.bucket, '$tsFmtDuck') AS bucket_ts,
+        |  CAST(COALESCE(b.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN b.n_rows IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+        |  b.rev,
+        |  last_value(b.rev IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
+        |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket""".stripMargin))
+  )
+}
