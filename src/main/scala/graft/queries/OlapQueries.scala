@@ -113,9 +113,12 @@ object OlapQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
     // Pivot to wide: per-user event-type counts as columns. The value
-    // list is explicit — at scale that skips pivot's driver-side
-    // distinct-collect pass, and the whole reshape compiles to one
-    // conditional-aggregation pass (no extra shuffle vs a plain groupBy).
+    // list is explicit — at scale that skips pivot's eager driver-side
+    // distinct-collect pass. Spark compiles this to two aggregation
+    // phases (partial on (user, type), pivot on user): two exchanges,
+    // but the second one's input is already collapsed to
+    // ≤ users × |values| rows, so the reshape cost is bounded by the
+    // output size, not the event volume.
     Q("p14_pivot_wide",
       (s, dir) => Tables.events(s, dir)
         .groupBy("user_id")
