@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AsOfJoin, Curation, Multimodal, Packing, Similarity, TextAnalysis, TextDedup}
+import graft.ops.{AsOfJoin, Curation, Multimodal, Packing, Similarity, Sketches, TextAnalysis, TextDedup}
 
 /** LLM-training-data-pipeline operators: dedup, similarity search, text
   * analysis, JSON extraction, multimodal plumbing — over the
@@ -520,6 +520,59 @@ object ExtQueries {
         |    row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, shingle) AS rk
         |  FROM sh GROUP BY shingle)
         |WHERE rk <= 20""".stripMargin)),
+
+    // Exact corpus heavy hitters: top-20 words by TOTAL occurrences
+    // (vs ext_text_top_ngrams' bigram doc-frequency) — the exact
+    // baseline the Count-Min sketch below is checked against.
+    Q("ext_heavy_hitters",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+        val top = words.groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(desc("n_occurrences"), asc("word")).limit(20)
+        top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("n_occurrences"), asc("word"))))
+      },
+      Some("""WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT word, n_occurrences, CAST(rk AS INT) AS rk FROM (
+        |  SELECT word, count(*) AS n_occurrences,
+        |    row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+        |  FROM w GROUP BY word)
+        |WHERE rk <= 20""".stripMargin)),
+
+    // Count-Min sketch frequency estimates for the exact top-10 words
+    // (rows-only: the sketch hash is not DuckDB-portable; SketchesSpec
+    // pins est >= exact and est - exact <= eps*N). The probe list is a
+    // bounded 10-row driver materialization of the already-oracle-checked
+    // heavy-hitter query; the sketch itself is one O(1/eps·ln(1/conf))
+    // aggregate row.
+    Q("ext_sketch_cms",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+        val probes = words.groupBy("word").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("word")).limit(10)
+          .select("word").collect().map(_.getString(0)).toSeq
+        Sketches.countMinEstimates(words, "word", probes)
+      },
+      None),
+
+    // Mergeable HLL distinct counts: per-source sketch estimates plus
+    // the global estimate assembled by UNIONING independent per-source
+    // sketches (rows-only; SketchesSpec pins the union identity and a
+    // 5% error envelope vs exact distinct counts).
+    Q("ext_sketch_hll",
+      (s, dir) => {
+        val words = Tables.documents(s, dir).select(
+          col("source"), explode(split(col("text"), " ")).as("word"))
+        Sketches.hllDistinctByGroup(words, "source", "word")
+          .unionByName(Sketches.hllShardedDistinct(words, "source", "word")
+            .withColumn("source", lit("(global)"))
+            .select("source", "approx_distinct"))
+      },
+      None),
 
     // JSON extraction from the events props column: path extraction as
     // string and schema-full parse to a typed value.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{CycleDetection, Resample}
+import graft.ops.{CycleDetection, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -132,6 +132,33 @@ object OlapQueries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Point-in-interval range join: views landing inside the 10-minute
+    // window after an error by the same user. ops/RangeJoin bins time so
+    // the match is an equi-join on (user, bin) + exact containment —
+    // never the planner's nested-loop fallback; the oracle is the plain
+    // inequality join.
+    Q("j4_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+        val errWindows = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("lo"))
+          .withColumn("hi", col("lo") + expr("interval 10 minutes"))
+        RangeJoin.pointInInterval(views, errWindows, keys = Seq("user_id"),
+          tCol = "ts", loCol = "lo", hiCol = "hi", binWidthMicros = 600000000L)
+          .select(col("view_id"), col("err_id"), col("user_id"),
+            date_format(col("ts"), tsFmtSpark).as("view_ts"),
+            (unix_micros(col("ts")) - unix_micros(col("lo"))).as("offset_us"))
+      },
+      Some(s"""SELECT v.event_id AS view_id, e.event_id AS err_id, v.user_id,
+        |  strftime(v.ts, '$tsFmtDuck') AS view_ts,
+        |  epoch_us(v.ts) - epoch_us(e.ts) AS offset_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON v.user_id = e.user_id
+        | AND v.ts >= e.ts AND v.ts <= e.ts + INTERVAL 10 MINUTE""".stripMargin)),
 
     // Hourly resample + forward fill per user: dense grid between each
     // user's first and last active hour; gap hours carry n_rows=0 and

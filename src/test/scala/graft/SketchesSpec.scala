@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.{RangeJoin, Sketches}
+
+/** Range-join semantics on hand-built intervals; sketch error envelopes
+  * and merge identities on the real corpus.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val words = Tables.documents(spark, dir)
+    .select(col("source"), explode(split(col("text"), " ")).as("word")).cache()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("pointInInterval: inclusive bounds, multi-bin intervals, overlapping matches") {
+    val points = Seq(
+      (1, 1L, ts("2024-01-01 00:00:10")),
+      (1, 2L, ts("2024-01-01 00:05:00")),
+      (1, 3L, ts("2024-01-01 02:00:00")),
+      (2, 4L, ts("2024-01-01 00:00:30")))
+      .toDF("k", "p_id", "t")
+    val intervals = Seq(
+      // spans many 1-min bins; both :10 and :05:00 fall inside
+      (1, 10L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:30:00")),
+      // overlaps the first interval — point 1 must match both
+      (1, 11L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00")),
+      (2, 12L, ts("2024-01-01 00:01:00"), ts("2024-01-01 00:02:00")))
+      .toDF("k", "i_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", binWidthMicros = 60000000L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    // point 1: on interval-10's lo bound (inclusive) AND inside 11;
+    // point 2 inside 10 only; point 3 after everything; point 4 before 12
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("pointInInterval plan: equi-join on bins, no nested-loop fallback") {
+    val points = Seq((1, 1L, ts("2024-01-01 00:00:10"))).toDF("k", "p_id", "t")
+    val intervals = Seq((1, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("k", "i_id", "lo", "hi")
+    val df = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", binWidthMicros = 60000000L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must not fall back to all-pairs:\n$plan")
+  }
+
+  test("count-min estimates dominate exact counts within the eps*N envelope") {
+    val exact = words.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word")).limit(10)
+      .as[(String, Long)].collect()
+    val n = words.count()
+    val est = Sketches.countMinEstimates(words, "word", exact.map(_._1).toSeq,
+      eps = 0.001, confidence = 0.99)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (w, ex) =>
+      assert(est(w) >= ex, s"CMS must never underestimate ($w)")
+      assert(est(w) - ex <= (0.001 * n).ceil.toLong,
+        s"CMS error for $w: est ${est(w)} vs exact $ex, N=$n")
+    }
+  }
+
+  test("HLL: per-source estimates within 5% of exact; sharded union == one-pass global") {
+    val exact = words.groupBy("source").agg(countDistinct("word").as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.hllDistinctByGroup(words, "source", "word")
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (s, e) =>
+      assert(math.abs(e - exact(s)).toDouble / exact(s) <= 0.05,
+        s"HLL error for $s: $e vs ${exact(s)}")
+    }
+    val sharded = Sketches.hllShardedDistinct(words, "source", "word")
+      .as[Long].collect().head
+    val onePass = words.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("word"), lit(12))))
+      .as[Long].collect().head
+    assert(sharded == onePass, "HLL union over shards must equal the one-pass sketch")
+  }
+}
