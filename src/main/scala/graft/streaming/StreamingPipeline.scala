@@ -136,6 +136,22 @@ object StreamingPipeline {
     graft.pipeline.DailyAggregatorJob.cleanse(raw).as[CleanedEvent]
   }
 
+  /** Exactly-once ingest under at-least-once delivery: drop re-delivered
+    * events (bit-identical rows) whose duplicates arrive within the
+    * watermark of the first copy. `dropDuplicatesWithinWatermark` keys
+    * state on the full row but EVICTS it once the watermark passes — the
+    * state-bounded form of streaming dedup (plain `dropDuplicates` on a
+    * stream keeps every key forever, which is unbounded state on an
+    * always-on 100 TB ingest). Place this between cleanse and the
+    * stateful stages so replays from a source that cannot give
+    * exactly-once (file redelivery, kafka producer retries) do not
+    * double-count cycles or error rates.
+    */
+  def dedupedEvents(
+      clean: Dataset[CleanedEvent], watermark: String = "2 hours"): Dataset[CleanedEvent] =
+    clean.withWatermark("event_timestamp", watermark)
+      .dropDuplicatesWithinWatermark()
+
   /** Watermarked hourly cycle counts: event-time window over Cycle_Start
     * markers. Late events beyond the watermark are dropped — the streaming
     * trade-off the batch job doesn't have to make.

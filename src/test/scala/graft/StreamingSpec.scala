@@ -173,6 +173,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(expected).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark: replayed delivery still yields exactly-once rows") {
+    // simulate at-least-once file delivery: second batch re-delivers the
+    // first 200 rows verbatim
+    val lines = scala.io.Source.fromFile(Fixtures.rawCsv, "UTF-8").getLines().toSeq
+    val (header, rows) = (lines.head, lines.tail)
+    val dir = Files.createTempDirectory("graft_replay").toString
+    FixtureGen.writeCsv(s"$dir/b1.csv", header +: rows)
+    FixtureGen.writeCsv(s"$dir/b2.csv", header +: rows.take(200))
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+    // 48 h watermark: the replayed (old-timestamp) rows are inside the
+    // watermark, so they are dropped by DEDUP, not by lateness
+    val q = StreamingPipeline.dedupedEvents(clean, watermark = "48 hours")
+      .toDF().writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+    val expected = DailyAggregatorJob.cleanse(
+      DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)).dropDuplicates()
+    assert(streamed.count() == expected.count())
+    assert(streamed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(streamed).count() == 0)
+  }
+
   test("StreamingMain.run wires the watched dir into the 19-column JDBC summary") {
     val url = "jdbc:derby:memory:graftmain;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
