@@ -52,8 +52,14 @@ object AsOfJoin {
       rightPrefix: String = "r_"): DataFrame = {
     // Tag and union: right rows carry their payload in one struct column,
     // left rows carry their full row in another; each side nulls the
-    // other's struct so the union is schema-aligned.
-    val rTagged = right.select(
+    // other's struct so the union is schema-aligned. Null-key right rows
+    // are dropped up front: window partitioning groups nulls TOGETHER,
+    // which would hand null-key left rows a match that equi-join
+    // semantics (and e.g. DuckDB's ASOF JOIN) never produce — left rows
+    // with null keys stay, and simply never match.
+    val rTagged = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),

@@ -82,9 +82,15 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-    docs.join(st, "doc_id")
+    // rank a slim (id, domain, quality) projection and join the winners
+    // back — the full text never crosses the domain-partitioned exchange
+    // or its sort, which is what spills when a head domain out-sizes an
+    // executor
+    val ranked = docs.select(col("doc_id"), col(domainCol)).join(st, "doc_id")
       .withColumn("domain_rank", row_number().over(w))
       .filter(col("domain_rank") <= maxPerDomain)
+      .select(col("doc_id"), col("quality_score"), col("domain_rank"))
+    docs.join(ranked, "doc_id")
   }
 
   /** Eval-set decontamination: train-side documents sharing at least one

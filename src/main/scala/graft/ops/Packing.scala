@@ -29,15 +29,22 @@ object Packing {
     * split/sample hashes). Reading shards in order yields a fixed
     * pseudo-random training order — the property "epoch 1 order is
     * reproducible on any engine" that seeded `rand()` cannot give.
+    *
+    * `idCol` breaks hash ties: rows with IDENTICAL content (real corpora
+    * have exact duplicates until dedup runs) share `__h`, and ordering by
+    * the hash alone would leave their relative positions to partition
+    * arrival order — nondeterministic, the exact property this operator
+    * exists to rule out.
     */
   def shuffleShards(
       df: DataFrame,
       numShards: Int,
       contentCol: String = "text",
+      idCol: String = "doc_id",
       salt: String = "shuffle"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     val h = orderHash(contentCol, salt)
-    val w = Window.partitionBy("shard_id").orderBy(col("__h").asc)
+    val w = Window.partitionBy("shard_id").orderBy(col("__h").asc, col(idCol).asc)
     df.withColumn("__h", h)
       .withColumn("shard_id", pmod(conv(substring(col("__h"), 1, 4), 16, 10).cast("int"),
         lit(numShards)))
@@ -62,9 +69,10 @@ object Packing {
       numShards: Int,
       sizeCol: String,
       contentCol: String = "text",
+      idCol: String = "doc_id",
       salt: String = "shuffle"): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
-    val sharded = shuffleShards(df, numShards, contentCol, salt)
+    val sharded = shuffleShards(df, numShards, contentCol, idCol, salt)
     val w = Window.partitionBy("shard_id").orderBy(col("shard_pos").asc)
     sharded
       .withColumn("__cum_before",

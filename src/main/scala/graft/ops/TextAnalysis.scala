@@ -124,16 +124,20 @@ object TextAnalysis {
 
   /** PII scrub: replace emails/phones with typed placeholder tokens and
     * count the redactions per document (the audit trail a scrub job must
-    * emit). Counts are taken on the original text; replacement runs
-    * email-first (the patterns cannot overlap, so order is cosmetic).
+    * emit). Replacement runs email-first, and the phone COUNT is taken on
+    * the email-scrubbed text — a phone-shaped string inside an email
+    * local part (`a+1-555-0100@x.com`) is redacted as part of `<EMAIL>`,
+    * so counting it as a phone would report a `<PHONE>` redaction that
+    * never happened; counts always equal emitted placeholder tokens.
     */
-  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val emailScrubbed = regexp_replace(col(textCol), emailPattern, "<EMAIL>")
     docs.select(
       col(idCol),
       size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))).as("n_phones"),
-      regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
-        phonePattern, "<PHONE>").as("clean_text"))
+      size(regexp_extract_all(emailScrubbed, lit(phonePattern), lit(0))).as("n_phones"),
+      regexp_replace(emailScrubbed, phonePattern, "<PHONE>").as("clean_text"))
+  }
 
   /** Content fingerprint: md5 of case-folded, symbol-stripped,
     * whitespace-collapsed text — the key for fuzzy-exact dedup of documents

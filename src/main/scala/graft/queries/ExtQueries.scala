@@ -355,7 +355,9 @@ object ExtQueries {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(t, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+        |    '${TextAnalysis.phonePattern}')) AS INT) AS n_phones,
         |  regexp_replace(regexp_replace(t, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
         |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS clean_text
         |FROM dirty""".stripMargin)),
@@ -371,7 +373,7 @@ object ExtQueries {
         |  CAST(('0x' || substr(md5('shuffle:' || text), 1, 4)) AS INT) % 16 AS shard_id,
         |  CAST(row_number() OVER (
         |    PARTITION BY CAST(('0x' || substr(md5('shuffle:' || text), 1, 4)) AS INT) % 16
-        |    ORDER BY md5('shuffle:' || text)) AS INT) AS shard_pos
+        |    ORDER BY md5('shuffle:' || text), doc_id) AS INT) AS shard_pos
         |FROM documents""".stripMargin)),
 
     // Greedy context-window packing on top of the shard order: running
@@ -393,9 +395,9 @@ object ExtQueries {
         |  FROM s),
         |o AS (
         |  SELECT doc_id, shard_id,
-        |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h) AS INT) AS shard_pos,
+        |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS INT) AS shard_pos,
         |    CAST(COALESCE(SUM(n_words) OVER (
-        |      PARTITION BY shard_id ORDER BY h
+        |      PARTITION BY shard_id ORDER BY h, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
         |  FROM sh)
         |SELECT doc_id, shard_id, shard_pos,

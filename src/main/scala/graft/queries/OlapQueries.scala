@@ -37,7 +37,7 @@ object OlapQueries {
             (unix_micros(col("e_ts")) - unix_micros(col("s_ts"))).as("duration_us"))
       },
       Some(s"""WITH g AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS is_new
@@ -45,7 +45,7 @@ object OlapQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM g)
         |SELECT user_id, session_seq,

@@ -40,8 +40,14 @@ object StreamingMain {
       rules: Seq[graft.model.EventRule],
       watermark: String = "2 hours",
       props: Map[String, String] = Map.empty): StreamingQuery = {
-    val clean = StreamingPipeline.cleanse(
-      StreamingPipeline.readCsvStream(spark, watchDir))
+    // dedup BEFORE the stateful stages: a collector re-dropping a day's
+    // CSV under a new filename is a brand-new file to the file source,
+    // and without this stage its rows would re-enter cycle state and
+    // inflate the summary counts the upsert then persists
+    val clean = StreamingPipeline.dedupedEvents(
+      StreamingPipeline.cleanse(
+        StreamingPipeline.readCsvStream(spark, watchDir)),
+      watermark)
     val summary = StreamingPipeline.hourlySummaryStream(clean, rules, watermark)
     summary.writeStream
       .outputMode("update")

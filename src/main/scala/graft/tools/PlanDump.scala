@@ -1,28 +1,31 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 import graft.SparkEntry
 
 /** Prints `explain("formatted")` for named catalog queries — the tool
-  * behind PLANS.md's raw captures.
+  * behind PLANS.md's raw captures. Runs on [[graft.Verify.rawDriverSession]]
+  * so the dumped plans are exactly what Verify executes.
   *
   * Usage: `runMain graft.tools.PlanDump <sfDir> <queryName> [more...]`
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    val qs = SparkEntry.queries
+    if (args.length < 2) {
+      System.err.println("usage: PlanDump <sfDir> <queryName> [more...]")
+      System.err.println(s"known queries: ${qs.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val sfDir = args.head
     val names = args.tail.toSeq
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val unknown = names.filterNot(qs.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      System.err.println(s"known queries: ${qs.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val spark = graft.Verify.rawDriverSession("4")
     spark.sparkContext.setLogLevel("ERROR")
-    val qs = SparkEntry.queries
     names.foreach { n =>
       println(s"\n===== $n =====")
       qs(n)(spark, sfDir).explain("formatted")

@@ -197,6 +197,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.exceptAll(streamed).count() == 0)
   }
 
+  test("StreamingMain.run does not double-count when a day's file is re-delivered") {
+    val url = "jdbc:derby:memory:graftreplay;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE replay_sum (
+          |  summary_date DATE NOT NULL, hour_of_day INT NOT NULL,
+          |  machine_id VARCHAR(50) NOT NULL,
+          |  avg_pick_force DOUBLE, max_pick_force FLOAT, min_pick_force FLOAT,
+          |  avg_place_force DOUBLE, max_place_force FLOAT, min_place_force FLOAT,
+          |  as_vacuum_error_count BIGINT, pp_vacuum_error_count BIGINT,
+          |  as_release_error_count BIGINT, pp_release_error_count BIGINT,
+          |  pick_force_error_count BIGINT, place_force_error_count BIGINT,
+          |  cycle_count BIGINT,
+          |  min_cycle_time_seconds FLOAT, max_cycle_time_seconds FLOAT,
+          |  avg_cycle_time_seconds DOUBLE,
+          |  PRIMARY KEY (summary_date, hour_of_day, machine_id))""".stripMargin)
+      st.close()
+    } finally conn.close()
+
+    // same two files as streamDir PLUS a re-delivery of file 1 under a
+    // new name — the at-least-once failure mode the ingest dedup guards.
+    // mtimes are pinned strictly increasing: the file source orders by
+    // modification time, and fast copies land in the same millisecond,
+    // which would make the processing order (and thus which micro-batch
+    // carries which markers) nondeterministic.
+    val src = new java.io.File(streamDir).listFiles().map(_.getPath).sorted
+    val dir = Files.createTempDirectory("graft_replay_main").toString
+    val base = System.currentTimeMillis()
+    src.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        java.nio.file.Paths.get(s"$dir/f$i.csv"))
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src.head),
+      java.nio.file.Paths.get(s"$dir/z_replay.csv"))
+    new java.io.File(s"$dir/z_replay.csv")
+      .setLastModified(base + src.length * 2000L): Unit
+
+    val ckpt = Files.createTempDirectory("graft_replay_ckpt").toString
+    val q = graft.streaming.StreamingMain.run(
+      spark, dir, url, "replay_sum", JdbcSinks.UpdateInsertUpsert, ckpt,
+      graft.model.Rules.referenceDefaults, watermark = "48 hours")
+    try q.processAllAvailable() finally q.stop()
+
+    // cycle counts must equal the batch run over the ORIGINAL (unreplayed)
+    // fixture — re-delivered rows must not inflate anything
+    val (events, cycles) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, Fixtures.rawCsv)))
+    val flagged = graft.ops.ErrorRules.flag(events, graft.model.Rules.referenceDefaults)
+    val lastSeq = cycles.groupBy("machine_id").agg(max("cycle_seq").as("mx"))
+    val statCycles = cycles.join(lastSeq, Seq("machine_id"))
+      .filter(col("cycle_seq") < col("mx")).drop("mx")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+      date_format(col("summary_date"), "yyyy-MM-dd"), col("hour_of_day"),
+      col("machine_id"), col("cycle_count"), col("as_vacuum_error_count"))
+      .as[(String, Int, String, Long, Long)].collect().toSet
+    val expected = key(
+      graft.ops.HourlyRollup.hourlySummary(flagged, cycles, statCycles))
+    val got = key(JdbcSinks.read(spark, url, "replay_sum"))
+    assert(got == expected)
+  }
+
   test("StreamingMain.run wires the watched dir into the 19-column JDBC summary") {
     val url = "jdbc:derby:memory:graftmain;create=true"
     val conn = java.sql.DriverManager.getConnection(url)

@@ -112,4 +112,12 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(!clean1.contains("@") && !clean1.contains("555"))
     assert(got(2L) == ((0, 0, "no pii here at all")))
   }
+
+  test("scrubPii audit counts equal emitted tokens when a phone hides inside an email") {
+    // the email local part swallows the phone-shaped substring; the audit
+    // must NOT report a <PHONE> redaction that never happened
+    val df = Seq((1L, "reach a+1-555-0100@x.com ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(df).as[(Long, Int, Int, String)].collect().head
+    assert(r == ((1L, 1, 0, "reach <EMAIL> ok")))
+  }
 }
