@@ -179,6 +179,51 @@ object TextDedup {
     verifyJaccard(candidates, sh, tau, idCol)
   }
 
+  /** Incremental ingest dedup — the corpus-GROWTH operation: from a new
+    * batch, keep only the documents that are neither exact nor near
+    * (Jaccard ≥ τ) duplicates of the EXISTING corpus, without ever
+    * comparing corpus docs to each other. This is how a 100 TB corpus
+    * actually grows: the corpus side is the already-materialized shingle
+    * index (re-shingled here for self-containment; pass pre-computed
+    * shingle tables at deployment), the batch side is small, and the
+    * candidate join is batch-shingles ⋈ corpus-shingles only — cost
+    * scales with the BATCH, not the corpus².
+    *
+    * Doc ids must be globally unique across both sides. Intra-batch
+    * duplicates are NOT removed here — run [[jaccardPairs]]/[[clusters]]
+    * on the batch first if the batch itself can contain dups.
+    *
+    * @return the surviving rows of `newDocs`, unchanged.
+    */
+  def incrementalSurvivors(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      k: Int = 2,
+      tau: Double = 0.8,
+      maxShingleDf: Long = 1000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // exact layer: one anti-join on the 128-bit content hash
+    val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val exactSurvivors = newDocs.withColumn("__h", md5(col(textCol)))
+      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+    // near-dup layer: inverted-index candidates NEW × CORPUS only. The
+    // df cap applies to the CORPUS posting lists (stop-shingles are a
+    // corpus property); verification always uses full sets.
+    val shNew = shingles(exactSurvivors, k, idCol, textCol)
+    val shOld = shingles(corpus, k, idCol, textCol)
+    val rareOld = shOld.join(
+      shOld.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"))
+    val candidates = shNew.select(col(idCol).as("d1"), col("shingle"))
+      .join(rareOld.select(col(idCol).as("d2"), col("shingle")), Seq("shingle"))
+      .select("d1", "d2").distinct()
+    val losers = verifyJaccard(candidates, shNew.unionByName(shOld), tau, idCol)
+      .select(col("d1").as(idCol)).distinct()
+    exactSurvivors.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * sets — as collected arrays + codegen'd `array_intersect`, not a
     * re-join: a candidate set of c pairs costs c intersections of ~|doc|

@@ -86,6 +86,48 @@ object ExtQueries {
         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin)),
 
+    // Incremental ingest dedup: the corpus-growth operation — a new batch
+    // (docs >= 400, plus ten corpus docs re-labeled as fresh ids so the
+    // exact layer is non-vacuous) deduped against the existing corpus
+    // (docs < 400) only; corpus docs are never compared to each other.
+    // df cap off for oracle identity, as in ext_dedup_jaccard.
+    Q("ext_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 400)
+        val newBatch = docs.filter(col("doc_id") >= 400)
+          .unionByName(corpus.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        TextDedup.incrementalSurvivors(newBatch, corpus, k = 2, tau = 0.8,
+          maxShingleDf = Long.MaxValue).select("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |       UNION ALL
+        |       SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10),
+        |ex AS (SELECT * FROM nw
+        |       WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+        |shn AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ex
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |sho AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+        |szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+        |  FROM shn a JOIN sho b ON a.shingle = b.shingle GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d1 FROM inter
+        |  JOIN szn ON d1 = szn.doc_id JOIN szo ON d2 = szo.doc_id
+        |  WHERE CAST(ni AS DOUBLE) / (szn.sz + szo.sz - ni) >= 0.8)
+        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT d1 FROM losers)""".stripMargin)),
+
     // Deterministic content-hash dataset split (train/val/test) — a pure
     // function of md5(text), reproducible across engines and reruns.
     Q("ext_split_assign",

@@ -72,6 +72,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incrementalSurvivors drops exact and near corpus-dups, keeps the rest") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different corpus content here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+      (12L, "fresh unseen brand new material entirely")       // survivor
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextDedup.incrementalSurvivors(batch, corpus,
+      k = 2, tau = 0.7, maxShingleDf = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L))
+    // corpus never loses anything and intra-batch relations are untouched:
+    // two fresh docs that duplicate EACH OTHER both survive (documented)
+    val batch2 = Seq(
+      (20L, "same same text twice over here now"),
+      (21L, "same same text twice over here now")).toDF("doc_id", "text")
+    val got2 = graft.ops.TextDedup.incrementalSurvivors(batch2, corpus,
+      k = 2, tau = 0.7, maxShingleDf = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(20L, 21L))
+  }
+
   test("hash split: stable, content-keyed, proportions near weights") {
     import graft.ops.DatasetSplit
     val big = Tables.documents(spark, "/root/testdata/sf0.01")
