@@ -105,4 +105,64 @@ class PropertySpec extends AnyFunSuite {
   test("missing config file tolerated: no rules, all clean (reference parity)") {
     assert(graft.model.Rules.loadFileOrEmpty("/no/such/config.json") == Seq.empty)
   }
+
+  /** Random (key, timeMs, id) rows — duplicate times across AND within
+    * keys on purpose, so tie semantics get exercised.
+    */
+  private def randomTimed(seed: Int, n: Int): List[(Int, Long, Long)] = {
+    val rnd = new Random(seed)
+    List.tabulate(n)(i => (1 + rnd.nextInt(3), rnd.nextLong(40L) * 1000L, i.toLong))
+  }
+
+  test("asOf equals the naive per-row argmax join, inclusive and strict") {
+    (1 to 8).foreach { seed =>
+      val lRows = randomTimed(seed, 25)
+      val rRows = randomTimed(1000 + seed, 25)
+      val left = lRows.map { case (k, t, i) => (k, new Timestamp(base + t), i) }
+        .toDF("k", "t", "l_id")
+      val right = rRows.map { case (k, t, i) => (k, new Timestamp(base + t), i) }
+        .toDF("k", "rt", "r_id")
+      Seq(true, false).foreach { inclusive =>
+        val got = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "t", "rt",
+          rightCols = Seq("r_id"), rightTiebreak = "r_id", inclusive = inclusive)
+          .select("l_id", "r_r_id").as[(Long, Option[Long])].collect().toMap
+        // naive reference: for each left row, argmax over all right rows
+        // of the same key with rt <= / < t, latest time then largest id
+        val expected = lRows.map { case (k, t, i) =>
+          val ms = rRows.filter(r => r._1 == k &&
+            (if (inclusive) r._2 <= t else r._2 < t))
+          i -> (if (ms.isEmpty) None
+                else Some(ms.maxBy(r => (r._2, r._3))._3))
+        }.toMap
+        assert(got == expected, s"seed=$seed inclusive=$inclusive")
+      }
+    }
+  }
+
+  test("pointInInterval equals the naive containment filter join") {
+    (1 to 8).foreach { seed =>
+      val rnd = new Random(2000 + seed)
+      val pRows = randomTimed(seed, 30)
+      val iRows = List.tabulate(15) { i =>
+        val k = 1 + rnd.nextInt(3)
+        val lo = rnd.nextLong(40L) * 1000L
+        (k, lo, lo + rnd.nextLong(15L) * 1000L, i.toLong)
+      }
+      val points = pRows.map { case (k, t, i) => (k, new Timestamp(base + t), i) }
+        .toDF("k", "t", "p_id")
+      val intervals = iRows.map { case (k, lo, hi, i) =>
+        (k, new Timestamp(base + lo), new Timestamp(base + hi), i)
+      }.toDF("k", "lo", "hi", "i_id")
+      // bin width deliberately NOT aligned to the data's 1 s grid
+      val got = graft.ops.RangeJoin.pointInInterval(points, intervals,
+        Seq("k"), "t", "lo", "hi", binWidthMicros = 700000L)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (pk, pt, pid) <- pRows
+        (ik, lo, hi, iid) <- iRows
+        if pk == ik && pt >= lo && pt <= hi
+      } yield (pid, iid)).toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }
