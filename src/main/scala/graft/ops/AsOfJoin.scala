@@ -50,6 +50,16 @@ object AsOfJoin {
       rightTiebreak: String,
       inclusive: Boolean = true,
       rightPrefix: String = "r_"): DataFrame = {
+    // Internal helper columns are derived from the input schemas instead
+    // of hardcoded: a left or right frame that already contains a column
+    // named `__t`/`__side`/… must not trip duplicate/ambiguous-column
+    // analysis errors, so keep lengthening the prefix until no input
+    // column starts with it.
+    val inputCols = (left.columns ++ right.columns).toSet
+    val p = Iterator.iterate("__")(_ + "_")
+      .find(pre => !inputCols.exists(_.startsWith(pre))).get
+    val (cT, cSide, cTie, cR, cL, cM) =
+      (p + "t", p + "side", p + "tie", p + "r", p + "l", p + "m")
     // Tag and union: right rows carry their payload in one struct column,
     // left rows carry their full row in another; each side nulls the
     // other's struct so the union is schema-aligned. Null-key right rows
@@ -61,34 +71,34 @@ object AsOfJoin {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select(
       keys.map(col) ++ Seq(
-        col(rightTime).as("__t"),
-        lit(0).as("__side"),
-        col(rightTiebreak).as("__tie"),
-        struct(rightCols.map(col): _*).as("__r")): _*)
+        col(rightTime).as(cT),
+        lit(0).as(cSide),
+        col(rightTiebreak).as(cTie),
+        struct(rightCols.map(col): _*).as(cR)): _*)
     val lTagged = left.select(
       keys.map(col) ++ Seq(
-        col(leftTime).as("__t"),
-        lit(1).as("__side"),
-        struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
-    val rType = rTagged.schema("__r").dataType
-    val lType = lTagged.schema("__l").dataType
+        col(leftTime).as(cT),
+        lit(1).as(cSide),
+        struct(left.columns.toIndexedSeq.map(col): _*).as(cL)): _*)
+    val rType = rTagged.schema(cR).dataType
+    val lType = lTagged.schema(cL).dataType
     val unioned = lTagged
-      .withColumn("__tie", lit(null).cast(rTagged.schema("__tie").dataType))
-      .withColumn("__r", lit(null).cast(rType))
-      .unionByName(rTagged.withColumn("__l", lit(null).cast(lType)))
+      .withColumn(cTie, lit(null).cast(rTagged.schema(cTie).dataType))
+      .withColumn(cR, lit(null).cast(rType))
+      .unionByName(rTagged.withColumn(cL, lit(null).cast(lType)))
 
     // Equal-time ordering encodes the bound: inclusive ⇒ right (side 0)
     // sorts before left (side 1) and is visible to it; strict ⇒ left
     // first. The side column fully separates left from right at equal
     // time, so the tiebreak only orders right rows among themselves —
     // ascending, so `last` picks the greatest.
-    val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val sideOrder = if (inclusive) col(cSide).asc else col(cSide).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, sideOrder, col("__tie").asc)
+      .orderBy(col(cT).asc, sideOrder, col(cTie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(col("__l.*") +: rightCols.map(c => col(s"__m.$c").as(rightPrefix + c)): _*)
+    unioned.withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
+      .filter(col(cSide) === 1)
+      .select(col(s"$cL.*") +: rightCols.map(c => col(s"$cM.$c").as(rightPrefix + c)): _*)
   }
 }

@@ -264,11 +264,13 @@ object TextDedup {
     *     plan references the previous round's and driver-side analysis
     *     cost grows unboundedly;
     *   - convergence is ONE cheap aggregate over the just-materialized
-    *     labels, not an `exceptAll` (two extra shuffles): labels only ever
-    *     decrease (min-aggregation over a finite set), so sum(label) is
-    *     strictly decreasing until the fixpoint and an unchanged checksum
-    *     IS convergence (DECIMAL(38,0) sum — no overflow at any corpus
-    *     size that fits in Long ids);
+    *     labels, not an `exceptAll` (two extra shuffles): the checksum is
+    *     `sum(xxhash64(id, label))` in DECIMAL(38,0) (no overflow at any
+    *     corpus size), which is type-agnostic — ids may be longs, strings,
+    *     UUIDs — and never null, so unchanged labels always reproduce the
+    *     same sum while any label change shifts it with probability
+    *     1 - 2^-64 per round. Labels only ever decrease (min-aggregation
+    *     over a finite set), so a stable checksum IS the fixpoint;
     *   - the jump join's build side is keyed by unique id; the probe side
     *     (label) is skewed inside big components — AQE skew-join splits it.
     *
@@ -296,8 +298,14 @@ object TextDedup {
       .persist()
     var labels = materialize(
       verts.select(col("src").as("id")).withColumn("label", col("id")))
-    def checksum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    // xxhash64 over (id, label) never yields null (unlike casting a
+    // string/UUID label to a numeric, which silently nulls out in
+    // non-ANSI mode and made every round's checksum None ⇒ instant
+    // false convergence); coalesce covers only the empty-input frame.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(
+        sum(xxhash64(col("id"), col("label")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = checksum(labels)
     var converged = false
     var i = 0
@@ -315,7 +323,7 @@ object TextDedup {
           .groupBy("src").agg(min("label").as("label"))
           .withColumnRenamed("src", "id"))
       val cs = checksum(next)
-      converged = cs == prev
+      converged = cs.compareTo(prev) == 0
       prev = cs
       labels = next
       i += 1

@@ -45,13 +45,79 @@ object StreamingPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
 
+  /** Group state of an event-time-ordered stateful stage: the reorder
+    * buffer of not-yet-releasable events plus the wrapped stage's own
+    * state. One case class so the WHOLE thing lives in a single
+    * `flatMapGroupsWithState` — a separate buffering operator feeding a
+    * second stateful operator trips Spark's global-watermark correctness
+    * check (the buffer emits rows at/behind the watermark, which a
+    * downstream stateful operator must treat as late).
+    */
+  final case class Buffered[S](pending: List[CleanedEvent], inner: S)
+
+  /** Event-time-ordered stateful processing — the cure for the one
+    * stream/batch divergence a per-batch sort cannot fix: an event that
+    * arrives a micro-batch later than a newer event would be replayed to
+    * the cycle state machine out of event-time order and land in the
+    * wrong cycle (or read as a spurious Start/End).
+    *
+    * Incoming events are held in per-machine group state and released to
+    * `step` strictly in event-time order once the watermark has passed
+    * them: an event is only processed when `event_timestamp <= watermark`,
+    * i.e. when the engine guarantees nothing earlier can still arrive
+    * (anything earlier would be watermark-dropped anyway), so the replay
+    * order `step` observes is provably non-decreasing in event time per
+    * machine and cross-batch disorder within the watermark delay is
+    * invisible to it.
+    *
+    * Cost model, for choosing `delay`: state holds the last `delay` of
+    * stream time per machine (O(rate × delay)) and every event's
+    * end-to-end latency grows by up to `delay` — the classic
+    * reorder-buffer trade. Groups with no fresh input drain via an
+    * event-time timeout pinned to their earliest pending event, so a
+    * machine that goes quiet still flushes as the global watermark
+    * advances.
+    */
+  private def orderedStateful[S, O](
+      clean: Dataset[CleanedEvent], delay: String, initial: S)(
+      step: (String, S, CleanedEvent, scala.collection.mutable.ArrayBuffer[O]) => S)(
+      implicit bt: scala.reflect.runtime.universe.TypeTag[Buffered[S]],
+      ot: scala.reflect.runtime.universe.TypeTag[O]): Dataset[O] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val bEnc: org.apache.spark.sql.Encoder[Buffered[S]] = ExpressionEncoder()
+    implicit val oEnc: org.apache.spark.sql.Encoder[O] = ExpressionEncoder()
+    import clean.sparkSession.implicits._
+    clean
+      .withWatermark("event_timestamp", delay)
+      .groupByKey(_.machine_id)
+      .flatMapGroupsWithState[Buffered[S], O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (machine: String, events: Iterator[CleanedEvent], state: GroupState[Buffered[S]]) =>
+          val st = state.getOption.getOrElse(Buffered(Nil, initial))
+          val pending = st.pending ++ events
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, hold) = pending.partition(_.event_timestamp.getTime <= wm)
+          val out = scala.collection.mutable.ArrayBuffer[O]()
+          var inner = st.inner
+          ripe.sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
+            .foreach { e => inner = step(machine, inner, e, out) }
+          state.update(Buffered(hold, inner))
+          if (hold.nonEmpty)
+            // earliest pending ts is > wm by construction, as the API requires
+            state.setTimeoutTimestamp(hold.map(_.event_timestamp.getTime).min)
+          out.iterator
+      }
+  }
+
   /** Streaming W2: per-machine running Cycle_Start counter in group state.
     *
     * Events inside one micro-batch are sorted by (event_timestamp,
     * parameter_name) before applying the counter — same order as the batch
     * window; ties never involve Cycle_Start so assignment is deterministic.
-    * State is one Long per machine: O(#machines), no timeout needed for a
-    * bounded fleet (add a timeout if machines churn).
+    * Cross-batch disorder is NOT absorbed here — wrap the input in
+    * [[reorderByEventTime]] when the source can deliver an older event in
+    * a later micro-batch. State is one Long per machine: O(#machines), no
+    * timeout needed for a bounded fleet (add a timeout if machines churn).
     */
   def withCycleSeq(clean: Dataset[CleanedEvent]): Dataset[SeqEvent] = {
     import clean.sparkSession.implicits._
@@ -61,17 +127,32 @@ object StreamingPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (machine: String, events: Iterator[CleanedEvent], state: GroupState[Long]) =>
           var seq = state.getOption.getOrElse(0L)
-          val out = events.toSeq
+          val out = scala.collection.mutable.ArrayBuffer[SeqEvent]()
+          events.toSeq
             .sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
-            .map { e =>
-              if (e.event_name == Schemas.cycleStartEvent) seq += 1
-              SeqEvent(e.event_timestamp, e.machine_id, e.event_name,
-                e.parameter_name, e.value, seq)
-            }
+            .foreach { e => seq = cycleSeqStep(machine, seq, e, out) }
           state.update(seq)
           out.iterator
       }
   }
+
+  private def cycleSeqStep(
+      machine: String, seq: Long, e: CleanedEvent,
+      out: scala.collection.mutable.ArrayBuffer[SeqEvent]): Long = {
+    val s = if (e.event_name == Schemas.cycleStartEvent) seq + 1 else seq
+    out += SeqEvent(e.event_timestamp, e.machine_id, e.event_name,
+      e.parameter_name, e.value, s)
+    s
+  }
+
+  /** [[withCycleSeq]] behind an event-time reorder buffer: correct cycle
+    * assignment even when delivery reorders events ACROSS micro-batches,
+    * as long as the disorder stays within `delay` (beyond it, events are
+    * watermark-late — the same contract as every watermarked stage).
+    */
+  def withCycleSeqOrdered(
+      clean: Dataset[CleanedEvent], delay: String): Dataset[SeqEvent] =
+    orderedStateful(clean, delay, 0L)(cycleSeqStep)
 
   final case class CycleOpenState(counter: Long, openStartMs: Option[Long])
 
@@ -103,32 +184,40 @@ object StreamingPipeline {
           val out = scala.collection.mutable.ArrayBuffer[StreamCycleTime]()
           events.toSeq
             .sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
-            .foreach { e =>
-              e.event_name match {
-                case Schemas.cycleStartEvent =>
-                  // batch parity: a cycle whose End never arrived before
-                  // the next Start still exists with boundaries collapsed
-                  // to its Start row — emit it with duration 0.0 (what
-                  // the batch min/max-over-Start&End grouping produces)
-                  st.openStartMs.foreach { startMs =>
-                    out += StreamCycleTime(
-                      machine, st.counter, new Timestamp(startMs), 0.0f)
-                  }
-                  st = CycleOpenState(st.counter + 1, Some(e.event_timestamp.getTime))
-                case Schemas.cycleEndEvent =>
-                  st.openStartMs.foreach { startMs =>
-                    out += StreamCycleTime(
-                      machine, st.counter, new Timestamp(startMs),
-                      ((e.event_timestamp.getTime / 1000.0) - (startMs / 1000.0)).toFloat)
-                  }
-                  st = st.copy(openStartMs = None)
-                case _ => ()
-              }
-            }
+            .foreach { e => st = cycleTimeStep(machine, st, e, out) }
           state.update(st)
           out.iterator
       }
   }
+
+  private def cycleTimeStep(
+      machine: String, st: CycleOpenState, e: CleanedEvent,
+      out: scala.collection.mutable.ArrayBuffer[StreamCycleTime]): CycleOpenState =
+    e.event_name match {
+      case Schemas.cycleStartEvent =>
+        // batch parity: a cycle whose End never arrived before the next
+        // Start still exists with boundaries collapsed to its Start row —
+        // emit it with duration 0.0 (what the batch min/max-over-Start&End
+        // grouping produces)
+        st.openStartMs.foreach { startMs =>
+          out += StreamCycleTime(machine, st.counter, new Timestamp(startMs), 0.0f)
+        }
+        CycleOpenState(st.counter + 1, Some(e.event_timestamp.getTime))
+      case Schemas.cycleEndEvent =>
+        st.openStartMs.foreach { startMs =>
+          out += StreamCycleTime(machine, st.counter, new Timestamp(startMs),
+            ((e.event_timestamp.getTime / 1000.0) - (startMs / 1000.0)).toFloat)
+        }
+        st.copy(openStartMs = None)
+      case _ => st
+    }
+
+  /** [[cycleTimes]] behind an event-time reorder buffer (see
+    * [[withCycleSeqOrdered]] for the contract).
+    */
+  def cycleTimesOrdered(
+      clean: Dataset[CleanedEvent], delay: String): Dataset[StreamCycleTime] =
+    orderedStateful(clean, delay, CycleOpenState(0L, None))(cycleTimeStep)
 
   /** Batch cleanse re-expressed on the stream (identical expressions). */
   def cleanse(raw: DataFrame): Dataset[CleanedEvent] = {
@@ -202,6 +291,9 @@ object StreamingPipeline {
     * cycle rows replicate [[cycleTimes]]'s emission rules, including the
     * End-less cycle closed with 0.0 by the next Start and the final
     * open cycle never emitting (the documented stream/batch divergence).
+    * Events are ordered per micro-batch only — compose with
+    * [[reorderByEventTime]] upstream when delivery can reorder events
+    * across micro-batches.
     */
   def summaryRows(clean: Dataset[CleanedEvent]): Dataset[SummaryRow] = {
     import clean.sparkSession.implicits._
@@ -214,32 +306,52 @@ object StreamingPipeline {
           val out = scala.collection.mutable.ArrayBuffer[SummaryRow]()
           events.toSeq
             .sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
-            .foreach { e =>
-              e.event_name match {
-                case Schemas.cycleStartEvent =>
-                  st.openStartMs.foreach { startMs =>
-                    out += SummaryRow(new Timestamp(startMs), machine, "c",
-                      null, null, None, Some(0.0f))
-                  }
-                  val ms = e.event_timestamp.getTime
-                  st = SummaryState(st.counter + 1, Some(ms), Some(ms))
-                case Schemas.cycleEndEvent =>
-                  st.openStartMs.foreach { startMs =>
-                    out += SummaryRow(new Timestamp(startMs), machine, "c",
-                      null, null, None,
-                      Some(((e.event_timestamp.getTime / 1000.0) - (startMs / 1000.0)).toFloat))
-                  }
-                  st = st.copy(openStartMs = None)
-                case _ => ()
-              }
-              if (st.counter > 0)
-                out += SummaryRow(new Timestamp(st.lastStartMs.get), machine, "e",
-                  e.event_name, e.parameter_name, e.value, None)
-            }
+            .foreach { e => st = summaryStep(machine, st, e, out) }
           state.update(st)
           out.iterator
       }
   }
+
+  private def summaryStep(
+      machine: String, st0: SummaryState, e: CleanedEvent,
+      out: scala.collection.mutable.ArrayBuffer[SummaryRow]): SummaryState = {
+    var st = st0
+    e.event_name match {
+      case Schemas.cycleStartEvent =>
+        st.openStartMs.foreach { startMs =>
+          out += SummaryRow(new Timestamp(startMs), machine, "c",
+            null, null, None, Some(0.0f))
+        }
+        val ms = e.event_timestamp.getTime
+        st = SummaryState(st.counter + 1, Some(ms), Some(ms))
+      case Schemas.cycleEndEvent =>
+        st.openStartMs.foreach { startMs =>
+          out += SummaryRow(new Timestamp(startMs), machine, "c",
+            null, null, None,
+            Some(((e.event_timestamp.getTime / 1000.0) - (startMs / 1000.0)).toFloat))
+        }
+        st = st.copy(openStartMs = None)
+      case _ => ()
+    }
+    if (st.counter > 0)
+      out += SummaryRow(new Timestamp(st.lastStartMs.get), machine, "e",
+        e.event_name, e.parameter_name, e.value, None)
+    st
+  }
+
+  /** [[summaryRows]] behind an event-time reorder buffer (see
+    * [[withCycleSeqOrdered]] for the contract). Note: feeding this into
+    * [[hourlySummaryStream]]'s windowed aggregation means a watermarked
+    * stateful stage downstream of another — Spark's conservative
+    * global-watermark correctness check rejects that chain by default;
+    * rows released here sit exactly AT the watermark, so enabling the
+    * chain requires `spark.sql.streaming.statefulOperator
+    * .checkCorrectness.enabled=false` plus an aggregation watermark no
+    * tighter than `delay`.
+    */
+  def summaryRowsOrdered(
+      clean: Dataset[CleanedEvent], delay: String): Dataset[SummaryRow] =
+    orderedStateful(clean, delay, SummaryState(0L, None, None))(summaryStep)
 
   /** The FULL streaming hourly summary — all 19 batch columns
     * ([[graft.ops.HourlyRollup.hourlySummary]] semantics) as one

@@ -60,6 +60,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Seq(100L))
   }
 
+  test("inputs already containing __-prefixed columns do not collide with helpers") {
+    // regression: helper names were hardcoded __t/__side/__tie/__r/__l/__m;
+    // a frame that already owns one of them hit ambiguous-column analysis
+    // errors. Names are now derived to dodge every input column.
+    val l = reads.withColumn("__t", lit("left-owned"))
+      .withColumn("__side", lit(7))
+    val r = states.withColumn("__tie", lit("right-owned"))
+      .withColumn("__r", lit(1))
+    val got = AsOfJoin.asOf(l, r, keys = Seq("k"), leftTime = "t", rightTime = "st",
+      rightCols = Seq("state_id", "payload"), rightTiebreak = "state_id")
+      .select("read_id", "__t", "__side", "r_state_id")
+      .as[(String, String, Int, Option[Long])].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // user columns pass through untouched; match results are unchanged
+    assert(got("r1") == (("left-owned", 7, Some(101L))))
+    assert(got("r2") == (("left-owned", 7, Some(102L))))
+    assert(got("r3") == (("left-owned", 7, None)))
+  }
+
   test("plan: one shuffle total — union-tag, not a range join") {
     val df = AsOfJoin.asOf(reads, states, keys = Seq("k"), leftTime = "t",
       rightTime = "st", rightCols = Seq("state_id"), rightTiebreak = "state_id")

@@ -64,6 +64,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters with string ids fully converges (regression: numeric-cast checksum)") {
+    // a 5-vertex chain needs >1 propagation round; the old convergence
+    // checksum cast labels to decimal, which nulls out for string ids and
+    // declared convergence after round 1, silently under-merging exactly
+    // this shape
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("d1", "d2")
+    val got = TextDedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("clusters with a reliable checkpoint dir match the fast localCheckpoint path") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("d1", "d2")
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString

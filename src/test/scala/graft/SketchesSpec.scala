@@ -41,6 +41,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("pointInInterval: inverted intervals are dropped before the explode") {
+    val points = Seq((1, 1L, ts("2024-01-01 00:00:10"))).toDF("k", "p_id", "t")
+    val intervals = Seq(
+      (1, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00")), // valid
+      (1, 11L, ts("2024-01-01 01:00:00"), ts("2024-01-01 00:00:00"))) // hi < lo
+      .toDF("k", "i_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", binWidthMicros = 60000000L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    // the inverted interval matches nothing AND never reaches the
+    // sequence() explode (descending bins would replicate it for free)
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("pointInInterval: a pathological interval span fails fast, not OOM-later") {
+    val points = Seq((1, 1L, ts("2024-01-01 00:00:10"))).toDF("k", "p_id", "t")
+    val intervals = Seq((1, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
+      .toDF("k", "i_id", "lo", "hi") // 1441 one-minute bins
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "t", "lo", "hi", binWidthMicros = 60000000L, maxBinsPerInterval = 1000L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("pointInInterval: interval spans")),
+      s"expected the raise_error message, got: $ex")
+  }
+
   test("pointInInterval plan: equi-join on bins, no nested-loop fallback") {
     val points = Seq((1, 1L, ts("2024-01-01 00:00:10"))).toDF("k", "p_id", "t")
     val intervals = Seq((1, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))

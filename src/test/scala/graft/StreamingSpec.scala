@@ -173,6 +173,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(expected).count() == 0)
   }
 
+  test("reorderByEventTime: cross-batch out-of-order delivery still matches batch") {
+    // three cycles for one machine; the SECOND file delivers the EARLIEST
+    // cycle (event-time 00:00) a micro-batch after the 00:10 cycle — the
+    // cross-batch disorder the per-batch sort cannot fix. A far-future
+    // sentinel row in the last file pushes the watermark past everything
+    // so the buffer drains during processAllAvailable().
+    def cyc(hhmm: String): Seq[String] = {
+      val base = s"2024-10-16T$hhmm"
+      Seq(
+        s"$base:00.000Z,M1,Cycle_Start,,",
+        s"$base:00.100Z,M1,Pick_Check,PP_Force,80.0",
+        s"$base:00.500Z,M1,Cycle_End,,")
+    }
+    val header = "timestamp,machine_id,event_name,parameter_name,value"
+    val sentinel = "2024-10-20T00:00:00.000Z,M_FLUSH,Cycle_Start,,"
+    val dir = Files.createTempDirectory("graft_reorder").toString
+    val base = System.currentTimeMillis()
+    Seq(
+      header +: cyc("00:10"),              // newer cycle arrives first
+      header +: cyc("00:00"),              // oldest cycle arrives second
+      (header +: cyc("00:20")) :+ sentinel // third cycle + watermark push
+    ).zipWithIndex.foreach { case (lines, i) =>
+      FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+
+    def runStream(buffered: Boolean, name: String) = {
+      val clean = StreamingPipeline.cleanse(
+        StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+      val seqd = if (buffered) StreamingPipeline.withCycleSeqOrdered(clean, "1 hour")
+                 else StreamingPipeline.withCycleSeq(clean)
+      val q = seqd.toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).filter(col("machine_id") === "M1")
+        .select("event_timestamp", "event_name", "cycle_seq")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    }
+
+    // batch oracle over the same events in event-time order — written
+    // OUTSIDE the streamed dir (the file source would ingest it too)
+    val allRows = header +: (cyc("00:00") ++ cyc("00:10") ++ cyc("00:20"))
+    val batchCsv = Files.createTempDirectory("graft_reorder_oracle").toString + "/all.csv"
+    FixtureGen.writeCsv(batchCsv, allRows)
+    val (batch, _) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, batchCsv)))
+    val expected = batch.select("event_timestamp", "event_name", "cycle_seq")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val unbuffered = runStream(buffered = false, "reorder_off")
+    assert(unbuffered != expected,
+      "test must be non-vacuous: raw delivery order has to mis-assign cycles")
+    val bufferedGot = runStream(buffered = true, "reorder_on")
+    assert(bufferedGot == expected)
+  }
+
   test("dropDuplicatesWithinWatermark: replayed delivery still yields exactly-once rows") {
     // simulate at-least-once file delivery: second batch re-delivers the
     // first 200 rows verbatim
