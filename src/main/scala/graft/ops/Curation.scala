@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition a training-data pipeline
@@ -91,6 +91,86 @@ object Curation {
       .filter(col("domain_rank") <= maxPerDomain)
       .select(col("doc_id"), col("quality_score"), col("domain_rank"))
     docs.join(ranked, "doc_id")
+  }
+
+  /** Mixture resampling to target token shares — the up/down-sampling
+    * step of training-mix assembly ("web 60%, code 30%, books 10%"):
+    * every domain is scaled to `share_d × total_tokens` tokens by
+    * replicating each of its documents `floor(scale_d)` times plus one
+    * extra copy for a content-keyed `frac(scale_d)` fraction of them,
+    * where `scale_d = share_d × total_tokens / domain_tokens`. Domains
+    * absent from `shares` get weight 0 (dropped).
+    *
+    * Determinism is the contract: the fractional sample is keyed on
+    * md5(content) (see [[DatasetSplit.hashBucket]]), not `rand()`, so the
+    * materialized mix is reproducible across runs, engines, and reshards,
+    * and nudging a share only adds/removes the marginal copies.
+    *
+    * Scale shape: one shuffle for the per-domain token totals, a
+    * broadcast join of that tiny aggregate back onto the docs, and a
+    * row-local `explode(sequence)` for the copies — replication happens
+    * AFTER any filtering joins, so the shuffled volume is the original
+    * corpus, not the inflated one. Expected copy blow-up is bounded by
+    * `max(scale_d)`, which the caller controls via the shares.
+    *
+    * @return one row per (document, copy): all `docs` columns plus
+    *         `n_tok`, `n_copies`, `copy` (0-based copy index).
+    */
+  def resampleToMixture(
+      docs: DataFrame,
+      shares: Map[String, Double],
+      domainCol: String = "source",
+      contentCol: String = "text",
+      salt: String = "mix"): DataFrame = {
+    require(shares.values.forall(_ >= 0), "shares must be non-negative")
+    val withTok = docs.withColumn("n_tok",
+      size(split(col(contentCol), " ")).cast("long"))
+    val domTok = withTok.groupBy(domainCol).agg(sum("n_tok").as("dom_tokens"))
+    val corpus = withTok.agg(sum("n_tok").as("total_tokens"))
+    // fold in sorted order so the compiled when-chain is deterministic
+    val share = shares.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+      case ((k, v), acc) => when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val scale = share * col("total_tokens").cast("double") / col("dom_tokens")
+    withTok
+      .join(broadcast(domTok), Seq(domainCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("graft_scale", scale)
+      .withColumn("graft_extra",
+        (DatasetSplit.hashBucket(concat(lit(salt + ":"), col(contentCol))) <
+          (col("graft_scale") - floor(col("graft_scale"))) * DatasetSplit.Granularity)
+          .cast("int"))
+      .withColumn("n_copies",
+        (floor(col("graft_scale")).cast("int") + col("graft_extra")))
+      .withColumn("copy", explode(
+        when(col("n_copies") > 0, sequence(lit(0), col("n_copies") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .drop("dom_tokens", "total_tokens", "graft_scale", "graft_extra")
+  }
+
+  /** Blocklist filtering — the rule-driven removal stage every corpus
+    * pipeline runs before the expensive ones: drop documents whose domain
+    * is on a blocklist (broadcast ANTI join — the list is tiny next to
+    * the corpus and must never shuffle it) or whose text matches any
+    * blocked pattern (codegen'd `rlike` disjunction, same fold shape as
+    * the C4 rule compiler). Order matters for cost only: the anti join
+    * prunes before the regexes scan.
+    *
+    * @param blockedDomains one-column DataFrame of domains to drop
+    *                       (column name = `domainCol`).
+    * @return surviving docs, columns untouched.
+    */
+  def blockFilter(
+      docs: DataFrame,
+      blockedDomains: DataFrame,
+      blockedPatterns: Seq[String] = Nil,
+      domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val patCond = blockedPatterns.map(p => col(textCol).rlike(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    docs
+      .join(broadcast(blockedDomains), Seq(domainCol), "left_anti")
+      .filter(!patCond)
   }
 
   /** Eval-set decontamination: train-side documents sharing at least one

@@ -139,6 +139,51 @@ object TextAnalysis {
       regexp_replace(emailScrubbed, phonePattern, "<PHONE>").as("clean_text"))
   }
 
+  /** Corpus-relative term weighting — TF-IDF and BM25 per (document,
+    * term): the scoring backbone of corpus search, keyword extraction,
+    * and quality-by-informativeness filters.
+    *
+    * Shape at scale: one shuffle on (doc, term) for the term counts, one
+    * on doc for lengths, one on term for document frequencies; the two
+    * singleton corpus aggregates (N, total tokens) ride along as a
+    * broadcast cross join, never a driver action. No UDFs — `ln` and the
+    * arithmetic are codegen'd — and nothing materializes the |docs|×|vocab|
+    * dense matrix: output stays one row per OBSERVED (doc, term).
+    *
+    * `tfidf = tf · ln(1 + N/df)`;
+    * `bm25 = ln(1 + (N - df + 0.5)/(df + 0.5)) ·
+    *         tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`
+    * (the Robertson/Sparck-Jones idf in its always-positive form).
+    */
+  def termWeights(
+      docs: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idfBm = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val bm = idfBm * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(dl, Seq(idCol))
+      .join(dft, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(
+        col(idCol), col("term"), col("tf"), col("df"), col("dl"),
+        (col("tf") * log(lit(1.0) + col("n_docs").cast("double") / col("df")))
+          .as("tfidf"),
+        bm.as("bm25"))
+  }
+
   /** Content fingerprint: md5 of case-folded, symbol-stripped,
     * whitespace-collapsed text — the key for fuzzy-exact dedup of documents
     * differing only in formatting.

@@ -694,6 +694,83 @@ object ExtQueries {
         |SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
         |  CAST(n AS BIGINT) AS n_bytes,
         |  CAST(least(out_len, (n + stride - 1) // stride) AS INT) AS resized_len
-        |FROM st""".stripMargin))
+        |FROM st""".stripMargin)),
+
+    // Corpus-relative term weighting (TF-IDF + BM25) per observed
+    // (doc, term): three bounded shuffles + a broadcast corpus aggregate;
+    // scores rounded to 6 dp on BOTH sides so libm ln() ulp differences
+    // cannot reach a rounding boundary.
+    Q("ext_text_bm25",
+      (s, dir) => TextAnalysis.termWeights(Tables.documents(s, dir))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+          round(col("tfidf"), 6).as("tfidf"), round(col("bm25"), 6).as("bm25")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl)
+        |SELECT tf.doc_id, tf.term, tf.tf, dft.df, dl.dl,
+        |  round(tf.tf * ln(1.0 + CAST(n_docs AS DOUBLE) / dft.df), 6) AS tfidf,
+        |  round(ln(1.0 + (CAST(n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+        |             / (CAST(total_tokens AS DOUBLE) / n_docs))), 6) AS bm25
+        |FROM tf
+        |JOIN dl USING (doc_id)
+        |JOIN dft USING (term)
+        |CROSS JOIN c""".stripMargin)),
+
+    // Mixture resampling to target token shares (training-mix assembly):
+    // src0 upsampled ~3.8x, src1 ~1.9x, src2 downsampled ~0.95x, every
+    // other domain dropped. Copies are content-keyed (md5), so the
+    // materialized mix is reproducible across engines and reshards.
+    Q("ext_mixture_resample",
+      (s, dir) => Curation.resampleToMixture(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        shares = Map("src0" -> 0.2, "src1" -> 0.1, "src2" -> 0.05))
+        .select("doc_id", "source", "n_tok", "n_copies", "copy"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |d AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS dom_tokens
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM t),
+        |sc AS (
+        |  SELECT t.doc_id, t.source, t.n_tok, t.text,
+        |    (CASE t.source WHEN 'src0' THEN CAST(0.2 AS DOUBLE)
+        |                   WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+        |                   WHEN 'src2' THEN CAST(0.05 AS DOUBLE)
+        |                   ELSE CAST(0.0 AS DOUBLE) END)
+        |      * CAST(total_tokens AS DOUBLE) / dom_tokens AS scale
+        |  FROM t JOIN d USING (source) CROSS JOIN c),
+        |e AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(floor(scale) AS INT) +
+        |    (CASE WHEN CAST(('0x' || substr(md5('mix:' || text), 1, 4)) AS INT)
+        |               < (scale - floor(scale)) * 65536
+        |          THEN 1 ELSE 0 END) AS n_copies
+        |  FROM sc)
+        |SELECT doc_id, source, n_tok, n_copies, CAST(i AS INT) AS copy
+        |FROM e, LATERAL (SELECT unnest(range(0, n_copies)) AS i)
+        |WHERE n_copies > 0""".stripMargin)),
+
+    // Blocklist filtering: broadcast ANTI join on a domain blocklist plus
+    // a codegen'd regex-rule disjunction — the cheap removal stage that
+    // runs before dedup/curation ever pays for a doc.
+    Q("ext_block_filter",
+      (s, dir) => {
+        import s.implicits._
+        val blocked = Seq("src1", "src4").toDF("source")
+        Curation.blockFilter(Tables.documents(s, dir), blocked,
+          blockedPatterns = Seq("slow +small"))
+          .select("doc_id", "source")
+      },
+      Some("""SELECT doc_id, source FROM documents
+        |WHERE source NOT IN ('src1', 'src4')
+        |  AND NOT regexp_matches(text, 'slow +small')""".stripMargin))
   )
 }

@@ -49,4 +49,50 @@ class CurationSpec extends AnyFunSuite {
     val got = Curation.contaminated(train, test, k = 5).as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("resampleToMixture hits target token shares within one doc's tokens") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val shares = Map("src0" -> 0.3, "src1" -> 0.15, "src2" -> 0.05)
+    val out = Curation.resampleToMixture(docs, shares).cache()
+    val total = docs.select(size(split($"text", " "))).as[Int].collect().map(_.toLong).sum
+    val gotTokens = out.groupBy("source").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    // every resampled domain's token mass lands near its target; the
+    // fractional copy is all-or-nothing per doc, so the deviation is a
+    // hash-keyed sum over docs — bounded here at 5% relative
+    shares.foreach { case (src, w) =>
+      val want = w * total
+      assert(math.abs(gotTokens(src) - want) / want <= 0.05,
+        s"$src: got ${gotTokens(src)} want $want")
+    }
+    // zero-share domains are dropped entirely
+    assert(gotTokens.keySet == shares.keySet)
+    // copies are dense 0..n_copies-1 per doc
+    val badCopies = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"),
+      first("n_copies").as("nc"))
+      .filter($"mx" =!= $"n" - 1 || $"mn" =!= 0 || $"nc" =!= $"n").count()
+    assert(badCopies == 0)
+    // deterministic: a second run is row-identical
+    val again = Curation.resampleToMixture(docs, shares)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("blockFilter drops blocklisted domains and pattern matches, broadcast-anti") {
+    val docs = Tables.documents(spark, dir)
+    val blocked = Seq("src1", "src3").toDF("source")
+    val kept = Curation.blockFilter(docs, blocked, Seq("slow +small"))
+    kept.collect()
+    val keptRows = kept.select("source").as[String].collect()
+    assert(!keptRows.contains("src1") && !keptRows.contains("src3"))
+    assert(kept.filter($"text".rlike("slow +small")).count() == 0)
+    // non-vacuous: the pattern removed docs beyond the domain filter
+    val domainOnly = docs.filter(!$"source".isin("src1", "src3")).count()
+    assert(kept.count() < domainOnly)
+    // the blocklist must never shuffle the corpus: broadcast anti join
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$plan")
+  }
 }

@@ -120,4 +120,27 @@ class TextAndJsonSpec extends AnyFunSuite {
     val r = TextAnalysis.scrubPii(df).as[(Long, Int, Int, String)].collect().head
     assert(r == ((1L, 1, 0, "reach <EMAIL> ok")))
   }
+
+  test("termWeights: TF-IDF and BM25 match the closed-form values") {
+    // d1 = "a b a", d2 = "a c": N=2, dl=(3,2), avgdl=2.5, df(a)=2, df(b)=df(c)=1
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.termWeights(df)
+      .select("doc_id", "term", "tf", "df", "dl", "tfidf", "bm25")
+      .as[(Long, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set((1L, "a"), (1L, "b"), (2L, "a"), (2L, "c")))
+    def idf(df0: Double) = math.log(1.0 + (2.0 - df0 + 0.5) / (df0 + 0.5))
+    def bm(tf: Double, df0: Double, dl: Double) =
+      idf(df0) * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.5))
+    val (_, _, tf1a, df1a, dl1a, tfidf1a, bm1a) = got((1L, "a"))
+    assert((tf1a, df1a, dl1a) == ((2L, 2L, 3L)))
+    assert(math.abs(tfidf1a - 2.0 * math.log(1.0 + 2.0 / 2.0)) < 1e-12)
+    assert(math.abs(bm1a - bm(2, 2, 3)) < 1e-12)
+    val (_, _, tf2c, df2c, dl2c, tfidf2c, bm2c) = got((2L, "c"))
+    assert((tf2c, df2c, dl2c) == ((1L, 1L, 2L)))
+    assert(math.abs(tfidf2c - 1.0 * math.log(1.0 + 2.0 / 1.0)) < 1e-12)
+    assert(math.abs(bm2c - bm(1, 1, 2)) < 1e-12)
+    // rarer terms always outweigh common ones at equal tf and dl
+    assert(got((2L, "c"))._7 > got((2L, "a"))._7)
+  }
 }
