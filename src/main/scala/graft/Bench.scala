@@ -60,12 +60,28 @@ object Bench {
       ts(ts.length / 2)
     }
 
-    graft.queries.Catalog.all.foreach { q =>
-      results(q.name) =
-        try timeMedian(force(q.run(spark, sfDir)))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0
-        }
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to named
+    // queries (the driver never sets it — full catalog + machine-day)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
+    graft.queries.Catalog.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .foreach { q =>
+        results(q.name) =
+          try timeMedian(force(q.run(spark, sfDir)))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0
+          }
+      }
+
+    if (only.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
     }
 
     // Reference-shaped workload: one machine-day at the generator's real

@@ -203,25 +203,38 @@ object TextDedup {
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // exact layer: one anti-join on the 128-bit content hash
+    // exact layer: one anti-join on the 128-bit content hash. Persisted:
+    // it feeds BOTH the batch shingling and the final anti-join.
     val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
     val exactSurvivors = newDocs.withColumn("__h", md5(col(textCol)))
       .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+      .persist()
     // near-dup layer: inverted-index candidates NEW × CORPUS only. The
     // df cap applies to the CORPUS posting lists (stop-shingles are a
-    // corpus property); verification always uses full sets.
-    val shNew = shingles(exactSurvivors, k, idCol, textCol)
-    val shOld = shingles(corpus, k, idCol, textCol)
-    val rareOld = shOld.join(
-      shOld.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select("shingle"),
-      Seq("shingle"))
-    val candidates = shNew.select(col(idCol).as("d1"), col("shingle"))
-      .join(rareOld.select(col(idCol).as("d2"), col("shingle")), Seq("shingle"))
-      .select("d1", "d2").distinct()
-    val losers = verifyJaccard(candidates, shNew.unionByName(shOld), tau, idCol)
-      .select(col("d1").as(idCol)).distinct()
-    exactSurvivors.join(losers, Seq(idCol), "left_anti")
+    // corpus property); verification always uses full sets. Both shingle
+    // tables are consumed twice (candidate generation + verification), so
+    // materialize them for the scope of this call — same policy as
+    // jaccardPairs — and evaluate the (batch-bounded) result eagerly via
+    // localCheckpoint so no cache entry outlives the function.
+    val shNew = shingles(exactSurvivors, k, idCol, textCol).persist()
+    val shOld = shingles(corpus, k, idCol, textCol).persist()
+    try {
+      val rareOld = shOld.join(
+        shOld.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("shingle"),
+        Seq("shingle"))
+      val candidates = shNew.select(col(idCol).as("d1"), col("shingle"))
+        .join(rareOld.select(col(idCol).as("d2"), col("shingle")), Seq("shingle"))
+        .select("d1", "d2").distinct()
+      val losers = verifyJaccard(candidates, shNew.unionByName(shOld), tau, idCol)
+        .select(col("d1").as(idCol)).distinct()
+      exactSurvivors.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    } finally {
+      shNew.unpersist()
+      shOld.unpersist()
+      exactSurvivors.unpersist()
+      ()
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
@@ -280,20 +293,38 @@ object TextDedup {
     * reliable `checkpoint` into that directory. On a long-running
     * 1000-executor job, executor loss is routine, so pass a durable path
     * (HDFS/object store) there; local mode and tests keep the fast path.
+    *
+    * Adaptive small-graph finish: when the pair list holds at most
+    * `localFinishMaxEdges` edges (counted first — one cheap job over the
+    * already-small verified-pair output), the component labeling runs as
+    * a driver-side union-find instead of the distributed loop. This is
+    * the standard endgame of scalable connected-components (iterate /
+    * contract while big, solve locally once the problem fits one
+    * machine): a 50-edge dedup graph must not pay log(diameter) rounds of
+    * checkpoint+join+aggregate cluster jobs. The default cap (2^20 edges,
+    * tens of MB collected) bounds driver memory; pass -1 to force the
+    * distributed path, or raise the cap on a fat-driver deployment.
     */
   def clusters(
       pairs: DataFrame,
       maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localFinishMaxEdges: Long = 1L << 20): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val verts = pairs.select(col("d1").as("src"))
-      .union(pairs.select(col("d2").as("src"))).distinct()
+    val p = pairs.select(col("d1"), col("d2")).persist()
+    if (p.count() <= localFinishMaxEdges) {
+      val rows = p.collect()
+      p.unpersist()
+      return localUnionFind(pairs, rows)
+    }
+    val verts = p.select(col("d1").as("src"))
+      .union(p.select(col("d2").as("src"))).distinct()
     // self-loops fold "keep own label" into the neighbor-min aggregation,
     // so the loop body is one join + one groupBy — no per-round union
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(p.select(col("d2").as("src"), col("d1").as("dst")))
       .union(verts.select(col("src"), col("src").as("dst")))
       .persist()
     var labels = materialize(
@@ -329,12 +360,51 @@ object TextDedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"clusters() hit maxIter=$maxIter before converging: a component with " +
           "diameter > 2^maxIter exists and its cluster_id is NOT the component " +
           "minimum; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Driver-side min-label union-find over a collected pair list — the
+    * [[clusters]] small-graph endgame. Semantics are identical to the
+    * distributed loop: every vertex labeled with the smallest id in its
+    * component under the id type's natural ordering (ids must be
+    * mutually comparable — longs, strings, …, as the distributed min
+    * aggregation already requires).
+    */
+  private def localUnionFind(pairs: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by keeping the SMALLER root: the root is always the
+      // component minimum, so find() directly yields the cluster label
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("d1").dataType
+    val out = parent.keysIterator
+      .map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, math.max(1, out.size / 100000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   /** 64-bit SimHash per document over its word set: each token hash votes

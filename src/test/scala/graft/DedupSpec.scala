@@ -58,30 +58,50 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("clusters: min-label propagation finds connected components and keepers") {
+    // default path (small graph => driver union-find endgame)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("d1", "d2")
     val got = TextDedup.clusters(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+    // distributed loop (local finish disabled) must agree exactly
+    val dist = TextDedup.clusters(pairs, localFinishMaxEdges = -1)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got)
   }
 
   test("clusters with string ids fully converges (regression: numeric-cast checksum)") {
     // a 5-vertex chain needs >1 propagation round; the old convergence
     // checksum cast labels to decimal, which nulls out for string ids and
     // declared convergence after round 1, silently under-merging exactly
-    // this shape
+    // this shape. Forced onto the distributed loop — the local union-find
+    // endgame would mask the checksum entirely.
     val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
       .toDF("d1", "d2")
-    val got = TextDedup.clusters(pairs).as[(String, String)].collect().toMap
-    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
-      "x" -> "x", "y" -> "x"))
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
+      "x" -> "x", "y" -> "x")
+    val got = TextDedup.clusters(pairs, localFinishMaxEdges = -1)
+      .as[(String, String)].collect().toMap
+    assert(got == expect)
+    assert(TextDedup.clusters(pairs).as[(String, String)].collect().toMap == expect)
   }
 
   test("clusters with a reliable checkpoint dir match the fast localCheckpoint path") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("d1", "d2")
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
-    val got = TextDedup.clusters(pairs, checkpointDir = Some(dir))
+    val got = TextDedup.clusters(pairs, checkpointDir = Some(dir),
+      localFinishMaxEdges = -1)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: local union-find endgame equals the distributed loop on the corpus") {
+    val pairs = TextDedup.jaccardPairs(docs, k = 2, tau = 0.8,
+      maxShingleDf = Long.MaxValue).persist()
+    val local = TextDedup.clusters(pairs).as[(Long, Long)].collect().toSet
+    val dist = TextDedup.clusters(pairs, localFinishMaxEdges = -1)
+      .as[(Long, Long)].collect().toSet
+    assert(local.nonEmpty && local == dist)
+    pairs.unpersist()
   }
 
   test("incrementalSurvivors drops exact and near corpus-dups, keeps the rest") {
