@@ -99,6 +99,12 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
+    // persisted + forced: both sides of the bucket self-join read this
+    // frame, and without materialization each side re-pays the
+    // numTables × numPlanes sign dot products per vector (and a lazy
+    // persist would be raced by the two join branches — see
+    // TextDedup.jaccardPairs). The small verified pair list is evaluated
+    // eagerly via localCheckpoint so no cache outlives the call.
     val withB = emb.select(
       col(idCol), col("embedding"),
       norm(s)(col("embedding")).as("nrm"),
@@ -110,6 +116,8 @@ object Similarity {
       }: _*)).as("tb"))
       .select(col(idCol), col("embedding"), col("nrm"),
         col("tb.table_id"), col("tb.bucket"))
+      .persist()
+    withB.count()
     // Multi-probe: one side of the join also visits every 1-bit-flipped
     // bucket, so pairs whose sign patterns differ in exactly one plane
     // still collide — per-table hit prob goes from q^p to
@@ -127,14 +135,21 @@ object Similarity {
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withB.select(col("table_id"), col("bucket"), col(idCol).as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("table_id", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"),
-        col("a_nrm"), col("b_nrm"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("cosine", dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-      .filter(col("cosine") >= tau)
-      .select("a_id", "b_id", "cosine")
+    try {
+      a.join(b, Seq("table_id", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"),
+          col("a_nrm"), col("b_nrm"))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("cosine",
+          dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+        .filter(col("cosine") >= tau)
+        .select("a_id", "b_id", "cosine")
+        .localCheckpoint()
+    } finally {
+      withB.unpersist()
+      ()
+    }
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (every `centroidStride`-th

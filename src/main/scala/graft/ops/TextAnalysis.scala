@@ -143,12 +143,20 @@ object TextAnalysis {
     * term): the scoring backbone of corpus search, keyword extraction,
     * and quality-by-informativeness filters.
     *
-    * Shape at scale: one shuffle on (doc, term) for the term counts, one
-    * on doc for lengths, one on term for document frequencies; the two
-    * singleton corpus aggregates (N, total tokens) ride along as a
-    * broadcast cross join, never a driver action. No UDFs — `ln` and the
-    * arithmetic are codegen'd — and nothing materializes the |docs|×|vocab|
-    * dense matrix: output stays one row per OBSERVED (doc, term).
+    * Shape at scale: ONE scan of the corpus into the (doc, term, tf)
+    * count table, which is materialized (`localCheckpoint`) because four
+    * consumers read it — doc lengths, document frequencies, the corpus
+    * singleton (N, total tokens), and the final join; without the
+    * materialization each consumer re-derives the scan+explode+aggregate
+    * chain (measured: 4 full corpus scans, zero exchange reuse). All
+    * downstream reductions are hash aggregates with map-side partials —
+    * deliberately NOT windows: `count over (partition by term)` would
+    * sort every occurrence of a stop-word-grade term into one partition,
+    * the exact skew cliff partial aggregation avoids. The corpus
+    * singleton rides along as a broadcast cross join, never a driver
+    * action. No UDFs — `ln` and the arithmetic are codegen'd — and
+    * nothing materializes the |docs|×|vocab| dense matrix: output stays
+    * one row per OBSERVED (doc, term).
     *
     * `tfidf = tf · ln(1 + N/df)`;
     * `bm25 = ln(1 + (N - df + 0.5)/(df + 0.5)) ·
@@ -165,6 +173,7 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val corpus = dl.agg(

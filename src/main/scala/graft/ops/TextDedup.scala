@@ -75,6 +75,13 @@ object TextDedup {
     // selection belongs to AQE, not a hint.
     val sh = shingles(docs, k, idCol).persist()
     try {
+      // Populate the cache with ONE cheap job before the multi-consumer
+      // evaluation: a lazy persist is filled on first touch, and the
+      // checkpoint job's four sh-consumers run as parallel stages that
+      // would otherwise EACH recompute the upstream lineage before any of
+      // them finishes writing the cache (measured 2× on a quality-gated
+      // input whose lineage carries a join).
+      sh.count()
       jaccardPairsOn(sh, tau, maxShingleDf, idCol).localCheckpoint()
     } finally {
       sh.unpersist()
@@ -219,6 +226,12 @@ object TextDedup {
     val shNew = shingles(exactSurvivors, k, idCol, textCol).persist()
     val shOld = shingles(corpus, k, idCol, textCol).persist()
     try {
+      // fill the caches with one cheap job each BEFORE the multi-consumer
+      // evaluation (see jaccardPairs — parallel consumer stages otherwise
+      // race the lazy persist and recompute the lineage); shNew.count()
+      // also fills exactSurvivors' cache transitively
+      shNew.count()
+      shOld.count()
       val rareOld = shOld.join(
         shOld.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf).select("shingle"),
