@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for repeated large joins.
   *
@@ -27,6 +28,64 @@ object Layouts {
     (if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Z-value (Morton code) of non-negative integer dimension columns:
+    * the low `bits` bits of each dimension, bit-interleaved — bit j of
+    * dimension i lands at position `j·n + i`. Rows close in z-value are
+    * close in EVERY dimension, which is the whole point: sorting a write
+    * by z-value gives each output file a tight min/max envelope in all
+    * dimensions at once, so a multi-dimensional filter can skip most
+    * files (file-level stats pruning in Delta/Iceberg-style tables,
+    * row-group-level pruning in plain parquet) — a single-column sort
+    * only ever skips on that one column.
+    *
+    * Pure codegen'd shift/mask expression chain — no UDF; `n·bits` must
+    * fit a long's 63 value bits. Dimensions must already be non-negative
+    * ints (bucket ids, day numbers, [[zNormalize]] output).
+    */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 1, "zValue needs at least one dimension")
+    require(n * bits <= 63, s"$n dims x $bits bits exceeds a long's 63 value bits")
+    (0 until bits).flatMap { j =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c.cast("long"), j).bitwiseAND(1L), j * n + i)
+      }
+    }.reduce[Column](_.bitwiseOR(_))
+  }
+
+  /** Map a numeric column with known bounds onto the [0, 2^bits) grid —
+    * the per-dimension normalization in front of [[zValue]]. Bounds are
+    * caller-supplied (at 100 TB you know them, or compute them once per
+    * write); out-of-range values clamp to the edge cells, so stragglers
+    * degrade locality instead of breaking the encoding.
+    */
+  def zNormalize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    require(hi > lo, "zNormalize needs hi > lo")
+    val cells = (1L << bits) - 1
+    least(
+      greatest(
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(cells.toDouble)), lit(0L)),
+      lit(cells)).cast("long")
+  }
+
+  /** Write `df` z-ordered by `dims`: range-partition on the z-value (so
+    * files tile the z-curve in disjoint runs) and sort inside each file.
+    * `numFiles` should put one file ≈ one scan split at target scale.
+    * The z column is internal and not written.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dims: Seq[Column],
+      bits: Int = 16,
+      numFiles: Int = 32): Unit = {
+    df.withColumn("__graft_z", zValue(dims, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** True when the executed plan of `df` contains no shuffle exchange —

@@ -66,6 +66,49 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(read.select("summary_date").distinct().count() == 1)
   }
 
+  test("zValue interleaves bits; z-ordered layout skips files a linear sort cannot") {
+    // bit-interleave ground truth: x=0b11, y=0b00 -> z has x's bits at
+    // even positions -> 0b0101 = 5 (x is dim 0)
+    val z = Seq((3L, 0L)).toDF("x", "y")
+      .select(Layouts.zValue(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .as[Long].collect().head
+    assert(z == 5L)
+
+    // 64k uniform points on a 256x256 grid, written two ways
+    val pts = spark.range(0, 65536).select(
+      (col("id") % 256).as("x"), expr("id div 256").as("y"))
+      .withColumn("x", pmod(col("x") * 37 + col("y") * 11, lit(256))) // decorrelate
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    Layouts.writeZOrdered(pts, zDir,
+      dims = Seq(col("x"), col("y")), bits = 8, numFiles = 32)
+    pts.repartitionByRange(32, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    // a query box thin in y but full-width in x: per-file min/max
+    // envelopes (what Delta/Iceberg file stats or parquet row-group
+    // stats prune on) must let the z layout skip most files, while the
+    // x-sorted layout intersects nearly all of them
+    def touchedFiles(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val touched = files.count { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("y"), max("y"), min("x"), max("x")).collect().head
+        // box: y in [100, 107], all x
+        r.getLong(0) <= 107 && r.getLong(1) >= 100
+      }
+      (touched, files.length)
+    }
+    val (zTouched, zTotal) = touchedFiles(zDir)
+    val (linTouched, linTotal) = touchedFiles(linDir)
+    assert(zTotal >= 16 && linTotal >= 16, s"want many files, got $zTotal/$linTotal")
+    assert(linTouched >= linTotal - 2,
+      s"control: x-sorted layout should intersect ~all files for a y-box ($linTouched/$linTotal)")
+    assert(zTouched * 2 <= zTotal,
+      s"z-ordered layout must skip at least half the files ($zTouched/$zTotal)")
+  }
+
   test("salted join output is identical to the plain join on skewed data") {
     // heavy tail: 90% of rows share one key
     val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")
