@@ -113,8 +113,11 @@ object Curation {
     * corpus, not the inflated one. Expected copy blow-up is bounded by
     * `max(scale_d)`, which the caller controls via the shares.
     *
-    * @return one row per (document, copy): all `docs` columns plus
-    *         `n_tok`, `n_copies`, `copy` (0-based copy index).
+    * @return one row per (document, copy): all `docs` columns plus the
+    *         output-contract columns `n_tok`, `n_copies`, `copy` (0-based
+    *         copy index). Those three names (and nothing else) are
+    *         reserved: a same-named input column is replaced in the
+    *         output; internal helpers are `graft_`-prefixed and dropped.
     */
   def resampleToMixture(
       docs: DataFrame,
@@ -125,19 +128,20 @@ object Curation {
     require(shares.values.forall(_ >= 0), "shares must be non-negative")
     val withTok = docs.withColumn("n_tok",
       size(split(col(contentCol), " ")).cast("long"))
-    val domTok = withTok.groupBy(domainCol).agg(sum("n_tok").as("dom_tokens"))
-    val corpus = withTok.agg(sum("n_tok").as("total_tokens"))
+    val domTok = withTok.groupBy(domainCol).agg(sum("n_tok").as("graft_dom_tokens"))
+    val corpus = withTok.agg(sum("n_tok").as("graft_total_tokens"))
     // fold in sorted order so the compiled when-chain is deterministic
     val share = shares.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
       case ((k, v), acc) => when(col(domainCol) === k, lit(v)).otherwise(acc)
     }
-    val scale = share * col("total_tokens").cast("double") / col("dom_tokens")
+    val scale =
+      share * col("graft_total_tokens").cast("double") / col("graft_dom_tokens")
     withTok
       .join(broadcast(domTok), Seq(domainCol))
       .crossJoin(broadcast(corpus))
       .withColumn("graft_scale", scale)
       .withColumn("graft_extra",
-        (DatasetSplit.hashBucket(concat(lit(salt + ":"), col(contentCol))) <
+        (DatasetSplit.saltedBucket(col(contentCol), salt) <
           (col("graft_scale") - floor(col("graft_scale"))) * DatasetSplit.Granularity)
           .cast("int"))
       .withColumn("n_copies",
@@ -145,7 +149,7 @@ object Curation {
       .withColumn("copy", explode(
         when(col("n_copies") > 0, sequence(lit(0), col("n_copies") - 1))
           .otherwise(array().cast("array<int>"))))
-      .drop("dom_tokens", "total_tokens", "graft_scale", "graft_extra")
+      .drop("graft_dom_tokens", "graft_total_tokens", "graft_scale", "graft_extra")
   }
 
   /** Blocklist filtering — the rule-driven removal stage every corpus
@@ -166,8 +170,13 @@ object Curation {
       blockedPatterns: Seq[String] = Nil,
       domainCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val patCond = blockedPatterns.map(p => col(textCol).rlike(p))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    // coalesce: rlike(null) is null, and filter(!null) would silently
+    // drop every null-text document the moment ANY pattern is configured
+    // — a null text matches no blocklist rule, so it must survive
+    val patCond = coalesce(
+      blockedPatterns.map(p => col(textCol).rlike(p))
+        .reduceOption(_ || _).getOrElse(lit(false)),
+      lit(false))
     docs
       .join(broadcast(blockedDomains), Seq(domainCol), "left_anti")
       .filter(!patCond)

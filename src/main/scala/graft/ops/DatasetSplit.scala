@@ -21,6 +21,15 @@ object DatasetSplit {
   def hashBucket(content: Column): Column =
     conv(substring(md5(content), 1, 4), 16, 10).cast("int")
 
+  /** The salted content coin every content-keyed sampling decision shares
+    * (stratified sampling, mixture resampling): [[hashBucket]] of
+    * `"salt:" + content`. One definition so the bucketing scheme — and
+    * its DuckDB-oracle mirror — can never silently diverge per operator;
+    * distinct salts decorrelate different decisions on the same doc.
+    */
+  def saltedBucket(content: Column, salt: String): Column =
+    hashBucket(concat(lit(salt + ":"), content))
+
   /** Deterministic stratified sampling — the domain-mixing step of corpus
     * assembly: keep a content-keyed fraction of each stratum (language,
     * source domain, …). Like [[assign]], membership is a pure function of
@@ -44,7 +53,7 @@ object DatasetSplit {
     val frac = fractions.toSeq.sortBy(_._1).foldRight(lit(defaultFraction): Column) {
       case ((k, f), acc) => when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
-    df.withColumn(bucketCol, hashBucket(concat(lit(salt + ":"), col(contentCol))))
+    df.withColumn(bucketCol, saltedBucket(col(contentCol), salt))
       .filter(col(bucketCol) < frac * Granularity)
   }
 

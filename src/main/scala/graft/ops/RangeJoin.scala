@@ -64,7 +64,7 @@ object RangeJoin {
     val i = intervals
       .filter(col(loCol) <= col(hiCol))
       .withColumn("__bin", explode(expr(
-        s"""CASE WHEN $hiBin - $loBin >= ${maxBinsPerInterval}L
+        s"""CASE WHEN $hiBin - $loBin + 1L >= ${maxBinsPerInterval}L
            THEN raise_error(concat('pointInInterval: interval spans ',
              cast($hiBin - $loBin + 1L as string),
              ' bins (cap $maxBinsPerInterval) — raise binWidthMicros or clean the interval'))

@@ -117,7 +117,6 @@ object Similarity {
       .select(col(idCol), col("embedding"), col("nrm"),
         col("tb.table_id"), col("tb.bucket"))
       .persist()
-    withB.count()
     // Multi-probe: one side of the join also visits every 1-bit-flipped
     // bucket, so pairs whose sign patterns differ in exactly one plane
     // still collide — per-table hit prob goes from q^p to
@@ -136,6 +135,9 @@ object Similarity {
     val b = withB.select(col("table_id"), col("bucket"), col(idCol).as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     try {
+      // cache-force inside the try: if this first evaluation throws (bad
+      // embedding, lost executor), the finally still unpersists
+      withB.count()
       a.join(b, Seq("table_id", "bucket"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"),

@@ -327,7 +327,11 @@ object TextDedup {
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val p = pairs.select(col("d1"), col("d2")).persist()
-    if (p.count() <= localFinishMaxEdges) {
+    // mixed-type pair columns (d1 int / d2 long, caller-built) are only
+    // handled by the distributed path's union coercion — keep them there
+    val sameType =
+      pairs.schema("d1").dataType == pairs.schema("d2").dataType
+    if (sameType && p.count() <= localFinishMaxEdges) {
       val rows = p.collect()
       p.unpersist()
       return localUnionFind(pairs, rows)
@@ -390,8 +394,22 @@ object TextDedup {
     * aggregation already requires).
     */
   private def localUnionFind(pairs: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        // Spark's min() on strings orders by UTF-8 BYTES; String.compareTo
+        // orders by UTF-16 code units, and the two disagree for
+        // supplementary-plane characters (surrogates D800-DFFF sort below
+        // U+E000-U+FFFF in UTF-16 but their UTF-8 encoding sorts above).
+        // Compare raw UTF-8 so both cluster paths pick the same keeper.
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) { c = (xb(i) & 0xff) - (yb(i) & 0xff); i += 1 }
+        if (c != 0) c < 0 else xb.length < yb.length
+      case _ => a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+    }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

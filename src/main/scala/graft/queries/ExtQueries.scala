@@ -771,6 +771,6 @@ object ExtQueries {
       },
       Some("""SELECT doc_id, source FROM documents
         |WHERE source NOT IN ('src1', 'src4')
-        |  AND NOT regexp_matches(text, 'slow +small')""".stripMargin))
+        |  AND NOT coalesce(regexp_matches(text, 'slow +small'), false)""".stripMargin))
   )
 }

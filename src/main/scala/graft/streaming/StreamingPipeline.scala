@@ -63,12 +63,13 @@ object StreamingPipeline {
     *
     * Incoming events are held in per-machine group state and released to
     * `step` strictly in event-time order once the watermark has passed
-    * them: an event is only processed when `event_timestamp <= watermark`,
-    * i.e. when the engine guarantees nothing earlier can still arrive
-    * (anything earlier would be watermark-dropped anyway), so the replay
-    * order `step` observes is provably non-decreasing in event time per
-    * machine and cross-batch disorder within the watermark delay is
-    * invisible to it.
+    * them: an event is only processed when `event_timestamp < watermark`,
+    * i.e. when the engine guarantees nothing at-or-earlier can still
+    * arrive (Spark's late-data drop is strict, so an `== watermark` event
+    * may still show up — those stay buffered until the watermark moves
+    * past them), so the replay order `step` observes is provably
+    * non-decreasing in event time per machine and cross-batch disorder
+    * within the watermark delay is invisible to it.
     *
     * Cost model, for choosing `delay`: state holds the last `delay` of
     * stream time per machine (O(rate × delay)) and every event's
@@ -96,15 +97,25 @@ object StreamingPipeline {
           val st = state.getOption.getOrElse(Buffered(Nil, initial))
           val pending = st.pending ++ events
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, hold) = pending.partition(_.event_timestamp.getTime <= wm)
+          // STRICTLY below the watermark: Spark's late-data drop is also
+          // strict, so an event with ts == wm can still arrive in a later
+          // micro-batch — releasing ties here would process it after its
+          // already-released equal-time peers, breaking the event-time
+          // order this wrapper exists to guarantee. Holding ties is also
+          // what the event-time timeout needs: it fires when wm moves
+          // strictly past the pinned timestamp, matching this predicate.
+          val (ripe, hold) = pending.partition(_.event_timestamp.getTime < wm)
           val out = scala.collection.mutable.ArrayBuffer[O]()
           var inner = st.inner
           ripe.sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
             .foreach { e => inner = step(machine, inner, e, out) }
           state.update(Buffered(hold, inner))
           if (hold.nonEmpty)
-            // earliest pending ts is > wm by construction, as the API requires
-            state.setTimeoutTimestamp(hold.map(_.event_timestamp.getTime).min)
+            // earliest pending ts is >= wm by construction (> wm is what
+            // the API requires only of FUTURE timestamps; max(_, wm+1)
+            // keeps an == wm tie legal and fires on the next advance)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.event_timestamp.getTime).min, wm + 1))
           out.iterator
       }
   }

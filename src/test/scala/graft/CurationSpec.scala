@@ -95,4 +95,13 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast anti join:\n$plan")
   }
+
+  test("blockFilter keeps null-text docs (rlike(null) must not eat them)") {
+    val docsN = Seq((1L, "srcA", "fine text"), (2L, "srcA", null), (3L, "srcB", "bad stuff"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.blockFilter(docsN, Seq("srcZ").toDF("source"), Seq("bad"))
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2 matches no rule — null text is not a blocklist hit
+    assert(kept == Set(1L, 2L))
+  }
 }

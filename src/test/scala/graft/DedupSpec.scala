@@ -94,6 +94,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: local and distributed paths pick the same keeper for non-BMP ids") {
+    // U+F900 is ONE UTF-16 code unit above the surrogate range; U+1F600
+    // (emoji) encodes as a surrogate pair that String.compareTo sorts
+    // BELOW it while Spark's UTF-8 min() sorts it ABOVE — the two
+    // orderings disagree exactly here, so both paths must use UTF-8
+    val a = "豈"          // U+F900, UTF-8 EF A4 80
+    val b = "😀"    // U+1F600, UTF-8 F0 9F 98 80
+    val pairs = Seq((a, b)).toDF("d1", "d2")
+    val local = TextDedup.clusters(pairs).as[(String, String)].collect().toMap
+    val dist = TextDedup.clusters(pairs, localFinishMaxEdges = -1)
+      .as[(String, String)].collect().toMap
+    assert(local == dist)
+    assert(local(a) == a && local(b) == a, "keeper must be the UTF-8 minimum")
+  }
+
   test("clusters: local union-find endgame equals the distributed loop on the corpus") {
     val pairs = TextDedup.jaccardPairs(docs, k = 2, tau = 0.8,
       maxShingleDf = Long.MaxValue).persist()
