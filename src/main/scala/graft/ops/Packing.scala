@@ -63,6 +63,38 @@ object Packing {
     * parallelism unit, so packing 100 TB is numShards independent
     * sorted scans, not a global sequence.
     */
+  /** Sliding-window chunking: cut each document's token sequence into
+    * fixed-size windows of `windowLen` tokens advancing by `stride`
+    * (overlap = windowLen − stride) — the context-window preparation for
+    * training and retrieval indexing. Every document yields at least one
+    * chunk; the final chunk may be shorter (the tail). Entirely row-local
+    * (`explode(sequence)` + `slice`, all codegen'd): chunking 100 TB is
+    * a map-only pass, no shuffle anywhere.
+    *
+    * @return input columns plus `chunk_idx` (0-based), `chunk_text`,
+    *         `n_chunk_tokens`.
+    */
+  def chunk(
+      df: DataFrame,
+      windowLen: Int,
+      stride: Int,
+      contentCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    require(stride > 0 && stride <= windowLen,
+      "stride must be in [1, windowLen] — a larger stride would skip tokens")
+    val n = size(col("graft_words"))
+    val nChunks = when(n <= windowLen, lit(1)).otherwise(
+      ceil((n - lit(windowLen)).cast("double") / stride).cast("int") + 1)
+    df.withColumn("graft_words", split(col(contentCol), " "))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("graft_chunk",
+        slice(col("graft_words"), col("chunk_idx") * stride + 1, lit(windowLen)))
+      .withColumn("chunk_text", concat_ws(" ", col("graft_chunk")))
+      .withColumn("n_chunk_tokens", size(col("graft_chunk")))
+      .drop("graft_words", "graft_chunk")
+  }
+
   def pack(
       df: DataFrame,
       contextLen: Int,

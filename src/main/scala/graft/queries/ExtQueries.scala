@@ -771,6 +771,31 @@ object ExtQueries {
       },
       Some("""SELECT doc_id, source FROM documents
         |WHERE source NOT IN ('src1', 'src4')
-        |  AND NOT coalesce(regexp_matches(text, 'slow +small'), false)""".stripMargin))
+        |  AND NOT coalesce(regexp_matches(text, 'slow +small'), false)""".stripMargin)),
+
+    // Sliding-window chunking (training / retrieval context prep):
+    // 64-token windows advancing by 32 — map-only, no shuffle; the last
+    // chunk per doc is the (shorter) tail.
+    Q("ext_doc_chunk",
+      (s, dir) => Packing.chunk(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        windowLen = 64, stride = 32)
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE CAST(ceil(CAST(n - 64 AS DOUBLE) / 32) AS INT) + 1 END
+        |      AS n_chunks
+        |  FROM w)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(ws[CAST(i * 32 + 1 AS INT) : CAST(i * 32 + 64 AS INT)], ' ')
+        |    AS chunk_text,
+        |  CAST(len(ws[CAST(i * 32 + 1 AS INT) : CAST(i * 32 + 64 AS INT)]) AS INT)
+        |    AS n_chunk_tokens
+        |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)""".stripMargin))
   )
 }

@@ -36,6 +36,27 @@ class PackingSpec extends AnyFunSuite {
     assert(layout(docs) == layout(docs.repartition(7)))
   }
 
+  test("chunk: windows tile the token sequence with the configured overlap") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, (1 to 9).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.chunk(df, windowLen = 4, stride = 2)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // 10 tokens, window 4, stride 2: ceil((10-4)/2)+1 = 4 chunks
+    assert(got(1L) == Seq(
+      ("w1 w2 w3 w4", 4), ("w3 w4 w5 w6", 4), ("w5 w6 w7 w8", 4), ("w7 w8 w9 w10", 4)))
+    // shorter than the window: one (whole) chunk
+    assert(got(2L) == Seq(("a b c", 3)))
+    // 9 tokens: the tail chunk is short
+    assert(got(3L).last == (("v7 v8 v9", 3)) && got(3L).size == 4)
+    // coverage: every token position appears in at least one chunk
+    val covered = got(1L).zipWithIndex.flatMap { case ((t, _), i) =>
+      t.split(" ").toSeq }.toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("pack: bin arithmetic matches a driver-side replay of the shard order") {
     val sized = docs.withColumn("n_words", size(split($"text", " ")))
     val packed = Packing.pack(sized, contextLen = 512, numShards = 4, sizeCol = "n_words")
