@@ -193,6 +193,38 @@ object TextAnalysis {
         bm.as("bm25"))
   }
 
+  /** Linear-model quality scoring — the classifier-filter stage of corpus
+    * curation (fastText-style quality models reduce to exactly this at
+    * serving time: a dot product over cheap features + a sigmoid). The
+    * features are the already-verified [[stats]] columns; the weights are
+    * caller-supplied (training happens offline — swap in learned weights
+    * at deployment; the operator shape is what runs at 100 TB).
+    *
+    * `quality_prob = sigmoid(b + w_len·ln(1+n_words) + w_stop·stopword_ratio
+    * + w_distinct·distinct_ratio)` — one codegen'd row-local expression,
+    * no UDF, no shuffle beyond [[stats]]' none.
+    */
+  final case class QualityWeights(
+      bias: Double = -2.0,
+      wLogLen: Double = 0.6,
+      wStopword: Double = 1.5,
+      wDistinct: Double = 0.8)
+
+  def qualityClassifier(
+      docs: DataFrame,
+      w: QualityWeights = QualityWeights(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val st = stats(docs, idCol, textCol)
+    val z = lit(w.bias) +
+      lit(w.wLogLen) * log(lit(1.0) + col("n_words")) +
+      lit(w.wStopword) * col("stopword_ratio") +
+      lit(w.wDistinct) * col("distinct_ratio")
+    st.select(col(idCol), col("n_words"), col("stopword_ratio"),
+        col("distinct_ratio"))
+      .withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-z)))
+  }
+
   /** Content fingerprint: md5 of case-folded, symbol-stripped,
     * whitespace-collapsed text — the key for fuzzy-exact dedup of documents
     * differing only in formatting.

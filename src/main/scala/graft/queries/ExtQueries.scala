@@ -796,6 +796,35 @@ object ExtQueries {
         |    AS chunk_text,
         |  CAST(len(ws[CAST(i * 32 + 1 AS INT) : CAST(i * 32 + 64 AS INT)]) AS INT)
         |    AS n_chunk_tokens
-        |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)""".stripMargin))
+        |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)""".stripMargin)),
+
+    // Linear-model (fastText-serving-shape) quality scoring: sigmoid over
+    // the verified stats features with literal weights — the SQL is
+    // generated from the SAME QualityWeights instance so the sides cannot
+    // drift; scores rounded to 6 dp on both engines (libm exp/ln ulps).
+    Q("ext_quality_classifier", {
+      (s, dir) =>
+        TextAnalysis.qualityClassifier(Tables.documents(s, dir))
+          .select(col("doc_id"), col("n_words"),
+            round(col("quality_prob"), 6).as("quality_prob"))
+    },
+      Some {
+        val w = TextAnalysis.QualityWeights()
+        s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopword_ratio,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS distinct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  round(1.0 / (1.0 + exp(-(${w.bias}
+        |    + ${w.wLogLen} * ln(1.0 + n_words)
+        |    + ${w.wStopword} * stopword_ratio
+        |    + ${w.wDistinct} * distinct_ratio))), 6) AS quality_prob
+        |FROM f""".stripMargin
+      })
   )
 }

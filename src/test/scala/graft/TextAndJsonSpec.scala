@@ -121,6 +121,16 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(r == ((1L, 1, 0, "reach <EMAIL> ok")))
   }
 
+  test("qualityClassifier: sigmoid of the weighted features, closed form") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifier(df)
+      .select("quality_prob").as[Double].collect().head
+    // 9 words, 2 stopwords ("the" x2), 8 distinct
+    val z = -2.0 + 0.6 * math.log(1.0 + 9) + 1.5 * (2.0 / 9) + 0.8 * (8.0 / 9)
+    assert(math.abs(got - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+    assert(got > 0 && got < 1)
+  }
+
   test("termWeights: TF-IDF and BM25 match the closed-form values") {
     // d1 = "a b a", d2 = "a c": N=2, dl=(3,2), avgdl=2.5, df(a)=2, df(b)=df(c)=1
     val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
