@@ -88,6 +88,39 @@ object Layouts {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction — the unglamorous operation that keeps a
+    * 100 TB lake scannable: streaming sinks, per-batch ingests and
+    * over-parallel writes accumulate directories of kilobyte files whose
+    * per-file open/footer overhead eventually dominates scan time (and
+    * whose listing crushes the driver). Rewrites `inDir` into
+    * `ceil(bytes / targetBytes)` evenly-sized files.
+    *
+    * `repartition` (round-robin shuffle), not `coalesce`: coalesce would
+    * avoid the shuffle but glues ADJACENT partitions, inheriting any
+    * size skew into the output files and capping the read's parallelism;
+    * compaction runs rarely and off the hot path, so even output beats a
+    * saved shuffle. Sizes come from the filesystem (Hadoop FS API — works
+    * on HDFS/S3, not just file://).
+    *
+    * @return the number of output files written.
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val numFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetBytes).toLong)
+      .min(Int.MaxValue).toInt
+    spark.read.parquet(inDir)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(outDir)
+    numFiles
+  }
+
   /** True when the executed plan of `df` contains no shuffle exchange —
     * the property bucketed co-located joins buy.
     *

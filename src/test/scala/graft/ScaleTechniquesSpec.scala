@@ -109,6 +109,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"z-ordered layout must skip at least half the files ($zTouched/$zTotal)")
   }
 
+  test("compact rewrites a many-tiny-file directory into few even files, lossless") {
+    val dir = "/root/testdata/sf0.001"
+    val inDir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, dir)
+    docs.repartition(64).write.mode("overwrite").parquet(inDir)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(inDir) == 64)
+    val n = Layouts.compact(spark, inDir, outDir, targetBytes = 1L << 20)
+    assert(parquetFiles(outDir) == n && n < 16, s"expected few files, got $n")
+    // lossless: same rows
+    val before = docs.orderBy("doc_id").collect()
+    val after = spark.read.parquet(outDir).orderBy("doc_id").collect()
+    assert(before.sameElements(after))
+  }
+
   test("salted join output is identical to the plain join on skewed data") {
     // heavy tail: 90% of rows share one key
     val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")

@@ -173,12 +173,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(expected).count() == 0)
   }
 
-  test("reorderByEventTime: cross-batch out-of-order delivery still matches batch") {
-    // three cycles for one machine; the SECOND file delivers the EARLIEST
-    // cycle (event-time 00:00) a micro-batch after the 00:10 cycle — the
-    // cross-batch disorder the per-batch sort cannot fix. A far-future
-    // sentinel row in the last file pushes the watermark past everything
-    // so the buffer drains during processAllAvailable().
+  /** Out-of-order delivery fixture: three cycles for one machine where
+    * the SECOND file delivers the EARLIEST cycle (event-time 00:00) a
+    * micro-batch after the 00:10 cycle — the cross-batch disorder a
+    * per-batch sort cannot fix. A far-future sentinel row in the last
+    * file pushes the watermark past everything so reorder buffers drain
+    * during processAllAvailable(). Returns (streamDir, batchOracleCsv).
+    */
+  private def outOfOrderFixture(): (String, String) = {
     def cyc(hhmm: String): Seq[String] = {
       val base = s"2024-10-16T$hhmm"
       Seq(
@@ -198,6 +200,16 @@ class StreamingSpec extends AnyFunSuite {
       FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
       new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
     }
+    // batch oracle over the same events in event-time order — written
+    // OUTSIDE the streamed dir (the file source would ingest it too)
+    val allRows = header +: (cyc("00:00") ++ cyc("00:10") ++ cyc("00:20"))
+    val batchCsv = Files.createTempDirectory("graft_reorder_oracle").toString + "/all.csv"
+    FixtureGen.writeCsv(batchCsv, allRows)
+    (dir, batchCsv)
+  }
+
+  test("reorderByEventTime: cross-batch out-of-order delivery still matches batch") {
+    val (dir, batchCsv) = outOfOrderFixture()
 
     def runStream(buffered: Boolean, name: String) = {
       val clean = StreamingPipeline.cleanse(
@@ -212,11 +224,6 @@ class StreamingSpec extends AnyFunSuite {
         .as[(java.sql.Timestamp, String, Long)].collect().toSet
     }
 
-    // batch oracle over the same events in event-time order — written
-    // OUTSIDE the streamed dir (the file source would ingest it too)
-    val allRows = header +: (cyc("00:00") ++ cyc("00:10") ++ cyc("00:20"))
-    val batchCsv = Files.createTempDirectory("graft_reorder_oracle").toString + "/all.csv"
-    FixtureGen.writeCsv(batchCsv, allRows)
     val (batch, _) = CycleDetection.detect(
       DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, batchCsv)))
     val expected = batch.select("event_timestamp", "event_name", "cycle_seq")
@@ -227,6 +234,28 @@ class StreamingSpec extends AnyFunSuite {
       "test must be non-vacuous: raw delivery order has to mis-assign cycles")
     val bufferedGot = runStream(buffered = true, "reorder_on")
     assert(bufferedGot == expected)
+  }
+
+  test("cycleTimesOrdered: closed-cycle boundaries survive out-of-order delivery") {
+    val (dir, batchCsv) = outOfOrderFixture()
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = StreamingPipeline.cycleTimesOrdered(clean, "1 hour").toDF()
+      .writeStream.format("memory").queryName("ct_ord").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ct_ord").filter(col("machine_id") === "M1")
+      .select(col("cycle_seq"), col("cycle_start_ts"),
+        round(col("cycle_time_seconds"), 3).as("ct"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    val (_, batchCycles) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, batchCsv)))
+    val expected = batchCycles
+      .select(col("cycle_seq"), col("cycle_start_ts"),
+        round(col("cycle_time_seconds"), 3).as("ct"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    // the fixture's cycles all close with an explicit End, so stream ==
+    // batch exactly (no trailing open cycle in the comparison set)
+    assert(streamed == expected)
   }
 
   test("dropDuplicatesWithinWatermark: replayed delivery still yields exactly-once rows") {
