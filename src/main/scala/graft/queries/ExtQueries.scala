@@ -825,6 +825,43 @@ object ExtQueries {
         |    + ${w.wStopword} * stopword_ratio
         |    + ${w.wDistinct} * distinct_ratio))), 6) AS quality_prob
         |FROM f""".stripMargin
-      })
+      }),
+
+    // Corrupt-tolerant JSON ingest: webscale JSON is dirty, and a 100 TB
+    // ingest must QUARANTINE malformed records (count + route), never
+    // fail the job or silently null them. ~1/7 of props are
+    // deterministically truncated, then parsed with from_json's
+    // columnNameOfCorruptRecord channel (the PERMISSIVE corrupt-record
+    // contract); the rollup proves valid rows still parse (k sums) while
+    // corrupt rows are counted, not dropped.
+    Q("ext_json_corrupt_tolerant",
+      (s, dir) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("_corrupt",
+            org.apache.spark.sql.types.StringType)))
+        Tables.events(s, dir)
+          .select(col("event_id"), when(pmod(col("event_id"), lit(7)) === 0,
+              expr("substring(props, 1, length(props) - 2)"))
+            .otherwise(col("props")).as("props"))
+          .withColumn("p", from_json(col("props"), schema,
+            Map("columnNameOfCorruptRecord" -> "_corrupt")))
+          .withColumn("is_valid", col("p._corrupt").isNull.cast("int"))
+          .groupBy("is_valid")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("p._corrupt").isNull, col("p.k"))).as("k_sum"))
+      },
+      Some("""WITH dirty AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 2)
+        |         ELSE props END AS props
+        |  FROM events)
+        |SELECT CAST(CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS INT) AS is_valid,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN json_valid(props)
+        |            THEN CAST(json_extract_string(props, '$.k') AS INT) END) AS BIGINT)
+        |    AS k_sum
+        |FROM dirty GROUP BY 1""".stripMargin))
   )
 }

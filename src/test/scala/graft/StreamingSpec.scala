@@ -258,6 +258,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("summaryRowsOrdered: tagged summary rows survive out-of-order delivery") {
+    val (dir, batchCsv) = outOfOrderFixture()
+    def rows(df: org.apache.spark.sql.Dataset[StreamingPipeline.SummaryRow], name: String) = {
+      val q = df.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).filter(col("machine_id") === "M1")
+        .select("cycle_start_ts", "side", "event_name", "parameter_name",
+          "value", "cycle_time_seconds")
+        .collect().toSet
+    }
+    // expected: the same events delivered IN ORDER in one file — the
+    // per-batch sort makes the plain variant correct there
+    val inOrder = StreamingPipeline.cleanse(StreamingPipeline.readCsvStream(
+      spark, new java.io.File(batchCsv).getParent, maxFilesPerTrigger = 1))
+    val expected = rows(StreamingPipeline.summaryRows(inOrder), "sum_inorder")
+    val outOfOrder = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+    val got = rows(StreamingPipeline.summaryRowsOrdered(outOfOrder, "1 hour"), "sum_ord")
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("dropDuplicatesWithinWatermark: replayed delivery still yields exactly-once rows") {
     // simulate at-least-once file delivery: second batch re-delivers the
     // first 200 rows verbatim
