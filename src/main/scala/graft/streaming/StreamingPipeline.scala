@@ -430,6 +430,45 @@ object StreamingPipeline {
       col("max_cycle_time_seconds"), col("avg_cycle_time_seconds"))
   }
 
+  /** Streaming gap sessionization — the stream form of the batch
+    * [[graft.ops.CycleDetection.sessionizeByGap]] family, on the built-in
+    * `session_window`: per-key sessions that extend while successive
+    * events arrive within `gap` of the session end, merged across
+    * micro-batches by the engine's session-merging state store (late
+    * events within the watermark merge INTO their session, even
+    * splitting/bridging two previously separate ones — state the marker
+    * FMGWS stages never need). In append mode a session row is emitted
+    * exactly once, when the watermark passes its end.
+    *
+    * Boundary semantics: `session_window` sessions are half-open
+    * `[first, last + gap)`, so an event exactly `gap` after the last one
+    * starts a NEW session, while the batch `sessionizeByGap` breaks only
+    * when the gap is strictly GREATER — equal-to-gap spacing diverges.
+    * At microsecond resolution that knife-edge is measure-zero; callers
+    * needing exact batch parity add 1µs to `gap`.
+    *
+    * The still-open trailing session per key never emits (no
+    * end-of-stream) — the same documented divergence as the cycle stages.
+    *
+    * @return (keyCols…, session_start, session_end, n_events); note
+    *         `session_end` is `last event + gap`, the window bound, not
+    *         the last event's timestamp.
+    */
+  def gapSessions(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sw") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keyCols.map(col) ++ Seq(
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events")): _*)
+
   /** Stream → JDBC upsert via foreachBatch: each micro-batch merges the
     * CHANGED windows into the summary table (update mode — so the
     * watermark actually evicts window state and write volume stays

@@ -280,6 +280,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("gapSessions: session_window across out-of-order micro-batches equals batch") {
+    // user A: two sessions (3 events from 00:00, 2 events from 01:00,
+    // 10-min gap); user B: a singleton. The SECOND session's file arrives
+    // FIRST — session merging must absorb the earlier events from a later
+    // micro-batch. A far-future sentinel closes the watermark.
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val header = "user_id,ts"
+    def r(u: String, t: String) = s"$u,2024-10-16T${t}.000Z"
+    val base = System.currentTimeMillis()
+    Seq(
+      Seq(header, r("A", "01:00:00"), r("A", "01:01:00")),
+      Seq(header, r("A", "00:00:00"), r("A", "00:02:00"), r("A", "00:03:00"),
+        r("B", "00:30:00")),
+      Seq(header, r("Z", "10:00:00"))
+    ).zipWithIndex.foreach { case (lines, i) =>
+      FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir)
+    val q = StreamingPipeline.gapSessions(stream, Seq("user_id"), "ts",
+      gap = "10 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") =!= "Z") // trailing open session never emits
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+
+    val batchEvents = Seq(
+      ("A", "2024-10-16 01:00:00"), ("A", "2024-10-16 01:01:00"),
+      ("A", "2024-10-16 00:00:00"), ("A", "2024-10-16 00:02:00"),
+      ("A", "2024-10-16 00:03:00"), ("B", "2024-10-16 00:30:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val expected = CycleDetection.sessionizeByGap(
+        batchEvents, Seq("user_id"), "ts", gapSeconds = 600L,
+        orderTiebreak = Seq(col("ts").asc))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(expected.size == 3 && streamed == expected)
+  }
+
   test("dropDuplicatesWithinWatermark: replayed delivery still yields exactly-once rows") {
     // simulate at-least-once file delivery: second batch re-delivers the
     // first 200 rows verbatim
