@@ -165,4 +165,52 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"seed=$seed")
     }
   }
+
+  test("chunk: every token appears in ceil-coverage windows on random docs") {
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(3000 + seed)
+      val docs = List.tabulate(8) { i =>
+        (i.toLong, List.fill(1 + rnd.nextInt(40))(s"t${rnd.nextInt(9)}")
+          .zipWithIndex.map { case (w, p) => s"$w$p" }.mkString(" "))
+      }
+      val win = 1 + rnd.nextInt(8)
+      val st = 1 + rnd.nextInt(win) // stride in [1, win]
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.Packing.chunk(df, win, st)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").toList
+        val chunks = got(id)
+        // driver-side replay of the slice arithmetic
+        val expected =
+          if (toks.length <= win) List(toks)
+          else {
+            val n = math.ceil((toks.length - win).toDouble / st).toInt + 1
+            List.tabulate(n)(i => toks.slice(i * st, i * st + win))
+          }
+        assert(chunks == expected.map(_.mkString(" ")), s"seed=$seed doc=$id")
+        // total coverage: concatenating stride-heads + last-chunk tail
+        // reconstructs the doc
+        assert(chunks.flatMap(_.split(" ")).toSet == toks.toSet, s"seed=$seed doc=$id")
+      }
+    }
+  }
+
+  test("resampleToMixture: raising one share only ever ADDS copies (monotone)") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    def copies(share: Double): Map[Long, Int] =
+      graft.ops.Curation.resampleToMixture(docs, Map("src0" -> share, "src1" -> 0.1))
+        .filter($"source" === "src0")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().map { case (d, n) => d -> n.toInt }.toMap
+    val lo = copies(0.10)
+    val hi = copies(0.25)
+    assert(lo.nonEmpty)
+    // monotone per doc: the content coin is fixed, the threshold only rises
+    lo.foreach { case (d, n) => assert(hi(d) >= n, s"doc $d lost copies") }
+    assert(hi.values.sum > lo.values.sum)
+  }
 }
