@@ -81,10 +81,14 @@ object Layouts {
       dims: Seq[Column],
       bits: Int = 16,
       numFiles: Int = 32): Unit = {
-    df.withColumn("__graft_z", zValue(dims, bits))
-      .repartitionByRange(numFiles, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
+    // collision-free internal name: lengthen until it is not a column of
+    // `df`, so an input that already owns "__graft_z" is never clobbered
+    var z = "__graft_z"
+    while (df.columns.contains(z)) z += "_"
+    df.withColumn(z, zValue(dims, bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -326,12 +326,30 @@ object TextDedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val p = pairs.select(col("d1"), col("d2")).persist()
-    // mixed-type pair columns (d1 int / d2 long, caller-built) are only
-    // handled by the distributed path's union coercion — keep them there
-    val sameType =
-      pairs.schema("d1").dataType == pairs.schema("d2").dataType
-    if (sameType && p.count() <= localFinishMaxEdges) {
+    // a pair with a null endpoint carries no component information (no
+    // doc has a null id) — drop it up front so BOTH paths see the same
+    // graph: the local union-find would NPE on null, and the distributed
+    // join semantics would silently strand the null side
+    val p = pairs.select(col("d1"), col("d2"))
+      .filter(col("d1").isNotNull && col("d2").isNotNull).persist()
+    // local endgame only for id types whose JVM ordering provably matches
+    // Spark's min() ordering (strings via the UTF-8 compare below,
+    // numerics/decimal/date/timestamp via Comparable); anything else —
+    // mixed d1/d2 types (union coercion), BinaryType (not Comparable),
+    // structs — stays on the distributed path, so which path runs can
+    // never change the answer or turn into a type crash at a data-size
+    // threshold
+    val dt1 = pairs.schema("d1").dataType
+    val localSafe = dt1 == pairs.schema("d2").dataType && (dt1 match {
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    })
+    if (localSafe && p.count() <= localFinishMaxEdges) {
       val rows = p.collect()
       p.unpersist()
       return localUnionFind(pairs, rows)

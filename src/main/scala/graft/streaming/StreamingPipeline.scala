@@ -78,6 +78,15 @@ object StreamingPipeline {
     * event-time timeout pinned to their earliest pending event, so a
     * machine that goes quiet still flushes as the global watermark
     * advances.
+    *
+    * State lifetime: a drained group keeps `Buffered(Nil, inner)` forever
+    * because `inner` (the cycle counter / open-cycle start) must survive
+    * quiet periods — dropping it would restart cycle numbering when the
+    * machine wakes. Total state is therefore O(#machines-ever-seen), the
+    * same bounded-fleet assumption the unordered variants document; a
+    * deployment with unbounded key churn (keys that are retired forever)
+    * should add a terminal-event protocol that calls `state.remove()`,
+    * which this generic wrapper cannot infer.
     */
   private def orderedStateful[S, O](
       clean: Dataset[CleanedEvent], delay: String, initial: S)(
@@ -125,9 +134,9 @@ object StreamingPipeline {
     * Events inside one micro-batch are sorted by (event_timestamp,
     * parameter_name) before applying the counter — same order as the batch
     * window; ties never involve Cycle_Start so assignment is deterministic.
-    * Cross-batch disorder is NOT absorbed here — wrap the input in
-    * [[reorderByEventTime]] when the source can deliver an older event in
-    * a later micro-batch. State is one Long per machine: O(#machines), no
+    * Cross-batch disorder is NOT absorbed here — use the reorder-buffered
+    * variant [[withCycleSeqOrdered]] when the source can deliver an older
+    * event in a later micro-batch. State is one Long per machine: O(#machines), no
     * timeout needed for a bounded fleet (add a timeout if machines churn).
     */
   def withCycleSeq(clean: Dataset[CleanedEvent]): Dataset[SeqEvent] = {
@@ -302,9 +311,9 @@ object StreamingPipeline {
     * cycle rows replicate [[cycleTimes]]'s emission rules, including the
     * End-less cycle closed with 0.0 by the next Start and the final
     * open cycle never emitting (the documented stream/batch divergence).
-    * Events are ordered per micro-batch only — compose with
-    * [[reorderByEventTime]] upstream when delivery can reorder events
-    * across micro-batches.
+    * Events are ordered per micro-batch only — use
+    * [[summaryRowsOrdered]] when delivery can reorder events across
+    * micro-batches.
     */
   def summaryRows(clean: Dataset[CleanedEvent]): Dataset[SummaryRow] = {
     import clean.sparkSession.implicits._
