@@ -326,12 +326,17 @@ object TextDedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // a pair with a null endpoint carries no component information (no
-    // doc has a null id) — drop it up front so BOTH paths see the same
-    // graph: the local union-find would NPE on null, and the distributed
-    // join semantics would silently strand the null side
-    val p = pairs.select(col("d1"), col("d2"))
-      .filter(col("d1").isNotNull && col("d2").isNotNull).persist()
+    // a pair with a null endpoint carries no EDGE information (no doc has
+    // a null id) — exclude it from the edge set so the local union-find
+    // can't NPE and the distributed joins can't strand the null side. But
+    // the non-null endpoint is still a vertex of the graph: it gets a
+    // singleton cluster row (matching the pre-round-5 distributed
+    // behavior, where its self-loop emitted it), instead of vanishing
+    // from the output. Only rows where BOTH endpoints are null drop.
+    val ends = pairs.select(col("d1"), col("d2"))
+    val p = ends.filter(col("d1").isNotNull && col("d2").isNotNull).persist()
+    val singles = ends.filter(col("d1").isNull =!= col("d2").isNull)
+      .select(coalesce(col("d1"), col("d2")).as("src")).distinct().persist()
     // local endgame only for id types whose JVM ordering provably matches
     // Spark's min() ordering (strings via the UTF-8 compare below,
     // numerics/decimal/date/timestamp via Comparable); anything else —
@@ -339,23 +344,29 @@ object TextDedup {
     // structs — stays on the distributed path, so which path runs can
     // never change the answer or turn into a type crash at a data-size
     // threshold
+    // Float/Double are NOT localSafe: Spark SQL normalizes -0.0 to 0.0 in
+    // grouping/min, while java.lang.Double.compareTo orders -0.0 < 0.0
+    // and a HashMap keeps them as distinct keys — the two paths could
+    // disagree on vertex identity and keeper label for signed zeros.
     val dt1 = pairs.schema("d1").dataType
     val localSafe = dt1 == pairs.schema("d2").dataType && (dt1 match {
       case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
            org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
            org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType => true
       case _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     })
-    if (localSafe && p.count() <= localFinishMaxEdges) {
+    if (localSafe && p.count() + singles.count() <= localFinishMaxEdges) {
       val rows = p.collect()
+      val singleVerts = singles.collect().map(_.get(0))
       p.unpersist()
-      return localUnionFind(pairs, rows)
+      singles.unpersist()
+      return localUnionFind(pairs, rows, singleVerts)
     }
     val verts = p.select(col("d1").as("src"))
-      .union(p.select(col("d2").as("src"))).distinct()
+      .union(p.select(col("d2").as("src")))
+      .union(singles).distinct()
     // self-loops fold "keep own label" into the neighbor-min aggregation,
     // so the loop body is one join + one groupBy — no per-round union
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
@@ -396,6 +407,7 @@ object TextDedup {
     }
     edges.unpersist()
     p.unpersist()
+    singles.unpersist()
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"clusters() hit maxIter=$maxIter before converging: a component with " +
@@ -411,7 +423,10 @@ object TextDedup {
     * mutually comparable — longs, strings, …, as the distributed min
     * aggregation already requires).
     */
-  private def localUnionFind(pairs: DataFrame, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+  private def localUnionFind(
+      pairs: DataFrame,
+      rows: Array[org.apache.spark.sql.Row],
+      singleVerts: Array[Any] = Array.empty): DataFrame = {
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: String, y: String) =>
         // Spark's min() on strings orders by UTF-8 BYTES; String.compareTo
@@ -436,6 +451,8 @@ object TextDedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
+    // vertices whose only pairs had a null partner: singleton components
+    singleVerts.foreach(v => parent.getOrElseUpdate(v, v))
     rows.foreach { row =>
       val (a, b) = (row.get(0), row.get(1))
       parent.getOrElseUpdate(a, a)
