@@ -97,7 +97,8 @@ object Similarity {
       dim: Int = 64,
       multiProbe: Boolean = true,
       seed: Long = 42L,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     val s = emb.sparkSession
     // persisted + forced: both sides of the bucket self-join read this
     // frame, and without materialization each side re-pays the
@@ -147,7 +148,10 @@ object Similarity {
           dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
         .filter(col("cosine") >= tau)
         .select("a_id", "b_id", "cosine")
-        .localCheckpoint()
+        // reliable checkpoint on a cluster (survives executor loss),
+        // executor-memory localCheckpoint in local mode — see
+        // TextDedup.eager
+        .transform(TextDedup.eager(_, checkpointDir))
     } finally {
       withB.unpersist()
       ()

@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Eagerly materialize a (small) result so upstream persists can be
+    * dropped before the function returns. Default `localCheckpoint` keeps
+    * the blocks in executor memory — fine in local mode, but on a real
+    * cluster those blocks die with their executor and the job with them.
+    * Pass `checkpointDir` (HDFS/S3) there: `checkpoint()` writes to
+    * reliable storage and survives routine executor loss. Same contract
+    * [[clusters]] has carried since round 4, now shared by every eager
+    * call site in the dedup/similarity family.
+    */
+  private[graft] def eager(df: DataFrame, checkpointDir: Option[String]): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** Exact duplicate groups by content hash. At scale this is one shuffle
     * on a 128-bit key; the text column itself is never shuffled.
     */
@@ -34,11 +48,16 @@ object TextDedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leadCols = (1 until k).map(i => lead(col("word"), i).over(w).as(s"w$i"))
-    docs
-      // a documents table often arrives as a handful of parquet files —
-      // far fewer splits than cores; everything downstream is CPU-bound,
-      // so spread it across the cluster first
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // a documents table often arrives as a handful of parquet files — far
+    // fewer splits than cores; everything downstream is CPU-bound, so
+    // spread it across the cluster first. But ONLY when actually
+    // under-split: a 100 TB input already has thousands of healthy
+    // partitions, and an unconditional repartition would full-shuffle the
+    // raw text column for nothing. getNumPartitions is a plan property —
+    // reading it runs no job.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .select(col(idCol) +: col("word") +: leadCols: _*)
       .filter((1 until k).map(i => col(s"w$i").isNotNull)
@@ -64,7 +83,8 @@ object TextDedup {
       k: Int = 2,
       tau: Double = 0.8,
       maxShingleDf: Long = 1000L,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     // One shingling pass feeds four consumers (sizes, df counts, prefix
     // ranking, verification sets) — materialize it once for the scope of
     // this call and return the (small) verified pair list eagerly via
@@ -82,7 +102,7 @@ object TextDedup {
       // them finishes writing the cache (measured 2× on a quality-gated
       // input whose lineage carries a join).
       sh.count()
-      jaccardPairsOn(sh, tau, maxShingleDf, idCol).localCheckpoint()
+      eager(jaccardPairsOn(sh, tau, maxShingleDf, idCol), checkpointDir)
     } finally {
       sh.unpersist()
       ()
@@ -209,7 +229,8 @@ object TextDedup {
       tau: Double = 0.8,
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
     // exact layer: one anti-join on the 128-bit content hash. Persisted:
     // it feeds BOTH the batch shingling and the final anti-join.
     val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
@@ -241,7 +262,7 @@ object TextDedup {
         .select("d1", "d2").distinct()
       val losers = verifyJaccard(candidates, shNew.unionByName(shOld), tau, idCol)
         .select(col("d1").as(idCol)).distinct()
-      exactSurvivors.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+      eager(exactSurvivors.join(losers, Seq(idCol), "left_anti"), checkpointDir)
     } finally {
       shNew.unpersist()
       shOld.unpersist()

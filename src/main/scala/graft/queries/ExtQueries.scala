@@ -847,12 +847,14 @@ object ExtQueries {
             .otherwise(col("props")).as("props"))
           .withColumn("p", from_json(col("props"), schema,
             Map("columnNameOfCorruptRecord" -> "_corrupt")))
-          // explicit null/empty gate: from_json yields a null struct (null
-          // _corrupt) for null or empty-string input, which the _corrupt
-          // channel alone would misread as VALID — while any JSON validity
-          // oracle (and the quarantine contract) calls those invalid
+          // explicit null/blank gate: from_json yields a null struct (null
+          // _corrupt) for null, empty-string, AND whitespace-only input,
+          // which the _corrupt channel alone would misread as VALID —
+          // while any JSON validity oracle (and the quarantine contract)
+          // calls all three invalid. trim() makes whitespace-only agree
+          // with empty on both engines.
           .withColumn("is_valid",
-            (col("props").isNotNull && length(col("props")) > 0 &&
+            (col("props").isNotNull && length(trim(col("props"))) > 0 &&
               col("p._corrupt").isNull).cast("int"))
           .groupBy("is_valid")
           .agg(count(lit(1)).as("n"),
@@ -863,10 +865,10 @@ object ExtQueries {
         |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 2)
         |         ELSE props END AS props
         |  FROM events)
-        |SELECT CAST(CASE WHEN props IS NOT NULL AND length(props) > 0
+        |SELECT CAST(CASE WHEN props IS NOT NULL AND length(trim(props)) > 0
         |                  AND json_valid(props) THEN 1 ELSE 0 END AS INT) AS is_valid,
         |  count(*) AS n,
-        |  CAST(sum(CASE WHEN props IS NOT NULL AND length(props) > 0 AND json_valid(props)
+        |  CAST(sum(CASE WHEN props IS NOT NULL AND length(trim(props)) > 0 AND json_valid(props)
         |            THEN CAST(json_extract_string(props, '$.k') AS INT) END) AS BIGINT)
         |    AS k_sum
         |FROM dirty GROUP BY 1""".stripMargin))

@@ -94,6 +94,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("jaccardPairs/incrementalSurvivors with a reliable checkpoint dir equal the default path") {
+    // the checkpointDir option swaps executor-memory localCheckpoint for a
+    // reliable checkpoint (the cluster-survivability path) — results must
+    // be identical either way
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val default = pairSet(TextDedup.jaccardPairs(docs, k = 2, tau = 0.8))
+    val reliable = pairSet(TextDedup.jaccardPairs(docs, k = 2, tau = 0.8,
+      checkpointDir = Some(dir2)))
+    assert(default.nonEmpty && reliable == default)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val survDefault = TextDedup.incrementalSurvivors(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val survReliable = TextDedup.incrementalSurvivors(batch, corpus,
+      checkpointDir = Some(dir2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survDefault.nonEmpty && survReliable == survDefault)
+  }
+
   test("clusters: local and distributed paths pick the same keeper for non-BMP ids") {
     // U+F900 is ONE UTF-16 code unit above the surrogate range; U+1F600
     // (emoji) encodes as a surrogate pair that String.compareTo sorts

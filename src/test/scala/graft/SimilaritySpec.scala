@@ -50,6 +50,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallProbed >= 0.9, s"probed recall $recallProbed of ${brute.size}")
   }
 
+  test("lshPairs with a reliable checkpoint dir equals the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_ckpt").toString
+    val default = Similarity.lshPairs(emb, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val reliable = Similarity.lshPairs(emb, 0.4, checkpointDir = Some(dir))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(default.nonEmpty && reliable == default)
+  }
+
   test("IVF top-k recall@10 vs exact top-k") {
     val queries = emb.filter($"vec_id" < 10)
     val exact = Similarity.topK(emb, queries, k = 10)
