@@ -207,4 +207,24 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.forall(_._1 == 1L))
     assert(sh.map(_._2).sorted == Seq("a b", "b a", "b c", "c b")) // distinct
   }
+
+  test("shingles only repartitions an under-split input") {
+    // the spread-across-the-cluster repartition is for few-files inputs; a
+    // well-split (100 TB) input must NOT pay a full shuffle of the raw
+    // text column. The window's hashpartitioning exchange is inherent —
+    // the round-robin one from repartition(n) is what must be conditional.
+    def roundRobins(df: org.apache.spark.sql.DataFrame): Int =
+      "(?i)Exchange RoundRobinPartitioning".r
+        .findAllIn(TextDedup.shingles(df, 2).queryExecution.executedPlan.toString).size
+    val par = spark.sparkContext.defaultParallelism
+    // localCheckpoint truncates lineage so the input's OWN repartition
+    // doesn't appear in the measured plan
+    val wellSplit = docs.repartition(par + 1).localCheckpoint()
+    assert(wellSplit.rdd.getNumPartitions >= par)
+    assert(roundRobins(wellSplit) == 0,
+      "pre-partitioned input must not be repartitioned again")
+    // positive control: an under-split input still gets spread out
+    assert(roundRobins(docs.coalesce(1).localCheckpoint()) == 1,
+      "single-partition input must be spread across the cluster")
+  }
 }
