@@ -386,8 +386,110 @@ object StreamingPipeline {
   def hourlySummaryStream(
       clean: Dataset[CleanedEvent],
       rules: Seq[graft.model.EventRule],
+      watermark: String = "2 hours"): DataFrame =
+    summaryAggregate(
+      graft.ops.ErrorRules.flag(summaryRows(clean).toDF(), rules), Some(watermark))
+
+  /** The FULL streaming hourly summary over OUT-OF-ORDER delivery, as ONE
+    * query: [[summaryRowsOrdered]]'s reorder buffer feeding the 19-column
+    * windowed aggregation.
+    *
+    * Why the aggregation carries NO watermark here (unlike
+    * [[hourlySummaryStream]]): a second `withWatermark(cycle_start_ts)`
+    * node downstream of the buffer deadlocks the query — the engine's
+    * global watermark is the MIN across watermark nodes, the downstream
+    * node stays at epoch until it observes rows, and the buffer releases
+    * rows only once the global watermark advances. Measured, not
+    * theorized: the chained form stalls with `watermark: 1970-01-01` in
+    * the query progress forever. So this single-query form aggregates
+    * without a watermark, which means (a) it must be consumed in UPDATE
+    * mode (a window re-emits whenever a released row lands in it — pair
+    * it with an upsert sink keyed on (date, hour, machine), exactly
+    * [[startJdbcUpsert]]'s contract), and (b) window state is never
+    * evicted: O(hours-seen × machines). For a bounded fleet that is a few
+    * hundred rows per machine-year; an always-on unbounded deployment
+    * should use the two-query relay ([[summaryRowsToParquet]] →
+    * [[hourlySummaryFromRows]]) whose aggregation evicts in append mode.
+    *
+    * Spark's conservative multi-stateful-operator check
+    * (`spark.sql.streaming.statefulOperator.checkCorrectness.enabled`)
+    * flags the FMGWS→aggregation chain; the buffer only releases rows the
+    * watermark already passed, so the chain is safe and the check must be
+    * disabled for this query. This method refuses to build otherwise, so
+    * the failure is an explanation instead of a mid-query
+    * AnalysisException.
+    */
+  def hourlySummaryStreamOrdered(
+      clean: Dataset[CleanedEvent],
+      rules: Seq[graft.model.EventRule],
+      delay: String): DataFrame = {
+    val conf = clean.sparkSession.conf
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    require(!conf.get(checkKey, "true").toBoolean,
+      s"hourlySummaryStreamOrdered chains a reorder buffer into an aggregation; " +
+        s"Spark's conservative correctness check rejects that chain. Set " +
+        s"$checkKey=false — safe here because the buffer only releases rows " +
+        s"the watermark has passed (see scaladoc).")
+    summaryAggregate(
+      graft.ops.ErrorRules.flag(summaryRowsOrdered(clean, delay).toDF(), rules),
+      watermark = None)
+  }
+
+  /** Query 1 of the two-query relay for ordered full-summary streaming at
+    * scale: reorder-buffered tagged summary rows appended to a parquet
+    * directory. Breaking the pipeline at a durable boundary is what gives
+    * BOTH stages correct watermarks — a single query cannot carry a
+    * second watermark node downstream of the buffer (see
+    * [[hourlySummaryStreamOrdered]]), but a fresh query over the relay
+    * directory derives its own watermark from `cycle_start_ts` and so
+    * aggregates in APPEND mode with full state eviction. The relay is
+    * also the natural restart point: each query checkpoints
+    * independently, and the parquet handoff is exactly-once (file-source
+    * reads are idempotent, the file sink commits atomically via its
+    * manifest).
+    */
+  def summaryRowsToParquet(
+      clean: Dataset[CleanedEvent],
+      delay: String,
+      relayDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    summaryRowsOrdered(clean, delay).toDF()
+      .writeStream.format("parquet")
+      .option("path", relayDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** Query 2 of the relay: the 19-column summary over the relay
+    * directory's summary rows, watermarked on `cycle_start_ts` (its own
+    * single watermark node — no chaining hazard) and therefore
+    * append-capable: each (hour, machine) row emits exactly once, when
+    * the watermark passes its window, and its state is evicted. The
+    * `watermark` must cover the upstream reorder `delay` plus the span of
+    * one cycle — a released row's `cycle_start_ts` lags the event time
+    * driving new relay files by at most that much.
+    */
+  def hourlySummaryFromRows(
+      spark: SparkSession,
+      relayDir: String,
+      rules: Seq[graft.model.EventRule],
       watermark: String = "2 hours"): DataFrame = {
-    val flagged = graft.ops.ErrorRules.flag(summaryRows(clean).toDF(), rules)
+    import spark.implicits._
+    val rows = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SummaryRow]].schema)
+      .parquet(relayDir)
+    summaryAggregate(graft.ops.ErrorRules.flag(rows, rules), Some(watermark))
+  }
+
+  /** The shared 19-column windowed aggregation over tagged summary rows
+    * (see [[hourlySummaryStream]] for the semantics). `watermark = None`
+    * aggregates without a watermark node — update-mode-only, state never
+    * evicted (see [[hourlySummaryStreamOrdered]] for when that trade is
+    * right).
+    */
+  private def summaryAggregate(
+      flagged0: DataFrame, watermark: Option[String]): DataFrame = {
+    val flagged = watermark.fold(flagged0)(flagged0.withWatermark("cycle_start_ts", _))
     val ev = col("side") === "e"
     val cy = col("side") === "c"
     def forceValue(event: String) =
@@ -397,7 +499,6 @@ object StreamingPipeline {
       sum(when(ev && col("parameter_name") === param && col("event_name") === event &&
         col("is_error") === 1, 1).otherwise(0))
     val agg = flagged
-      .withWatermark("cycle_start_ts", watermark)
       .groupBy(window(col("cycle_start_ts"), "1 hour").as("w"), col("machine_id"))
       .agg(
         avg(forceValue("Pick_Check")).as("avg_pick_force"),

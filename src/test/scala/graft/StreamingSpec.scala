@@ -280,6 +280,105 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("hourlySummaryStreamOrdered: full 19-column summary equals batch under cross-batch out-of-order delivery") {
+    // Cycle B is SPLIT across files out of event-time order: its Pick and
+    // End rows arrive a micro-batch BEFORE its Start. The unordered
+    // variant drops the Pick (no open cycle yet) and times B wrong; the
+    // reorder buffer must reassemble it. M2's later closed cycle exists
+    // to be RELEASED by the buffer (unlike the far-future pusher, which
+    // stays buffered), driving the aggregation watermark past M1's hour
+    // window so append mode actually emits it — the full eviction path,
+    // not just update-mode re-emission.
+    val header = "timestamp,machine_id,event_name,parameter_name,value"
+    def cyc(m: String, base: String): Seq[String] = Seq(
+      s"${base}:00.000Z,$m,Cycle_Start,,",
+      s"${base}:00.100Z,$m,Pick_Check,PP_Force,80.0",
+      s"${base}:00.500Z,$m,Cycle_End,,")
+    val b = cyc("M1", "2024-10-16T00:10")
+    val dir = Files.createTempDirectory("graft_sum_ord").toString
+    val base = System.currentTimeMillis()
+    Seq(
+      header +: Seq(b(1), b(2)),                   // B's Pick+End, Start missing
+      header +: (b.head +: cyc("M1", "2024-10-16T00:00")), // B's Start + cycle A
+      header +: cyc("M1", "2024-10-16T00:20"),     // cycle C
+      header +: cyc("M2", "2024-10-16T06:00"),     // releasable flush cycle
+      Seq(header, "2024-10-20T00:00:00.000Z,M3,Cycle_Start,,") // watermark pusher
+    ).zipWithIndex.foreach { case (lines, i) =>
+      FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+    val oracleCsv = Files.createTempDirectory("graft_sum_ord_oracle").toString + "/all.csv"
+    FixtureGen.writeCsv(oracleCsv, header +: (
+      cyc("M1", "2024-10-16T00:00") ++ b ++ cyc("M1", "2024-10-16T00:20")))
+
+    def cleanStream() = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+
+    // batch oracle: every M1 cycle closes with an explicit End, so no
+    // trailing-open-cycle exclusion is needed
+    val (events, cycles) = CycleDetection.detect(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, oracleCsv)))
+    val flagged = graft.ops.ErrorRules.flag(events, graft.model.Rules.referenceDefaults)
+    val expected = graft.ops.HourlyRollup.hourlySummary(flagged, cycles, cycles)
+      .filter(col("machine_id") === "M1").collect().toSet
+    assert(expected.nonEmpty)
+
+    // non-vacuity: the UNORDERED composition mis-times cycle B (its End
+    // arrives before its Start) — out-of-order delivery has to matter
+    val qUn = StreamingPipeline.hourlySummaryStream(
+        cleanStream(), graft.model.Rules.referenceDefaults)
+      .writeStream.format("memory").queryName("sum_unord").outputMode("append").start()
+    try qUn.processAllAvailable() finally qUn.stop()
+    val unordered = spark.table("sum_unord")
+      .filter(col("machine_id") === "M1").collect().toSet
+    assert(unordered != expected,
+      "fixture must be order-sensitive or the test proves nothing")
+
+    // path 1 — single-query composition (update mode + upsert semantics):
+    // refuses to build while the conservative check would kill the query
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    assertThrows[IllegalArgumentException] {
+      StreamingPipeline.hourlySummaryStreamOrdered(
+        cleanStream(), graft.model.Rules.referenceDefaults, "1 hour")
+    }
+    spark.conf.set(checkKey, "false")
+    val singleQuery =
+      try {
+        val summary = StreamingPipeline.hourlySummaryStreamOrdered(
+          cleanStream(), graft.model.Rules.referenceDefaults, "1 hour")
+        val schema = summary.schema
+        StreamingSpec.summaryRows.clear()
+        val q = summary.writeStream.outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            StreamingSpec.summaryRows.synchronized {
+              df.collect().foreach { r =>
+                StreamingSpec.summaryRows((r.getDate(0), r.getInt(1), r.getString(2))) = r
+              }
+            }: Unit
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        spark.createDataFrame(
+            java.util.Arrays.asList(StreamingSpec.summaryRows.values.toSeq: _*), schema)
+          .filter(col("machine_id") === "M1").collect().toSet
+      } finally spark.conf.set(checkKey, "true")
+    assert(singleQuery == expected)
+
+    // path 2 — two-query relay (append mode, full state eviction): rows
+    // land in a parquet relay dir; a second query with its OWN watermark
+    // on cycle_start_ts aggregates and emits each window exactly once
+    val relay = Files.createTempDirectory("graft_sum_relay").toString
+    val q1 = StreamingPipeline.summaryRowsToParquet(
+      cleanStream(), "1 hour", s"$relay/rows", s"$relay/ckpt1")
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = StreamingPipeline.hourlySummaryFromRows(
+        spark, s"$relay/rows", graft.model.Rules.referenceDefaults)
+      .writeStream.format("memory").queryName("sum_relay").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val relayed = spark.table("sum_relay")
+      .filter(col("machine_id") === "M1").collect().toSet
+    assert(relayed == expected)
+  }
+
   test("gapSessions: session_window across out-of-order micro-batches equals batch") {
     // user A: two sessions (3 events from 00:00, 2 events from 01:00,
     // 10-min gap); user B: a singleton. The SECOND session's file arrives
