@@ -53,7 +53,9 @@ object StreamingPipeline {
     * check (the buffer emits rows at/behind the watermark, which a
     * downstream stateful operator must treat as late).
     */
-  final case class Buffered[S](pending: List[CleanedEvent], inner: S)
+  final case class Buffered[S](
+      pending: List[CleanedEvent], inner: S,
+      lastReleasedMs: Long = Long.MinValue)
 
   /** Event-time-ordered stateful processing — the cure for the one
     * stream/batch divergence a per-batch sort cannot fix: an event that
@@ -79,17 +81,42 @@ object StreamingPipeline {
     * machine that goes quiet still flushes as the global watermark
     * advances.
     *
-    * State lifetime: a drained group keeps `Buffered(Nil, inner)` forever
-    * because `inner` (the cycle counter / open-cycle start) must survive
-    * quiet periods — dropping it would restart cycle numbering when the
-    * machine wakes. Total state is therefore O(#machines-ever-seen), the
-    * same bounded-fleet assumption the unordered variants document; a
-    * deployment with unbounded key churn (keys that are retired forever)
-    * should add a terminal-event protocol that calls `state.remove()`,
-    * which this generic wrapper cannot infer.
+    * State lifetime: by default a drained group keeps `Buffered(Nil,
+    * inner)` forever because `inner` (the cycle counter / open-cycle
+    * start) must survive quiet periods — dropping it would restart cycle
+    * numbering when the machine wakes. Total state is therefore
+    * O(#machines-ever-seen), the same bounded-fleet assumption the
+    * unordered variants document.
+    *
+    * `idleTtl` opts into expiry for unbounded key churn (keys retired
+    * forever). The rule is defined in EVENT time so it is deterministic —
+    * independent of micro-batch boundaries and wall clocks: a key whose
+    * gap between consecutive (released) events exceeds the TTL restarts
+    * from `initial` at the next event. It is enforced twice, consistently:
+    * in-band, each released event more than TTL after the previous one
+    * resets `inner` before being processed (this is what makes the
+    * semantics exact — a timeout-only design silently keeps the counter
+    * when the reviving batch arrives together with the expiry timeout);
+    * and via an event-time timeout that `state.remove()`s a drained group
+    * once the watermark passes its last event + TTL (this is what makes
+    * the STATE shrink — the in-band rule alone would keep a row per
+    * retired key forever). A revival after removal re-creates the group
+    * at `initial`, which is exactly what the gap rule would have done —
+    * the two mechanisms can never disagree.
+    *
+    * The design decision, written down: expiry drops `inner` (cycle
+    * numbering restarts at 1 on revival). Keeping a counter snapshot
+    * forever is indistinguishable from not evicting — the state IS the
+    * counter — so the contract is: choose a TTL longer than any
+    * legitimate quiet period; keys active within the TTL keep exact
+    * numbering. Groups with a non-empty buffer never expire (their
+    * timeout is the release schedule, which always fires first, and the
+    * watermark can't be TTL past a pending event while that event is
+    * still unreleasable).
     */
   private def orderedStateful[S, O](
-      clean: Dataset[CleanedEvent], delay: String, initial: S)(
+      clean: Dataset[CleanedEvent], delay: String, initial: S,
+      idleTtl: Option[String] = None)(
       step: (String, S, CleanedEvent, scala.collection.mutable.ArrayBuffer[O]) => S)(
       implicit bt: scala.reflect.runtime.universe.TypeTag[Buffered[S]],
       ot: scala.reflect.runtime.universe.TypeTag[O]): Dataset[O] = {
@@ -97,6 +124,7 @@ object StreamingPipeline {
     implicit val bEnc: org.apache.spark.sql.Encoder[Buffered[S]] = ExpressionEncoder()
     implicit val oEnc: org.apache.spark.sql.Encoder[O] = ExpressionEncoder()
     import clean.sparkSession.implicits._
+    val ttlMs = idleTtl.map(msOf)
     clean
       .withWatermark("event_timestamp", delay)
       .groupByKey(_.machine_id)
@@ -106,6 +134,13 @@ object StreamingPipeline {
           val st = state.getOption.getOrElse(Buffered(Nil, initial))
           val pending = st.pending ++ events
           val wm = state.getCurrentWatermarkMs()
+          // a TTL timeout (timed out with an empty buffer) is the idle
+          // eviction firing: drop the whole group. A timeout WITH pending
+          // events is the release schedule — fall through and process.
+          if (ttlMs.isDefined && state.hasTimedOut && pending.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
           // STRICTLY below the watermark: Spark's late-data drop is also
           // strict, so an event with ts == wm can still arrive in a later
           // micro-batch — releasing ties here would process it after its
@@ -116,17 +151,45 @@ object StreamingPipeline {
           val (ripe, hold) = pending.partition(_.event_timestamp.getTime < wm)
           val out = scala.collection.mutable.ArrayBuffer[O]()
           var inner = st.inner
+          var lastMs = st.lastReleasedMs
           ripe.sortBy(e => (e.event_timestamp.getTime, e.parameter_name))
-            .foreach { e => inner = step(machine, inner, e, out) }
-          state.update(Buffered(hold, inner))
+            .foreach { e =>
+              val ts = e.event_timestamp.getTime
+              // in-band expiry: an event-time gap beyond the TTL restarts
+              // the wrapped stage, batch boundaries notwithstanding
+              ttlMs.foreach { t =>
+                if (lastMs != Long.MinValue && ts - lastMs > t) inner = initial
+              }
+              inner = step(machine, inner, e, out)
+              lastMs = ts
+            }
+          state.update(Buffered(hold, inner, lastMs))
           if (hold.nonEmpty)
             // earliest pending ts is >= wm by construction (> wm is what
             // the API requires only of FUTURE timestamps; max(_, wm+1)
             // keeps an == wm tie legal and fires on the next advance)
             state.setTimeoutTimestamp(
               math.max(hold.map(_.event_timestamp.getTime).min, wm + 1))
+          else
+            // drained: arm the state-shrinking expiry clock at last event
+            // + TTL in event time (wm+1 floor keeps the API's
+            // must-be-future rule when the watermark already overtook it).
+            // Any new event re-enters this function and re-arms it.
+            ttlMs.foreach { t =>
+              val base = if (lastMs != Long.MinValue) lastMs else wm
+              state.setTimeoutTimestamp(math.max(base + t, wm + 1))
+            }
           out.iterator
+          }
       }
+  }
+
+  /** Calendar-interval string → milliseconds (day-time intervals only). */
+  private def msOf(d: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    require(i.months == 0, s"month-based intervals unsupported here: $d")
+    i.days * 86400000L + i.microseconds / 1000L
   }
 
   /** Streaming W2: per-machine running Cycle_Start counter in group state.
@@ -171,8 +234,9 @@ object StreamingPipeline {
     * watermark-late — the same contract as every watermarked stage).
     */
   def withCycleSeqOrdered(
-      clean: Dataset[CleanedEvent], delay: String): Dataset[SeqEvent] =
-    orderedStateful(clean, delay, 0L)(cycleSeqStep)
+      clean: Dataset[CleanedEvent], delay: String,
+      idleTtl: Option[String] = None): Dataset[SeqEvent] =
+    orderedStateful(clean, delay, 0L, idleTtl)(cycleSeqStep)
 
   final case class CycleOpenState(counter: Long, openStartMs: Option[Long])
 
@@ -236,8 +300,9 @@ object StreamingPipeline {
     * [[withCycleSeqOrdered]] for the contract).
     */
   def cycleTimesOrdered(
-      clean: Dataset[CleanedEvent], delay: String): Dataset[StreamCycleTime] =
-    orderedStateful(clean, delay, CycleOpenState(0L, None))(cycleTimeStep)
+      clean: Dataset[CleanedEvent], delay: String,
+      idleTtl: Option[String] = None): Dataset[StreamCycleTime] =
+    orderedStateful(clean, delay, CycleOpenState(0L, None), idleTtl)(cycleTimeStep)
 
   /** Batch cleanse re-expressed on the stream (identical expressions). */
   def cleanse(raw: DataFrame): Dataset[CleanedEvent] = {
@@ -370,8 +435,9 @@ object StreamingPipeline {
     * tighter than `delay`.
     */
   def summaryRowsOrdered(
-      clean: Dataset[CleanedEvent], delay: String): Dataset[SummaryRow] =
-    orderedStateful(clean, delay, SummaryState(0L, None, None))(summaryStep)
+      clean: Dataset[CleanedEvent], delay: String,
+      idleTtl: Option[String] = None): Dataset[SummaryRow] =
+    orderedStateful(clean, delay, SummaryState(0L, None, None), idleTtl)(summaryStep)
 
   /** The FULL streaming hourly summary — all 19 batch columns
     * ([[graft.ops.HourlyRollup.hourlySummary]] semantics) as one

@@ -280,6 +280,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("idleTtl: quiet keys are evicted from ordered state; active keys keep exact numbering") {
+    // Timeline (reorder delay 1h, TTL 2h, all event time):
+    //   M1 cycles at 00:00 and (after its TTL expired) Oct-20 12:00
+    //   M2 cycles at 00:30 and 02:00 (second arrives within TTL)
+    //   M9/M8 far-future single Starts that push the watermark
+    // Expected with TTL: M2 keeps exact numbering (1 then 2); M1's
+    // revival restarts at 1 (the documented expiry contract); final state
+    // holds only the still-live groups. Without TTL: M1's second cycle
+    // continues at 2 and every group ever seen stays in state.
+    val header = "timestamp,machine_id,event_name,parameter_name,value"
+    def cyc(m: String, base: String): Seq[String] = Seq(
+      s"${base}:00.000Z,$m,Cycle_Start,,",
+      s"${base}:00.500Z,$m,Cycle_End,,")
+    def mkDir(): String = {
+      val dir = Files.createTempDirectory("graft_ttl").toString
+      val base = System.currentTimeMillis()
+      Seq(
+        header +: (cyc("M1", "2024-10-16T00:00") ++ cyc("M2", "2024-10-16T00:30")),
+        header +: cyc("M2", "2024-10-16T02:00"),
+        Seq(header, "2024-10-20T00:00:00.000Z,M9,Cycle_Start,,"),
+        header +: cyc("M1", "2024-10-20T12:00"),
+        Seq(header, "2024-10-25T00:00:00.000Z,M8,Cycle_Start,,")
+      ).zipWithIndex.foreach { case (lines, i) =>
+        FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
+        new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+      }
+      dir
+    }
+    def run(ttl: Option[String], name: String): (Set[(String, String, Long)], Long) = {
+      val clean = StreamingPipeline.cleanse(
+        StreamingPipeline.readCsvStream(spark, mkDir(), maxFilesPerTrigger = 1))
+      val q = StreamingPipeline.withCycleSeqOrdered(clean, "1 hour", ttl).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val stateRows = q.recentProgress.reverse
+          .flatMap(_.stateOperators.headOption).head.numRowsTotal
+        val rows = spark.table(name)
+          .filter(col("event_name") === "Cycle_Start")
+          .select(col("machine_id"),
+            date_format(col("event_timestamp"), "yyyy-MM-dd HH:mm").as("t"),
+            col("cycle_seq"))
+          .as[(String, String, Long)].collect().toSet
+        (rows, stateRows)
+      } finally q.stop()
+    }
+
+    val (withTtl, stateWithTtl) = run(Some("2 hours"), "ttl_on")
+    val (noTtl, stateNoTtl) = run(None, "ttl_off")
+
+    // active-within-TTL key M2 numbers exactly like the unevicted run
+    assert(withTtl.filter(_._1 == "M2") == Set(
+      ("M2", "2024-10-16 00:30", 1L), ("M2", "2024-10-16 02:00", 2L)))
+    assert(noTtl.filter(_._1 == "M2") == withTtl.filter(_._1 == "M2"))
+    // expired M1 restarts at 1; unevicted M1 continues at 2
+    assert(withTtl.filter(_._1 == "M1") == Set(
+      ("M1", "2024-10-16 00:00", 1L), ("M1", "2024-10-20 12:00", 1L)))
+    assert(noTtl.filter(_._1 == "M1") == Set(
+      ("M1", "2024-10-16 00:00", 1L), ("M1", "2024-10-20 12:00", 2L)))
+    // and the state actually shrank: every group ever seen without TTL,
+    // only the still-live ones with it
+    assert(stateNoTtl == 4, s"expected all 4 groups retained, got $stateNoTtl")
+    assert(stateWithTtl < stateNoTtl,
+      s"TTL must evict quiet groups: $stateWithTtl vs $stateNoTtl")
+  }
+
   test("hourlySummaryStreamOrdered: full 19-column summary equals batch under cross-batch out-of-order delivery") {
     // Cycle B is SPLIT across files out of event-time order: its Pick and
     // End rows arrive a micro-batch BEFORE its Start. The unordered
