@@ -29,6 +29,16 @@ object JdbcSinks {
     def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String
   }
 
+  /** Dialect routing by JDBC URL: `jdbc:postgresql:` targets get the bulk
+    * `ON CONFLICT` merge, everything else the portable two-statement
+    * upsert. Callers that hardcode a dialect can silently miswire it to
+    * the wrong engine (Postgres merge SQL is a syntax error on Derby);
+    * route through this — and [[upsert]] refuses a Postgres dialect on a
+    * non-Postgres URL outright.
+    */
+  def dialectFor(url: String): UpsertDialect =
+    if (url.startsWith("jdbc:postgresql:")) PostgresUpsert else UpdateInsertUpsert
+
   /** PostgreSQL `INSERT … ON CONFLICT (pk) DO UPDATE SET …`. */
   case object PostgresUpsert extends UpsertDialect {
     def sql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
@@ -121,6 +131,9 @@ object JdbcSinks {
       "UpdateInsertUpsert needs at least one non-key column " +
         "(an all-key table would render 'UPDATE t SET' with no assignments); " +
         "use PostgresUpsert (ON CONFLICT DO NOTHING semantics apply) or append")
+    require(dialect != PostgresUpsert || url.startsWith("jdbc:postgresql:"),
+      s"PostgresUpsert dialect against a non-Postgres target ($url): " +
+        "ON CONFLICT is Postgres SQL; use dialectFor(url)")
     val partitioned = dialect match {
       case UpdateInsertUpsert =>
         df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)

@@ -66,7 +66,7 @@ object DailyAggregatorMain {
       JdbcSinks.append(out.enrichedEvents, url, "processed_machine_events", props)
       JdbcSinks.upsert(out.hourlySummary, url, "hourly_machine_summary",
         keyCols = Seq("summary_date", "hour_of_day", "machine_id"),
-        dialect = JdbcSinks.PostgresUpsert,
+        dialect = JdbcSinks.dialectFor(url),
         props = Map("user" -> db("DB_USER"), "password" -> db("DB_PASS"),
           "driver" -> "org.postgresql.Driver"))
       out.unpersist()

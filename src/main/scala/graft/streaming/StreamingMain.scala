@@ -81,7 +81,7 @@ object StreamingMain {
     val spark = GraftSession.local(env.getOrElse("GRAFT_CORES", "32").toInt, "graft-streaming")
     try {
       val q = run(spark, dataDir, url, "hourly_machine_summary",
-        JdbcSinks.PostgresUpsert, ckpt, rules, wm, props)
+        JdbcSinks.dialectFor(url), ckpt, rules, wm, props)
       q.awaitTermination()
     } catch {
       case e: Exception =>

@@ -91,6 +91,21 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(day == Seq(22, 23))
   }
 
+  test("dialect routing by URL: postgres gets ON CONFLICT, everything else the portable pair; miswires refuse") {
+    assert(JdbcSinks.dialectFor("jdbc:postgresql://db-host/analytics") == JdbcSinks.PostgresUpsert)
+    assert(JdbcSinks.dialectFor(url) == JdbcSinks.UpdateInsertUpsert) // Derby
+    assert(JdbcSinks.dialectFor("jdbc:h2:mem:x") == JdbcSinks.UpdateInsertUpsert)
+    // the upsert entrypoint refuses Postgres merge SQL on a non-Postgres
+    // target BEFORE any connection is opened — the miswire StreamingMain
+    // could previously have shipped (hardcoded PostgresUpsert) now fails
+    // loudly instead of as a server-side syntax error mid-stream
+    val ex = intercept[IllegalArgumentException] {
+      JdbcSinks.upsert(summary, url, "summary_wrong_dialect",
+        Seq("summary_date", "hour_of_day", "machine_id"), JdbcSinks.PostgresUpsert)
+    }
+    assert(ex.getMessage.contains("non-Postgres"))
+  }
+
   test("postgres dialect renders ON CONFLICT DO UPDATE with EXCLUDED refs") {
     val sql = JdbcSinks.PostgresUpsert.sql("t", Seq("a", "b", "c"), Seq("a"))
     assert(sql.contains("ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b, c = EXCLUDED.c"))
