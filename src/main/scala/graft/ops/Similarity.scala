@@ -251,6 +251,168 @@ object Similarity {
       .withColumn("is_keeper", (col("cluster_id") === col(idCol)).cast("int"))
   }
 
+  /** Assign every vector to its highest-cosine centroid (ties to the
+    * smallest centroid id). Centroids are broadcast — k is small by
+    * construction — so this is one map-side pass over the corpus plus a
+    * per-vector top-1 window bounded by k rows per key; no shuffle of the
+    * embedding column at any k.
+    */
+  def kmeansAssign(emb: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
+    emb.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(desc("c_cos"), asc("c_id"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("embedding"), col("c_id").as("cluster"))
+  }
+
+  /** Lloyd's k-means over the embedding column (cosine assignment,
+    * per-dimension mean update) — the clustering stage of SemDeDup-style
+    * curation and of building a LEARNED IVF quantizer (vs
+    * [[ivfCentroids]]' sampled one).
+    *
+    * Determinism at any partitioning (the repo-wide bit-determinism
+    * contract): the mean is summed in DECIMAL(38,18) — exact, hence
+    * shuffle-order-independent — and only divided/cast to double at the
+    * end; assignment ties break on centroid id. Initial centroids default
+    * to the k vectors with the smallest xxhash64(id) (deterministic,
+    * id-value independent spread).
+    *
+    * Scale shape: per iteration one broadcast-assign pass plus one
+    * groupBy(k)·dim aggregate; centroids (k·dim doubles — bounded driver
+    * state, like spark.ml's KMeans) are collected and re-broadcast each
+    * round, so plan lineage stays flat without checkpointing. A cluster
+    * that loses all members drops out (k may shrink); fixed `maxIter`
+    * rounds, no convergence probe — the assignment argmax stabilizes long
+    * before the means stop drifting at the precision that matters here.
+    *
+    * Returns (assignments: id, embedding, cluster; centroids: c_id, c_emb).
+    */
+  /** Deterministic farthest-point (maximin) k-means seeding: start from
+    * the vector with the smallest xxhash64(id), then greedily add the
+    * vector maximizing its minimum angular distance to the seeds picked
+    * so far (ties to the smaller id). On well-separated data this picks
+    * one seed per true cluster — the property hash-sampled seeding lacks
+    * (two same-cell seeds make Lloyd's split one true cluster and merge
+    * two others; measured purity 0.8 vs 1.0 in SemDedupSpec). Costs k−1
+    * bounded driver rounds of one broadcast-scored corpus scan each —
+    * the deterministic stand-in for k-means++'s sampled seeding.
+    */
+  def kmeansInitFarthest(emb: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
+    val sel = emb.select(col(idCol).as("c_id"), col("embedding").as("c_emb"),
+      xxhash64(col(idCol)).as("h"))
+    var seeds = Seq(sel.orderBy(col("h"), col("c_id")).limit(1).drop("h").head())
+    val schema = org.apache.spark.sql.types.StructType(
+      sel.drop("h").schema.fields)
+    def seedFrame = s.createDataFrame(
+      s.sparkContext.parallelize(seeds, 1), schema)
+    while (seeds.size < k) {
+      val next = emb.select(col(idCol), col("embedding"))
+        .crossJoin(broadcast(seedFrame))
+        .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
+        .groupBy(col(idCol), col("embedding"))
+        .agg(max("c_cos").as("closest"))
+        .orderBy(asc("closest"), asc(idCol))
+        .limit(1)
+        .select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
+        .head()
+      seeds = seeds :+ next
+    }
+    seedFrame
+  }
+
+  def kmeans(
+      emb: DataFrame,
+      k: Int,
+      maxIter: Int = 5,
+      idCol: String = "vec_id",
+      initCentroids: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val s = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    var centroids = initCentroids.getOrElse(kmeansInitFarthest(emb, k, idCol))
+    val meanCols = (0 until dim).map(i =>
+      (sum(col("embedding").getItem(i).cast("decimal(38,18)")) / count(lit(1)))
+        .cast("double").as(s"m$i"))
+    for (_ <- 1 to maxIter) {
+      val upd = kmeansAssign(emb, centroids, idCol)
+        .groupBy(col("cluster").as("c_id"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .select(col("c_id"), array((0 until dim).map(i => col(s"m$i")): _*).as("c_emb"))
+      // k rows of k·dim doubles: bounded driver action by construction;
+      // rebuilding the frame from local rows truncates the iteration's
+      // lineage the way localCheckpoint would, without touching storage
+      val rows = upd.collect().toSeq
+      centroids = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), upd.schema)
+    }
+    (kmeansAssign(emb, centroids, idCol), centroids)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): k-means-bucketed embedding dedup —
+    * cluster the corpus, generate cosine ≥ tau candidate pairs only
+    * within shared cells, connected-components them, keep each dup
+    * group's minimum id. The k-means cells play the role LSH buckets play
+    * in [[lshPairs]]: candidate volume is Σ cell² · probe², never n², and
+    * the cell count scales with the corpus so cells stay bounded.
+    *
+    * `probe`: each vector participates in its `probe` nearest cells for
+    * CANDIDATE GENERATION (its reported `kmeans_cluster` stays the top-1
+    * cell) — the same recall lever as [[ivfTopK]]'s nProbe and
+    * [[lshPairs]]' multi-probe. It matters here more than on real
+    * pretraining embeddings: this corpus' directions are uniform (no
+    * macro-cluster structure), so Voronoi margins are thin and
+    * single-assignment splits planted near-dup pairs across cells
+    * (measured recall on the corpus' 7 planted removals: 3/7 at
+    * probe=1, 5/7 at probe=2, 7/7 at probe=3 — SemDedupSpec pins the
+    * probe=3 figure; real clustered embeddings need lower probe, and
+    * production k grows with the corpus so probe/k stays small).
+    *
+    * Removals are always a SUBSET of the exact graph's at the same tau
+    * (cell-restricted pairs ⇒ finer components ⇒ every removal is
+    * justified by a kept near-duplicate), so the operator can lose
+    * recall but can never remove a non-duplicate.
+    *
+    * Output: (id, kmeans_cluster, dup_cluster, is_keeper).
+    */
+  def semDedup(
+      emb: DataFrame,
+      k: Int,
+      tau: Double,
+      kmeansIter: Int = 3,
+      probe: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
+    val (assigned, centroids) = kmeans(emb, k, kmeansIter, idCol)
+    val probed = emb.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(desc("c_cos"), asc("c_id"))))
+      .filter(col("rk") <= probe)
+      .select(col(idCol), col("embedding"),
+        norm(s)(col("embedding")).as("nrm"), col("c_id").as("cell"))
+    val a = probed.select(col("cell"), col(idCol).as("d1"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = probed.select(col("cell"), col(idCol).as("d2"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val pairs = a.join(b, Seq("cell")).filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("cosine", dot(s)(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= tau)
+      .select("d1", "d2")
+    val cl = TextDedup.clusters(pairs).withColumnRenamed("id", idCol)
+    assigned.select(col(idCol), col("cluster").as("kmeans_cluster"))
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol), col("kmeans_cluster"),
+        coalesce(col("cluster_id"), col(idCol)).as("dup_cluster"))
+      .withColumn("is_keeper", (col("dup_cluster") === col(idCol)).cast("int"))
+  }
+
   /** Persist an IVF index: the inverted lists as parquet PARTITIONED BY
     * `list_id` plus the centroid table alongside. This is the 100 TB ANN
     * deployment shape: the quantization pass runs once, and every probe

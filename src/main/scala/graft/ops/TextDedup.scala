@@ -343,7 +343,8 @@ object TextDedup {
       pairs: DataFrame,
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
-      localFinishMaxEdges: Long = 1L << 20): DataFrame = {
+      localFinishMaxEdges: Long = 1L << 20,
+      roundCounter: Int => Unit = _ => ()): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -429,12 +430,127 @@ object TextDedup {
     edges.unpersist()
     p.unpersist()
     singles.unpersist()
+    roundCounter(i)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"clusters() hit maxIter=$maxIter before converging: a component with " +
           "diameter > 2^maxIter exists and its cluster_id is NOT the component " +
           "minimum; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the edge-rewriting alternative to [[clusters]]'s
+    * label-propagation loop. Same output contract: (id, cluster_id) with
+    * cluster_id = the component's smallest vertex id.
+    *
+    * Per round, every vertex u with neighborhood Γ(u) and
+    * m = min(Γ(u) ∪ {u}):
+    *   - large-star rewires u's STRICTLY LARGER neighbors to m:
+    *     {(v, m) : v ∈ Γ(u), v > u};
+    *   - small-star (on the big→small oriented edges) rewires u's
+    *     smaller-or-equal neighbors and u itself to m:
+    *     {(v, m) : v ∈ Γ⁻(u) ∪ {u}}.
+    * Both steps preserve connectivity; the fixpoint is a forest of
+    * disjoint stars whose centers are the component minima, so the final
+    * labeling is just the surviving edge list. Unlike label propagation,
+    * the WORKING SET SHRINKS as the graph contracts (edges collapse onto
+    * stars), and high-degree hubs never materialize a neighbor list —
+    * each step is a groupBy-min plus a join, both shuffle-parallel and
+    * AQE-skew-splittable.
+    *
+    * Round complexity, MEASURED (ClustersStarSpec, diameter-1000 chain):
+    * 11 rounds for star, 11 for the pointer-jumping loop — the round-4/5
+    * hypothesis that star halves iteration count is DISPROVEN on chains:
+    * one large-star halves the diameter exactly as one pointer jump
+    * doubles reach, so both are Θ(log d) with the same constant. Star's
+    * actual differentiator is the per-round cost shape: it never builds
+    * an O(V) label table (the loop state IS the shrinking edge list) and
+    * its min is computed per-neighborhood, so memory follows the graph's
+    * contraction instead of staying flat — preferable when V is huge and
+    * components collapse early; [[clusters]] remains the default.
+    *
+    * Shares [[clusters]]'s hygiene: per-round reliable/local checkpoint
+    * truncation via `checkpointDir`, single-aggregate decimal checksum
+    * for convergence (edge rewrites are monotone toward the star
+    * fixpoint, so a stable canonical edge set IS convergence), null
+    * endpoints excluded from edges but kept as singleton vertices. No
+    * driver endgame here — this entry point IS the distributed scale
+    * path (use [[clusters]] for adaptive small-graph finishing).
+    */
+  def clustersStar(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None,
+      roundCounter: Int => Unit = _ => ()): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val ends = pairs.select(col("d1"), col("d2"))
+    val p = ends.filter(col("d1").isNotNull && col("d2").isNotNull).persist()
+    val singles = ends.filter(col("d1").isNull =!= col("d2").isNull)
+      .select(coalesce(col("d1"), col("d2")).as("src")).distinct()
+    // every endpoint is a vertex (self-paired docs too) — they re-enter
+    // at the end as singletons/centers even if their edges collapse away
+    val verts = p.select(col("d1").as("id"))
+      .union(p.select(col("d2").as("id")))
+      .union(singles.select(col("src").as("id"))).distinct().persist()
+    // start from the big→small orientation with self-loops dropped: both
+    // star steps preserve that invariant, so orientation work happens
+    // exactly once
+    var edges = materialize(
+      p.filter(col("d1") =!= col("d2"))
+        .select(greatest(col("d1"), col("d2")).as("src"),
+          least(col("d1"), col("d2")).as("dst")).distinct())
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = checksum(edges)
+    var converged = prev.signum == 0 // no edges at all: nothing to iterate
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the undirected view: m(u) = min(Γ(u) ∪ {u});
+      // every v ∈ Γ(u) with v > u rewires to (v, m(u)). m ≤ u < v, so the
+      // output is already big→small oriented and self-loop-free.
+      val nbr = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val largeMin = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbr.join(largeMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")).distinct()
+      // small-star on the oriented edges: u's smaller neighbors AND u
+      // itself rewire to m(u) = min(Γ⁻(u)); (m, m) self-loops drop.
+      val smallMin = large.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("m"))
+      val next = materialize(
+        large.select(col("src").as("u"), col("dst").as("v"))
+          .join(smallMin, Seq("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(smallMin.select(col("u").as("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+      val cs = checksum(next)
+      converged = cs.compareTo(prev) == 0
+      prev = cs
+      edges = next
+      i += 1
+    }
+    roundCounter(i)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clustersStar() hit maxIter=$maxIter before star convergence; " +
+          "cluster_id may not be the component minimum; raise maxIter")
+    // fixpoint edges are disjoint stars (non-center → center); centers
+    // and edge-less vertices label themselves
+    val out = verts.join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("cluster_id"))
+    val res = materialize(out)
+    p.unpersist()
+    verts.unpersist()
+    res
   }
 
   /** Driver-side min-label union-find over a collected pair list — the

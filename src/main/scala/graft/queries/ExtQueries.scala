@@ -86,6 +86,31 @@ object ExtQueries {
         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin)),
 
+    // Large-star/small-star connected components (Kiveris et al. SoCC'14)
+    // on a high-diameter input the verified-pair graph can't produce:
+    // chains linking consecutive doc_ids within each century block
+    // (diameter 99, one component per 100 ids). Exercises the
+    // edge-rewriting alternative to ext_dedup_clusters' label
+    // propagation end-to-end against the same recursive-CTE oracle shape;
+    // ground truth is the closed form cluster_id = doc_id - doc_id % 100.
+    Q("ext_dedup_clusters_star",
+      (s, dir) => TextDedup.clustersStar(
+        Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(100)) =!= 99)
+          .select(col("doc_id").as("d1"), (col("doc_id") + 1).as("d2")))
+        .withColumnRenamed("id", "doc_id"),
+      Some("""WITH RECURSIVE pairs AS (
+        |  SELECT doc_id AS d1, doc_id + 1 AS d2 FROM documents
+        |  WHERE doc_id % 100 <> 99
+        |), edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |             UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS label FROM verts
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin)),
+
     // Incremental ingest dedup: the corpus-growth operation — a new batch
     // (docs >= 400, plus ten corpus docs re-labeled as fresh ids so the
     // exact layer is non-vacuous) deduped against the existing corpus
@@ -317,6 +342,42 @@ object ExtQueries {
         |  CAST(CASE WHEN COALESCE(cl.cluster_id, e.vec_id) = e.vec_id
         |       THEN 1 ELSE 0 END AS INT) AS is_keeper
         |FROM embeddings e LEFT JOIN cl ON cl.id = e.vec_id""".stripMargin)),
+
+    // K-means assignment step (the SemDeDup / learned-IVF quantizer
+    // primitive): nearest-of-k fixed centroids by cosine, ties to the
+    // smaller centroid id. Centroids are pinned to vec_id < 8 so the
+    // assignment is a pure argmax both engines can express; the iterated
+    // Lloyd's loop is exercised by ext_semdedup + SemDedupSpec.
+    Q("ext_kmeans_assign",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.kmeansAssign(emb,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+          .select("vec_id", "cluster")
+      },
+      Some("""WITH c AS (
+        |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) AS cos
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, c_id AS cluster FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) = 1""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): k-means cells as the candidate
+    // buckets, cosine >= tau pairs generated within cells only, connected
+    // components, min-id keeper. Rows-only: the iterated k-means means
+    // aren't portably SQL-expressible; SemDedupSpec pins (a) removals ⊆
+    // the oracle-checked exact graph's removals (ext_dedup_embed, same
+    // tau), (b) removal recall >= 0.9 at probe=3, (c) bit-identical
+    // centroids across repartitionings (the decimal-sum determinism
+    // contract), (d) purity >= 0.95 on geometrically clustered data.
+    Q("ext_semdedup",
+      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir),
+        k = 10, tau = 0.45, probe = 3),
+      None),
 
     // As-of (point-in-time) join: attribute each purchase to the most
     // recent prior-or-equal view by the same user. Spark has no asof
