@@ -67,6 +67,78 @@ object TextDedup {
       .distinct()
   }
 
+  /** Duplicated-span statistics: for every document, how much of it is
+    * covered by exact `w`-token runs that also occur in at least
+    * `minDocs` distinct documents — the span-level (substring) view of
+    * duplication that document-level dedup misses. Training corpora are
+    * full of documents that are not near-duplicates of any single other
+    * document but are stitched from heavily repeated passages
+    * (boilerplate, licenses, templated text); `dup_span_frac` is the
+    * standard filter signal for them (cf. the ~50-token duplicated
+    * substring criterion in "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022 — suffix-array exact matching there,
+    * fixed-window rolling hashes here, the shuffle-friendly
+    * approximation: a duplicated run of length L ≥ w is seen by all its
+    * L−w+1 windows, at the cost of missing duplicates shorter than w).
+    *
+    * Output: (id, n_windows, n_dup_windows, dup_span_frac) — one row per
+    * input document, `n_windows` = max(tokens−w+1, 0), frac rounded to
+    * 6 dp (0.0 for documents shorter than w tokens).
+    *
+    * Scale shape (100 TB): positional windows are (md5, id) rows — the
+    * text itself is never shuffled. Two shuffles on the 128-bit span
+    * hash: one aggregate for document frequencies, one join of the
+    * windows against the (small — duplicated-only) hash set, which AQE
+    * turns into a broadcast join when that set fits. No all-pairs
+    * anything; cost is linear in corpus token count. The windows frame is
+    * persisted for its two consumers and dropped before returning
+    * ([[eager]] contract, reliable `checkpointDir` for cluster runs).
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      w: Int = 20,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(w >= 2, s"span window must be >= 2 tokens, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val leadCols = (1 until w).map(i => lead(col("word"), i).over(win).as(s"w$i"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // Positional windows (NOT distinct — a doc repeating its own span
+    // still has every window counted against its length). lead() nulls
+    // appear only at the partition tail and are monotone, so checking the
+    // last lead alone keeps the filter a single comparison.
+    val spans = spread
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .select(col(idCol) +: col("word") +: leadCols: _*)
+      .filter(col(s"w${w - 1}").isNotNull)
+      .select(col(idCol),
+        md5(concat_ws(" ", col("word") +: (1 until w).map(i => col(s"w$i")): _*))
+          .as("span_hash"))
+      .persist()
+    try {
+      spans.count() // fill the persist with one job before the two consumers race
+      val dupHashes = spans.groupBy(col("span_hash"))
+        .agg(countDistinct(col(idCol)).as("n_span_docs"))
+        .filter(col("n_span_docs") >= minDocs)
+        .select(col("span_hash"), lit(1).as("is_dup"))
+      val perDoc = spans.join(dupHashes, Seq("span_hash"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("is_dup"), lit(0))).as("n_dup_windows"))
+      val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          round(coalesce(col("n_dup_windows").cast("double") / col("n_windows"),
+            lit(0.0)), 6).as("dup_span_frac"))
+      eager(out, checkpointDir)
+    } finally spans.unpersist()
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard similarity.
     *
     * Inverted-index plan: (id, shingle) self-join on shingle builds only

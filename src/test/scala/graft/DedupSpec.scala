@@ -44,6 +44,48 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"simhash recall $recall of ${exact.size} pairs")
   }
 
+  test("duplicatedSpans: per-doc window counts and shared-span fractions") {
+    val df = Seq(
+      (1L, "a b c d e"),   // windows: "a b c","b c d","c d e"
+      (2L, "x y a b c"),   // windows: "x y a","y a b","a b c" — shares "a b c" with doc 1
+      (3L, "p q r"),       // one window, unshared
+      (4L, "short")        // 1 token < w — zero windows
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicatedSpans(df, w = 3, minDocs = 2)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_span_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 1L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpans: self-repetition within one doc is not cross-doc duplication") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // span "a b c" recurs, but only in this doc
+      (2L, "u v w x y z")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicatedSpans(df, w = 3, minDocs = 2)
+      .select("doc_id", "n_dup_windows").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("duplicatedSpans: exact-duplicate docs are fully span-covered on the real corpus") {
+    val out = TextDedup.duplicatedSpans(docs, w = 20, minDocs = 2).persist()
+    assert(out.count() == docs.count(), "one row per input document")
+    assert(out.filter($"dup_span_frac" > 0).count() > 0,
+      "corpus should contain planted duplicated spans")
+    // every member of an exact-duplicate group with >= w tokens sees all
+    // of its windows in at least one other doc => frac exactly 1.0
+    val dupIds = docs.groupBy($"text").agg(count(lit(1)).as("n"), collect_list($"doc_id").as("ids"))
+      .filter($"n" >= 2 && size(split($"text", " ")) >= 20)
+      .select(explode($"ids").as("doc_id"))
+    val notFull = out.join(dupIds, "doc_id").filter($"dup_span_frac" =!= 1.0).count()
+    assert(notFull == 0, s"$notFull exact-dup docs with frac != 1.0")
+    out.unpersist()
+  }
+
   test("MinHashAggregator signatures are bit-identical to the column-min form") {
     val sh = TextDedup.shingles(docs, 2).persist()
     val n = 32
