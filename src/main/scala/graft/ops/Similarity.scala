@@ -413,6 +413,171 @@ object Similarity {
       .withColumn("is_keeper", (col("dup_cluster") === col(idCol)).cast("int"))
   }
 
+  // ---- Product quantization (Jégou, Douze, Schmid: "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) ----
+
+  /** Squared L2 distance via three codegen'd dots — argmin-equivalent to
+    * the elementwise form and an order of magnitude faster than a
+    * higher-order-function loop in the n·m·ks encode hot path.
+    */
+  private def l2sq(s: SparkSession)(a: Column, b: Column): Column =
+    dot(s)(a, a) + dot(s)(b, b) - lit(2.0) * dot(s)(a, b)
+
+  /** (id, sub_id, sub_vec): each embedding cut into `m` contiguous
+    * subvectors of dim/m dims, cast to double once so every downstream
+    * distance runs on a uniform type.
+    */
+  private def subVectors(emb: DataFrame, m: Int, dim: Int, idCol: String): DataFrame = {
+    val dsub = dim / m
+    emb.select(col(idCol),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>")): _*))
+        .as(Seq("sub_id", "sub_vec")))
+  }
+
+  /** Nearest-code assignment for a (id, sub_id, sub_vec) frame against a
+    * broadcast codebook; ties break on the smaller code id.
+    */
+  private def assignCodes(subs: DataFrame, codebooks: DataFrame, idCol: String): DataFrame = {
+    val s = subs.sparkSession
+    subs.join(broadcast(codebooks), Seq("sub_id"))
+      .withColumn("d2", l2sq(s)(col("sub_vec"), col("c_vec")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("sub_id"))
+          .orderBy(asc("d2"), asc("code"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("sub_id"), col("sub_vec"), col("code"))
+  }
+
+  /** Train per-subspace codebooks: independent Lloyd's k-means (L2, the
+    * PQ metric) in each of the `m` subspaces, all subspaces trained in
+    * the SAME distributed pass per iteration (one broadcast-assign + one
+    * groupBy((sub, code)) — not m separate jobs).
+    *
+    * Determinism: seeds are the `ks` distinct subvectors with the
+    * smallest xxhash64 of their minimum owning id (groupBy(min) before
+    * ranking, so duplicate vectors can't make seeding order depend on row
+    * arrival); means are summed in DECIMAL(38,18) exactly as [[kmeans]]
+    * does, so codebooks and codes are bit-identical at any partitioning.
+    * Codebook state is m·ks·(dim/m) = ks·dim doubles — bounded driver
+    * collect, same contract as [[kmeans]].
+    *
+    * Returns (sub_id, code, c_vec).
+    */
+  def pqCodebooks(
+      emb: DataFrame,
+      m: Int = 8,
+      ks: Int = 16,
+      maxIter: Int = 5,
+      idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val subs = subVectors(emb, m, dim, idCol).persist()
+    try {
+      subs.count() // fill the persist before the iteration fan-out
+      val seedW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sub_id")).orderBy(col("h"), col("seed_id"))
+      var cb = subs.groupBy(col("sub_id"), col("sub_vec"))
+        .agg(min(col(idCol)).as("seed_id"))
+        .withColumn("h", xxhash64(col("seed_id")))
+        .withColumn("rk", row_number().over(seedW))
+        .filter(col("rk") <= ks)
+        .select(col("sub_id"), (col("rk") - 1).cast("int").as("code"),
+          col("sub_vec").as("c_vec"))
+      val meanCols = (0 until dsub).map(i =>
+        (sum(col("sub_vec").getItem(i).cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as(s"m$i"))
+      for (_ <- 1 to maxIter) {
+        val upd = assignCodes(subs, cb, idCol)
+          .groupBy(col("sub_id"), col("code"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .select(col("sub_id"), col("code"),
+            array((0 until dsub).map(i => col(s"m$i")): _*).as("c_vec"))
+        // ks·dim doubles: bounded driver action; rebuilding from local
+        // rows keeps iteration lineage flat (see kmeans)
+        val rows = upd.collect().toSeq
+        cb = s.createDataFrame(s.sparkContext.parallelize(rows, 1), upd.schema)
+      }
+      cb
+    } finally subs.unpersist()
+  }
+
+  /** Encode each vector as `m` one-byte-ish codes: (id, codes array<int>
+    * ordered by subspace). This is the 100 TB storage win — a 64-dim
+    * float vector (256 B) compresses to m codes (m B at ks ≤ 256), so a
+    * billion-vector index fits where the raw vectors never would.
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.select(max(col("sub_id"))).head().getInt(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assignCodes(subVectors(emb, m, dim, idCol), codebooks, idCol)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k with exact re-rank.
+    *
+    * Per query, the exact distances from its subvectors to every
+    * codebook centroid form an m·ks lookup table; the approximate
+    * distance to a database vector is then just the sum of m table
+    * entries addressed by its codes — no database vector is ever
+    * decoded. Plan shape: the LUT (nq·m·ks rows) broadcasts; exploded
+    * codes join it on (sub_id, code) and a partial-aggregatable
+    * groupBy((q, id)) sums the m entries — one shuffle, map-side
+    * combined. The `rerank·k` ADC survivors (tiny) then join back to the
+    * raw vectors for exact cosine ordering, so PQ coarseness costs
+    * recall only when the true neighbor falls outside the candidate set,
+    * not ranking accuracy inside it.
+    *
+    * At 100 TB this composes behind [[ivfTopK]]: IVF prunes to nProbe
+    * lists, ADC scans those lists' codes — the standard IVFPQ layout.
+    * Here the scan side is the whole corpus, the oracle-checkable form.
+    *
+    * Output matches [[topK]]: (q_id, n_id, rk, cosine).
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ks: Int = 16,
+      maxIter: Int = 5,
+      rerank: Int = 8,
+      idCol: String = "vec_id"): DataFrame = {
+    val s = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cb = pqCodebooks(emb, m, ks, maxIter, idCol)
+    val codes = pqEncode(emb, cb, idCol)
+      .select(col(idCol).as("n_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
+    val lut = subVectors(queries, m, dim, idCol)
+      .select(col(idCol).as("q_id"), col("sub_id"), col("sub_vec"))
+      .join(cb, Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code"),
+        l2sq(s)(col("sub_vec"), col("c_vec")).as("d2"))
+    val adcW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(asc("adc_d2"), asc("n_id"))
+    val cand = codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(adcW))
+      .filter(col("rk") <= k * rerank)
+      .select("q_id", "n_id")
+    val qn = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
+    val nn = emb.select(col(idCol).as("n_id"), col("embedding").as("n_emb"))
+    val finalW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    cand.join(broadcast(qn), Seq("q_id")).join(nn, Seq("n_id"))
+      .withColumn("cosine", cosine(s)(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(finalW))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk", "cosine")
+  }
+
   /** Persist an IVF index: the inverted lists as parquet PARTITIONED BY
     * `list_id` plus the centroid table alongside. This is the 100 TB ANN
     * deployment shape: the quantization pass runs once, and every probe

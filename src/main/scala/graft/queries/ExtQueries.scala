@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AsOfJoin, Curation, Multimodal, Packing, Similarity, Sketches, TextAnalysis, TextDedup}
+import graft.ops.{AsOfJoin, Curation, Multimodal, Packing, Scd2, Similarity, Sketches, TextAnalysis, TextDedup}
 
 /** LLM-training-data-pipeline operators: dedup, similarity search, text
   * analysis, JSON extraction, multimodal plumbing — over the
@@ -26,6 +26,33 @@ object ExtQueries {
       (s, dir) => TextDedup.exactGroups(Tables.documents(s, dir)),
       Some("SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_docs " +
         "FROM documents GROUP BY md5(text)")),
+
+    // Span-level (substring) duplication: fraction of each document
+    // covered by 20-token runs that also occur in >=2 distinct docs.
+    // Oracle rebuilds the same positional windows with string_split +
+    // LATERAL range and the same md5-of-joined-window key.
+    Q("ext_dedup_spans",
+      (s, dir) => TextDedup.duplicatedSpans(Tables.documents(s, dir), w = 20, minDocs = 2),
+      Some("""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(ws[CAST(i + 1 AS INT) : CAST(i + 20 AS INT)], ' ')) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(0, greatest(n - 19, 0))) AS i)),
+        |s AS (
+        |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (
+        |  SELECT w.doc_id, count(*) AS nw,
+        |    sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS nd
+        |  FROM w LEFT JOIN s ON w.h = s.h
+        |  GROUP BY w.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(d.nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dup_windows,
+        |  round(coalesce(CAST(d.nd AS DOUBLE) / d.nw, 0), 6) AS dup_span_frac
+        |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin)),
 
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
     Q("ext_dedup_jaccard",
@@ -294,6 +321,20 @@ object ExtQueries {
         numPlanes = 4, numTables = 8, multiProbe = false),
       None),
 
+    // Product-quantization top-k: per-subspace k-means codebooks, 8-bit
+    // codes, broadcast-LUT ADC scoring, exact cosine re-rank of the
+    // rerank*k ADC survivors. Rows-only (xxhash64-seeded codebooks have
+    // no DuckDB counterpart); SimilaritySpec pins recall@10 vs brute
+    // force, code-range/shape invariants, and bit-determinism of the
+    // codes under repartitioning.
+    Q("ext_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          m = 8, ks = 16, maxIter = 3, rerank = 8)
+      },
+      None),
+
     // IVF-partitioned top-k (rows-only; SimilaritySpec measures recall).
     Q("ext_ann_ivf",
       (s, dir) => {
@@ -380,6 +421,41 @@ object ExtQueries {
       None),
 
     // As-of (point-in-time) join: attribute each purchase to the most
+    // SCD2 interval derivation: compress each user's event_type change
+    // log into validity intervals (run-length change detection + lead
+    // close) — the warehouse-history view of the same prefix-sum
+    // sessionization idiom the cycle detector uses. Oracle is the
+    // identical window program in DuckDB.
+    Q("ext_scd2_intervals",
+      (s, dir) => Scd2.fromEvents(Tables.events(s, dir))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), tsFmtSpark).as("valid_from"),
+          date_format(col("valid_to"), tsFmtSpark).as("valid_to"),
+          col("n_events"), col("is_current")),
+      Some(s"""WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run_id)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '$tsFmtDuck') AS valid_from,
+        |  strftime(lead(valid_from) OVER wf, '$tsFmtDuck') AS valid_to,
+        |  n_events,
+        |  CAST(CASE WHEN lead(valid_from) OVER wf IS NULL THEN 1 ELSE 0 END AS INT)
+        |    AS is_current
+        |FROM g
+        |WINDOW wf AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin)),
+
     // recent prior-or-equal view by the same user. Spark has no asof
     // operator — ops/AsOfJoin is the union-tag single-shuffle form;
     // DuckDB's native ASOF LEFT JOIN is the oracle.

@@ -91,6 +91,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(listDirs.size <= nCentroids)
   }
 
+  test("PQ codes: m codes per vector, all inside [0, ks), stable under repartitioning") {
+    val cb = Similarity.pqCodebooks(emb, m = 8, ks = 16, maxIter = 3)
+    val codes = Similarity.pqEncode(emb, cb)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == emb.count())
+    codes.values.foreach { cs =>
+      assert(cs.length == 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+    // decimal-summed means + hash-seeded init: bit-identical codebooks and
+    // codes at any input partitioning (the repo-wide determinism contract)
+    val cb7 = Similarity.pqCodebooks(emb.repartition(7), m = 8, ks = 16, maxIter = 3)
+    val codes7 = Similarity.pqEncode(emb.repartition(5), cb7)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes7 == codes)
+  }
+
+  test("PQ ADC top-k with exact re-rank: recall@10 vs brute force") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.topK(emb, queries, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 8, ks = 16,
+      maxIter = 3, rerank = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == exact.size, "PQ must return exactly k per query")
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pq recall@10 $recall")
+    // re-rank is exact cosine, so every returned (q, n) that IS a true
+    // top-k member must carry the same rank brute force gives it only if
+    // all better candidates survived ADC; weaker but always-true pin:
+    // returned cosines are genuine (match brute-force scores)
+    val bruteScores = Similarity.topK(emb, queries, k = 500)
+      .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    Similarity.pqTopK(emb, queries, k = 10, m = 8, ks = 16, maxIter = 3, rerank = 8)
+      .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        assert(math.abs(bruteScores((q, n)) - c) < 1e-12, s"($q,$n) score drift")
+      }
+  }
+
   test("dedupByEmbedding: near-dup pairs share a cluster, keeper is the component min") {
     val dd = Similarity.dedupByEmbedding(emb, tau = 0.45).cache()
     assert(dd.count() == emb.count())
