@@ -101,42 +101,58 @@ object TextDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       checkpointDir: Option[String] = None): DataFrame = {
+    val spans = spanWindows(docs, w, idCol, textCol).persist()
+    try {
+      spans.count() // fill the persist with one job before the two consumers race
+      eager(spanStats(docs, spans, minDocs, idCol), checkpointDir)
+    } finally spans.unpersist()
+  }
+
+  /** Positional w-token windows as (id, span_hash) — NOT distinct: a doc
+    * repeating its own span still has every window counted against its
+    * length. lead() nulls appear only at the partition tail and are
+    * monotone, so checking the last lead alone keeps the filter a single
+    * comparison. Package-private so DedupSpec can pin the executed plan
+    * of the REAL stages (not a re-derivation that could drift).
+    */
+  private[graft] def spanWindows(
+      docs: DataFrame, w: Int, idCol: String, textCol: String): DataFrame = {
     require(w >= 2, s"span window must be >= 2 tokens, got $w")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leadCols = (1 until w).map(i => lead(col("word"), i).over(win).as(s"w$i"))
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    // Positional windows (NOT distinct — a doc repeating its own span
-    // still has every window counted against its length). lead() nulls
-    // appear only at the partition tail and are monotone, so checking the
-    // last lead alone keeps the filter a single comparison.
-    val spans = spread
+    spread
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .select(col(idCol) +: col("word") +: leadCols: _*)
       .filter(col(s"w${w - 1}").isNotNull)
       .select(col(idCol),
         md5(concat_ws(" ", col("word") +: (1 until w).map(i => col(s"w$i")): _*))
           .as("span_hash"))
-      .persist()
-    try {
-      spans.count() // fill the persist with one job before the two consumers race
-      val dupHashes = spans.groupBy(col("span_hash"))
-        .agg(countDistinct(col(idCol)).as("n_span_docs"))
-        .filter(col("n_span_docs") >= minDocs)
-        .select(col("span_hash"), lit(1).as("is_dup"))
-      val perDoc = spans.join(dupHashes, Seq("span_hash"), "left")
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(coalesce(col("is_dup"), lit(0))).as("n_dup_windows"))
-      val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-          round(coalesce(col("n_dup_windows").cast("double") / col("n_windows"),
-            lit(0.0)), 6).as("dup_span_frac"))
-      eager(out, checkpointDir)
-    } finally spans.unpersist()
+  }
+
+  /** The two hash-shuffle stages over the window frame: document
+    * frequencies → duplicated-hash set (corpus-sublinear, AQE broadcasts
+    * it into the probe join) → per-doc window/dup-window counts, left
+    * join back so short documents keep a zeroed row.
+    */
+  private[graft] def spanStats(
+      docs: DataFrame, spans: DataFrame, minDocs: Int, idCol: String): DataFrame = {
+    val dupHashes = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("n_span_docs"))
+      .filter(col("n_span_docs") >= minDocs)
+      .select(col("span_hash"), lit(1).as("is_dup"))
+    val perDoc = spans.join(dupHashes, Seq("span_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_windows"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows").cast("double") / col("n_windows"),
+          lit(0.0)), 6).as("dup_span_frac"))
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity.

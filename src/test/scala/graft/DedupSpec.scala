@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("duplicatedSpans interior plan: dup-hash probe broadcasts under AQE") {
+    // the real operator stages (spanWindows/spanStats), pre-eager: after
+    // AQE finalizes, the duplicated-hash set (corpus-sublinear) must
+    // arrive at the probe join as a broadcast, not a third shuffle
+    val spans = TextDedup.spanWindows(docs, 20, "doc_id", "text")
+    val out = TextDedup.spanStats(docs, spans, 2, "doc_id")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected AQE to broadcast the duplicated-hash probe:\n$plan")
+  }
+
   test("MinHashAggregator signatures are bit-identical to the column-min form") {
     val sh = TextDedup.shingles(docs, 2).persist()
     val n = 32
