@@ -114,4 +114,28 @@ object Packing {
       .withColumn("bin_offset", (col("__cum_before") % contextLen).cast("long"))
       .drop("__cum_before")
   }
+
+  /** Sequence-length bucketing — batch documents of similar token length
+    * together so a training batch pads to its bucket ceiling instead of
+    * the global max (the standard padding-waste reducer when sequences
+    * are NOT packed end-to-end; [[pack]] is the packed alternative).
+    *
+    * Map-only: bucket id is a row-local floor division, `bucket_hi` the
+    * bucket's padded length. Zero shuffles — the assignment composes
+    * into whatever partitioning the batch writer wants downstream
+    * (typically repartition by bucket_id, which is then the ONLY
+    * exchange of the job).
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      bucketWidth: Int = 16,
+      contentCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    df.withColumn("n_tokens", size(split(col(contentCol), " ")).cast("long"))
+      .withColumn("bucket_id", expr(s"n_tokens div $bucketWidth"))
+      .select(col(idCol), col("n_tokens"), col("bucket_id"),
+        (col("bucket_id") * bucketWidth).as("bucket_lo"),
+        ((col("bucket_id") + 1) * bucketWidth - 1).as("bucket_hi"))
+  }
 }

@@ -233,4 +233,53 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))).as("fingerprint"))
+
+  /** Unigram language-model scoring — the perplexity-filter stage of
+    * corpus curation (CCNet-style: score each document under a language
+    * model and gate on perplexity; the unigram model is the cheap
+    * in-corpus variant — no external model artifact, and the operator
+    * shape is identical when the probabilities come from a trained LM
+    * table instead).
+    *
+    * Per document: `avg_logprob` = Σ tf·ln p(w) / Σ tf with Laplace
+    * smoothing p(w) = (cf(w)+α)/(N+α·V) over the corpus' own counts,
+    * and `perplexity` = exp(−avg_logprob). High perplexity = the doc's
+    * words are rare for the corpus (gibberish/noise candidates); lowest
+    * perplexity = stopword soup.
+    *
+    * Scale shape (the [[termWeights]] skeleton): the (doc, term, tf)
+    * table is built once (one shuffle, map-side combined — a stop-word's
+    * occurrences collapse to one row per doc BEFORE the term-keyed
+    * stages, so Zipf skew never concentrates raw occurrences); corpus
+    * frequencies are one more bounded shuffle on term; the (N, V)
+    * singleton joins as a broadcast cross join; the final rollup shuffles
+    * the compact tf table on doc. Documents with zero tokens produce no
+    * row (no tokens = nothing to score).
+    *
+    * Rounding: 6 dp on both engines (the bm25 rule — absorbs libm `ln`
+    * / summation-order ulps); perplexity is exp of the ROUNDED average
+    * so both engines exponentiate the identical double.
+    */
+  def unigramLogProb(
+      docs: DataFrame,
+      alpha: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val corpus = cf.agg(sum("cf").as("nct"), count(lit(1)).as("v"))
+    val logp = log((col("cf") + lit(alpha)) /
+      (col("nct") + lit(alpha) * col("v")))
+    val avg = sum(col("tf") * logp) / sum(col("tf"))
+    tf.join(cf, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), round(avg, 6).as("avg_logprob"))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"),
+        round(exp(-col("avg_logprob")), 6).as("perplexity"))
+  }
 }

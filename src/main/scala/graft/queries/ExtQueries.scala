@@ -935,6 +935,43 @@ object ExtQueries {
         |    AS n_chunk_tokens
         |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)""".stripMargin)),
 
+    // Unigram-LM perplexity scoring (CCNet-style filter signal): Laplace-
+    // smoothed in-corpus word probabilities, per-doc token-weighted mean
+    // log-prob and perplexity. 6-dp rounding both sides (bm25 rule);
+    // perplexity = exp of the ROUNDED average so both engines
+    // exponentiate the identical double.
+    Q("ext_text_perplexity",
+      (s, dir) => TextAnalysis.unigramLogProb(Tables.documents(s, dir), alpha = 1.0),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+        |corpus AS (SELECT sum(cf) AS nct, count(*) AS v FROM cf),
+        |agg AS (
+        |  SELECT tf.doc_id,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    round(sum(tf.tf * ln((cf.cf + 1.0) / (corpus.nct + 1.0 * corpus.v)))
+        |      / sum(tf.tf), 6) AS avg_logprob
+        |  FROM tf JOIN cf USING (term) CROSS JOIN corpus
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |  round(exp(-avg_logprob), 6) AS perplexity
+        |FROM agg""".stripMargin)),
+
+    // Sequence-length bucketing for padding-efficient batching: map-only
+    // row-local floor division, zero shuffles.
+    Q("ext_length_buckets",
+      (s, dir) => Packing.lengthBuckets(Tables.documents(s, dir), bucketWidth = 16),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS bucket_id,
+        |  (CAST(len(string_split(text, ' ')) AS BIGINT) // 16) * 16 AS bucket_lo,
+        |  (CAST(len(string_split(text, ' ')) AS BIGINT) // 16 + 1) * 16 - 1 AS bucket_hi
+        |FROM documents""".stripMargin)),
+
     // Linear-model (fastText-serving-shape) quality scoring: sigmoid over
     // the verified stats features with literal weights — the SQL is
     // generated from the SAME QualityWeights instance so the sides cannot

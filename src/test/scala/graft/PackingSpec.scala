@@ -16,6 +16,22 @@ class PackingSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private lazy val docs = Tables.documents(spark, dir).select("doc_id", "text").cache()
 
+  test("lengthBuckets: floor-division bucket arithmetic, zero-shuffle plan") {
+    val df = Seq((1L, "a b c"), (2L, ("w " * 16).trim), (3L, ("w " * 17).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.lengthBuckets(df, bucketWidth = 16)
+    val rows = out.select("doc_id", "n_tokens", "bucket_id", "bucket_lo", "bucket_hi")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, 3L, 0L, 0L, 15L),
+      (2L, 16L, 1L, 16L, 31L),
+      (3L, 17L, 1L, 16L, 31L)))
+    // map-only: the physical plan must contain no Exchange
+    val plan = Packing.lengthBuckets(docs, bucketWidth = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"lengthBuckets must be shuffle-free:\n$plan")
+  }
+
   test("shuffleShards: dense 1..n positions per shard, all rows kept") {
     val sh = Packing.shuffleShards(docs, numShards = 4).cache()
     assert(sh.count() == docs.count())

