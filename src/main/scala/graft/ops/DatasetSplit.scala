@@ -78,4 +78,35 @@ object DatasetSplit {
     df.withColumn(bucketCol, hashBucket(col(contentCol)))
       .withColumn(splitCol, expr)
   }
+
+  /** Deterministic k-per-group sampling — the count-bounded counterpart
+    * of [[sampleStratified]]'s fraction-based keep (use this when every
+    * stratum must contribute AT MOST k rows — few-shot eval sets,
+    * per-domain probes, balanced debugging slices). Rows are ranked
+    * inside each group by the salted content hash (+ id tiebreak) and
+    * the first k kept, so membership is a pure function of content:
+    * reproducible across engines/re-shards, and a group's sample only
+    * changes where documents were actually added or removed.
+    *
+    * Scale note: one shuffle on the group key; the per-group window
+    * sorts each group. For RARE pathological groups holding a large
+    * corpus fraction, AQE cannot split a window partition — cap such
+    * groups upstream ([[graft.ops.Curation.capPerDomain]] note applies).
+    */
+  def samplePerGroup(
+      df: DataFrame,
+      k: Int,
+      groupCol: String,
+      contentCol: String,
+      idCol: String = "doc_id",
+      salt: String = "psamp"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("graft_rank_bucket"), col(idCol))
+    df.withColumn("graft_rank_bucket", saltedBucket(col(contentCol), salt))
+      .withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") <= k)
+      .drop("graft_rank_bucket", "graft_rk")
+  }
 }

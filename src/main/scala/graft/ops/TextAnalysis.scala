@@ -234,6 +234,35 @@ object TextAnalysis {
       col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))).as("fingerprint"))
 
+  /** Vocabulary induction — the tokenizer-prep step of a training
+    * pipeline: corpus word frequencies, `minCount` floor, ids assigned
+    * by frequency rank (ties alphabetic, so the table is a pure function
+    * of the corpus — re-runs and engines agree bit-for-bit).
+    *
+    * Scale shape: one shuffle builds the frequency table (map-side
+    * combined — Zipf head terms collapse per partition first); the
+    * rank-and-truncate runs on the POST-`minCount` vocabulary, which is
+    * bounded by `maxSize` after the cut — orders of magnitude smaller
+    * than the corpus, so the single-partition ranking window is a
+    * bounded cost by construction (the same bounded-small-frame argument
+    * as the CC endgame), not a corpus-scale sort.
+    */
+  def buildVocab(
+      docs: DataFrame,
+      minCount: Long = 2L,
+      maxSize: Int = 1 << 16,
+      textCol: String = "text"): DataFrame = {
+    val cf = docs
+      .select(explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .filter(col("cf") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cf"), asc("term"))
+    cf.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("token_id") < maxSize)
+  }
+
   /** Unigram language-model scoring — the perplexity-filter stage of
     * corpus curation (CCNet-style: score each document under a language
     * model and gate on perplexity; the unigram model is the cheap

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AsOfJoin, Curation, Multimodal, Packing, Scd2, Similarity, Sketches, TextAnalysis, TextDedup}
+import graft.ops.{AsOfJoin, Curation, DatasetSplit, Multimodal, Packing, Scd2, Similarity, Skew, Sketches, TextAnalysis, TextDedup}
 
 /** LLM-training-data-pipeline operators: dedup, similarity search, text
   * analysis, JSON extraction, multimodal plumbing — over the
@@ -960,6 +960,49 @@ object ExtQueries {
         |SELECT doc_id, n_tokens, avg_logprob,
         |  round(exp(-avg_logprob), 6) AS perplexity
         |FROM agg""".stripMargin)),
+
+    // Vocabulary induction: frequency table + rank-assigned token ids
+    // (ties alphabetic — a pure function of the corpus).
+    Q("ext_build_vocab",
+      (s, dir) => TextAnalysis.buildVocab(Tables.documents(s, dir),
+        minCount = 2L, maxSize = 1 << 16),
+      Some("""WITH cf AS (
+        |  SELECT t AS term, count(*) AS cf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY t HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT term, cf,
+        |    CAST(row_number() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT)
+        |      AS token_id
+        |  FROM cf)
+        |SELECT term, cf, token_id FROM r WHERE token_id < 65536""".stripMargin)),
+
+    // Deterministic k-per-group sampling: first k of each group under
+    // the salted content-hash order — count-bounded stratified sampling.
+    Q("ext_sample_per_group",
+      (s, dir) => DatasetSplit.samplePerGroup(Tables.documents(s, dir),
+        k = 20, groupCol = "source", contentCol = "text")
+        .select("doc_id", "source"),
+      Some("""WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5('psamp:' || text), 1, 4)) AS INT),
+        |               doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM ranked WHERE rk <= 20""".stripMargin)),
+
+    // Key-distribution profiler: power-of-two histogram of per-key row
+    // counts over (user_id) — the pre-flight skew check. Bucket index is
+    // integer-exact (binary-representation length, not float log2).
+    Q("ext_key_histogram",
+      (s, dir) => Skew.keyHistogram(Tables.events(s, dir), Seq("user_id")),
+      Some("""WITH c AS (
+        |  SELECT user_id, count(*) AS key_n FROM events GROUP BY user_id)
+        |SELECT CAST(length(bin(key_n)) - 1 AS INT) AS log2_bucket,
+        |  count(*) AS n_keys, CAST(sum(key_n) AS BIGINT) AS total_rows,
+        |  max(key_n) AS max_key_rows
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Sequence-length bucketing for padding-efficient batching: map-only
     // row-local floor division, zero shuffles.

@@ -255,6 +255,25 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(keptTrainFrac - 0.8) < 0.08, s"train frac inside sample $keptTrainFrac")
   }
 
+  test("samplePerGroup: at most k per group, deterministic across reshards") {
+    import graft.ops.DatasetSplit
+    val docs10 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "source", "text")
+    val a = DatasetSplit.samplePerGroup(docs10, k = 5, groupCol = "source",
+      contentCol = "text").select("doc_id").as[Long].collect().toSet
+    val b = DatasetSplit.samplePerGroup(docs10.repartition(13), k = 5,
+      groupCol = "source", contentCol = "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "membership must be a pure function of content")
+    val perGroup = DatasetSplit.samplePerGroup(docs10, k = 5, groupCol = "source",
+      contentCol = "text").groupBy("source").count().as[(String, Long)].collect()
+    perGroup.foreach { case (src, n) => assert(n <= 5, s"group $src has $n > k") }
+    // k larger than every group keeps the whole corpus
+    val all = DatasetSplit.samplePerGroup(docs10, k = 1000000, groupCol = "source",
+      contentCol = "text").count()
+    assert(all == docs10.count())
+  }
+
   test("shingles: documents shorter than k words produce none; k-grams are distinct") {
     val df = Seq((1L, "a b c b a b"), (2L, "single")).toDF("doc_id", "text")
     val sh = TextDedup.shingles(df, 2).as[(Long, String)].collect().toSeq

@@ -136,4 +136,19 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(plain).count() == 0)
   }
+
+  test("key profile: exact log2 histogram and skew summary on known-skew data") {
+    // keys: a->1 row, b->2, c->8, hot->989 (total 1000)
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(8)("c") ++
+      Seq.fill(989)("hot")
+    val df = rows.zipWithIndex.toDF("k", "v")
+    val hist = Skew.keyHistogram(df, Seq("k"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // 1 -> bucket 0; 2 -> bucket 1; 8 -> bucket 3; 989 -> bucket 9
+    assert(hist == Seq((0, 1L, 1L, 1L), (1, 1L, 2L, 2L), (3, 1L, 8L, 8L),
+      (9, 1L, 989L, 989L)))
+    val sum = Skew.keySummary(df, Seq("k"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(sum == ((4L, 1000L, 989L, 250.0, 3.956)))
+  }
 }

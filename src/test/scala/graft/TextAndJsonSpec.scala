@@ -17,6 +17,16 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_tokens") == 6) // hello, world, 42, !, ?, end
   }
 
+  test("buildVocab: frequency-ranked ids with alphabetic ties and minCount cut") {
+    val df = Seq((1L, "b b b a a c c z")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(df, minCount = 2L, maxSize = 10)
+      .select("term", "cf", "token_id").as[(String, Long, Long)].collect().toSet
+    // z (cf=1) cut; b first by count; a before c on the tie
+    assert(vocab == Set(("b", 3L, 0L), ("a", 2L, 1L), ("c", 2L, 2L)))
+    val capped = TextAnalysis.buildVocab(df, minCount = 1L, maxSize = 2)
+    assert(capped.count() == 2)
+  }
+
   test("unigram log-prob: closed-form Laplace probabilities on a toy corpus") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // cf: a=2, b=2, c=1; N=5, V=3, alpha=1 => p(a)=p(b)=3/8, p(c)=1/4
