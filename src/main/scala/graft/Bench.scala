@@ -118,7 +118,11 @@ object Bench {
       }
 
     if (only.isDefined) {
-      emit(results, sfDir, trials)
+      // dev runs must not clobber the committed full-catalog evidence:
+      // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
+      // the caller overrode the path explicitly
+      emit(results, sfDir, trials,
+        defaultFullPath = "bench_partial.json")
       spark.stop()
       return
     }
@@ -186,13 +190,14 @@ object Bench {
   private def emit(
       results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
       sfDir: String,
-      trials: Int): Unit = {
+      trials: Int,
+      defaultFullPath: String = "bench_full.json"): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":${v.median}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
 
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultFullPath)
     try {
       val entries = results.map { case (k, v) =>
         val trialArr = v.trials.map(t => f"$t%.3f").mkString("[", ",", "]")

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention: bucket entities by the period of their FIRST event
+  * (the cohort), then measure what fraction of each cohort is still
+  * active 1, 2, … periods later — the standard growth-analytics matrix
+  * over the reference's event-stream shape.
+  *
+  * Scale shape: ONE exchange of the event volume, on the entity key, for
+  * a single fused aggregate computing both the cohort (`min(ts)`) and
+  * the active-week set (`collect_set(week)`) — both map-side combinable,
+  * and the set is bounded by weeks-since-signup, not by the entity's
+  * event count. Everything downstream (offset explode, matrix counts,
+  * broadcast of the tiny per-cohort sizes) runs on ≈ entities ×
+  * active-weeks rows, never on events. Periods are fixed UTC weeks via
+  * `date_trunc`, so offsets are exact integer multiples of 7 days and
+  * never touch calendar arithmetic.
+  */
+object Cohort {
+
+  private val weekUs = 7L * 24 * 3600 * 1000000
+
+  /** `(cohort_week, week_offset, n_active, cohort_size, retention)` —
+    * one row per cohort × offset with at least one active entity.
+    * `retention` = n_active / cohort_size (week 0 is 1.0 by
+    * construction: every entity is active in its first week).
+    */
+  def weeklyRetention(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String): DataFrame = {
+    val week = date_trunc("week", col(tsCol))
+    // one pass over events: cohort AND active-week set per entity
+    val perEntity = events.groupBy(col(entityCol)).agg(
+      date_trunc("week", min(col(tsCol))).as("cohort_week"),
+      collect_set(week).as("weeks"))
+    // perEntity has exactly one row per entity, so count(*) = cohort size
+    val sizes = perEntity.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val matrix = perEntity
+      .select(col("cohort_week"), explode(col("weeks")).as("activity_week"))
+      .withColumn("week_offset",
+        ((unix_micros(col("activity_week")) - unix_micros(col("cohort_week")))
+          / lit(weekUs)).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    matrix.join(broadcast(sizes), "cohort_week")
+      .select(
+        col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+}

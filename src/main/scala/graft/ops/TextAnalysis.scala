@@ -311,4 +311,78 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("avg_logprob"),
         round(exp(-col("avg_logprob")), 6).as("perplexity"))
   }
+
+  /** Bigram language model: adjacent-pair counts and Laplace-smoothed
+    * conditional log-probability ln P(w2|w1) = ln (c(w1,w2)+α) /
+    * (c(w1)+α·V) — the next step up from [[unigramLogProb]] on the same
+    * CCNet-style filtering path, and the count table a KenLM-style
+    * n-gram LM is built from.
+    *
+    * Scale shape: pair extraction is a map-only `transform` over the
+    * token array (no shuffle until the count aggregate); the context
+    * totals c(w1) come from the ALREADY-AGGREGATED pair table, never a
+    * second corpus pass; the corpus vocabulary size is a one-row
+    * broadcast. `minCount` prunes the Zipf tail (the overwhelming
+    * majority of distinct bigrams are hapax) — at 100 TB that cut is
+    * what keeps the emitted table bounded; the probabilities are
+    * computed from the UNPRUNED totals, so pruning changes which rows
+    * ship, never their values.
+    */
+  def bigramLm(
+      docs: DataFrame,
+      alpha: Double = 1.0,
+      minCount: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val pairs = docs
+      .select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = docs
+      .select(explode(ws).as("t")).filter(length(col("t")) > 0)
+      .agg(countDistinct(col("t")).as("v"))
+    c12.join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))), 6)
+          .as("logp"))
+  }
+
+  /** Inverted index: term → document frequency + sorted posting list
+    * (the retrieval-side complement of [[termWeights]]'s scoring).
+    * Postings are emitted as a comma-joined string so the row is a
+    * stable scalar for downstream storage and comparison.
+    *
+    * Scale shape: ONE shuffle — `collect_set` deduplicates map-side, so
+    * what crosses the wire per term is its distinct-doc set, not its
+    * occurrence stream. The honest 100 TB caveat is the Zipf head: a
+    * stopword's posting list is O(corpus) and no cap inside a single
+    * aggregation can prune it early — production either drops known
+    * stopwords / df > threshold terms FIRST (a cheap pre-count
+    * semi-join, the standard IR move) or shards postings by doc-id
+    * range. `maxPostings` truncates the emitted list as a last-resort
+    * output bound; `df` always reports the true count.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxPostings: Int = Int.MaxValue): DataFrame =
+    docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(sort_array(collect_set(col(idCol))).as("plist"))
+      .select(col("term"),
+        size(col("plist")).cast("long").as("df"),
+        array_join(
+          expr(s"transform(slice(plist, 1, $maxPostings), x -> cast(x AS string))"),
+          ",").as("postings"))
 }

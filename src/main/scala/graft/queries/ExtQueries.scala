@@ -977,6 +977,42 @@ object ExtQueries {
         |  FROM cf)
         |SELECT term, cf, token_id FROM r WHERE token_id < 65536""".stripMargin)),
 
+    // Bigram LM: adjacent-pair counts + Laplace-smoothed ln P(w2|w1),
+    // hapax bigrams pruned (minCount=2) from the emitted table while the
+    // probabilities use unpruned totals.
+    Q("ext_bigram_lm",
+      (s, dir) => TextAnalysis.bigramLm(Tables.documents(s, dir),
+        alpha = 1.0, minCount = 2L),
+      Some("""WITH t AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i)
+        |  WHERE length(ws[i + 1]) > 0 AND length(ws[i + 2]) > 0),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT tt) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tt FROM documents)
+        |  WHERE length(tt) > 0)
+        |SELECT c12.w1, c12.w2, c12.c12 AS c12, c1.c1,
+        |  round(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)), 6) AS logp
+        |FROM c12 JOIN c1 USING (w1), v
+        |WHERE c12.c12 >= 2""".stripMargin)),
+
+    // Inverted index: term -> true df + sorted posting list (joined to a
+    // scalar string). maxPostings left unbounded so the output is the
+    // exact index the oracle rebuilds.
+    Q("ext_inverted_index",
+      (s, dir) => TextAnalysis.invertedIndex(Tables.documents(s, dir)),
+      Some("""SELECT t AS term, CAST(len(pl) AS BIGINT) AS df,
+        |  array_to_string(pl, ',') AS postings
+        |FROM (
+        |  SELECT t, list_sort(list(DISTINCT doc_id)) AS pl
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0 GROUP BY t)""".stripMargin)),
+
     // Deterministic k-per-group sampling: first k of each group under
     // the salted content-hash order — count-bounded stratified sampling.
     Q("ext_sample_per_group",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{CycleDetection, RangeJoin, Resample}
+import graft.ops.{Cohort, CycleDetection, Funnel, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -192,6 +192,94 @@ object OlapQueries {
         |  last_value(b.rev IGNORE NULLS) OVER (
         |    PARTITION BY s.user_id ORDER BY s.bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
-        |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket""".stripMargin))
+        |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket""".stripMargin)),
+
+    // Ordered funnel view→click→purchase per user: step k matches only
+    // strictly after step k-1's match (ops/Funnel — one exchange on
+    // user_id, k stacked unordered window aggregates). The oracle builds
+    // the same sequential match with one per-step conditional-min join.
+    Q("ext_funnel_steps",
+      (s, dir) => Funnel.conversionSummary(Tables.events(s, dir),
+        entityCol = "user_id", typeCol = "event_type", tsCol = "ts",
+        steps = Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id),
+        |n AS (SELECT
+        |  (SELECT count(t1) FROM s1) AS n1,
+        |  (SELECT count(t2) FROM s2) AS n2,
+        |  (SELECT count(t3) FROM s3) AS n3)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step_name,
+        |  n1 AS n_users, round(CAST(n1 AS DOUBLE) / n1, 6) AS conversion FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', n3, round(CAST(n3 AS DOUBLE) / n1, 6) FROM n""".stripMargin)),
+
+    // Weekly cohort retention matrix (ops/Cohort — one exchange of the
+    // event volume for a fused min(ts)+collect_set(week) aggregate,
+    // matrix math on entities × weeks only).
+    Q("ext_cohort_retention",
+      (s, dir) => Cohort.weeklyRetention(Tables.events(s, dir),
+        entityCol = "user_id", tsCol = "ts")
+        .select(
+          date_format(col("cohort_week"), tsFmtSpark).as("cohort_week"),
+          col("week_offset"), col("n_active"), col("cohort_size"),
+          col("retention")),
+      Some(s"""WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        |  FROM events),
+        |cs AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week),
+        |m AS (
+        |  SELECT f.cohort_week,
+        |    CAST((epoch_us(a.activity_week) - epoch_us(f.cohort_week))
+        |         // 604800000000 AS BIGINT) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM a JOIN f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(m.cohort_week, '$tsFmtDuck') AS cohort_week,
+        |  m.week_offset, m.n_active, cs.cohort_size,
+        |  round(CAST(m.n_active AS DOUBLE) / cs.cohort_size, 6) AS retention
+        |FROM m JOIN cs ON m.cohort_week = cs.cohort_week""".stripMargin)),
+
+    // Trailing 7-day rolling window per user over purchases: count, sum,
+    // and average in one RANGE frame keyed on integer microseconds, so
+    // both engines evaluate the identical frame arithmetic (sum rounds at
+    // the 2-decimal data grid; the average divides the two already
+    // bit-identical columns, per the catalog parity rules).
+    Q("ext_rolling_window",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("t_us"))
+          .rangeBetween(-604800000000L, 0L)
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("t_us", unix_micros(col("ts")))
+          .withColumn("n_7d", count(lit(1)).over(w))
+          .withColumn("sum_7d", round(sum("value").over(w), 2))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), tsFmtSpark).as("ts"),
+            col("value"), col("n_7d"), col("sum_7d"),
+            (col("sum_7d") / col("n_7d")).as("avg_7d"))
+      },
+      Some(s"""SELECT event_id, user_id, strftime(ts, '$tsFmtDuck') AS ts, value,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(value) OVER w, 2) AS sum_7d,
+        |  round(sum(value) OVER w, 2) / count(*) OVER w AS avg_7d
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Cohort, Funnel}
+
+/** Funnel ordering semantics and cohort retention arithmetic on
+  * hand-built event sequences. */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def summary(rows: Seq[(Long, String, Timestamp)],
+                      withinUs: Option[Long] = None): Map[String, (Long, Int)] =
+    Funnel.conversionSummary(
+      rows.toDF("user_id", "event_type", "t"),
+      "user_id", "event_type", "t", steps, withinUs)
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getInt(0)))
+      .toMap
+
+  test("funnel honors event order: a purchase BEFORE the click chain does not convert") {
+    val rows = Seq(
+      // user 1: purchase first, then view+click — step 3 must NOT match
+      (1L, "purchase", ts("2024-01-01 09:00:00")),
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      // user 2: full ordered funnel
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:05:00")),
+      (2L, "purchase", ts("2024-01-01 10:10:00")))
+    val got = summary(rows)
+    assert(got("view") == (2L, 1) && got("click") == (2L, 2))
+    assert(got("purchase") == (1L, 3), "only the ordered user converts")
+  }
+
+  test("step match is strictly after the previous step: same-timestamp events do not chain") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")), // simultaneous: no chain
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:01")))
+    val got = summary(rows)
+    assert(got("click")._1 == 1L)
+  }
+
+  test("earliest matches are used: a later re-view does not reset an achieved chain") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),
+      (1L, "view", ts("2024-01-01 11:00:00")), // ignored: t1 is the FIRST view
+      (1L, "purchase", ts("2024-01-01 11:30:00")))
+    val got = summary(rows)
+    assert(got("purchase")._1 == 1L)
+  }
+
+  test("withinUs bounds the whole chain relative to step 1") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:01")), // 1s past the 2h budget
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:30:00")),
+      (2L, "purchase", ts("2024-01-01 11:59:59")))
+    val got = summary(rows, withinUs = Some(2L * 3600 * 1000000))
+    assert(got("click")._1 == 2L && got("purchase")._1 == 1L)
+  }
+
+  test("conversion fractions divide by the step-1 population") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:01:00")),
+      (3L, "click", ts("2024-01-01 10:00:00"))) // click w/o view: not in funnel
+    val got = Funnel.conversionSummary(
+      rows.toDF("user_id", "event_type", "t"),
+      "user_id", "event_type", "t", steps)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(got("view") == 1.0 && got("click") == 0.5 && got("purchase") == 0.0)
+  }
+
+  test("weekly retention: offsets are whole weeks, week 0 is 1.0, sizes are per-cohort") {
+    val rows = Seq(
+      // cohort of Mon 2024-01-01: users 1,2; user 1 returns week 1 and 3
+      (1L, "view", ts("2024-01-03 10:00:00")),
+      (1L, "view", ts("2024-01-10 10:00:00")),
+      (1L, "view", ts("2024-01-22 10:00:00")),
+      (2L, "view", ts("2024-01-05 10:00:00")),
+      // cohort of Mon 2024-01-08: user 3 only, returns week 1
+      (3L, "view", ts("2024-01-08 00:00:00")),
+      (3L, "view", ts("2024-01-14 23:59:59")))
+    val got = Cohort.weeklyRetention(rows.toDF("user_id", "event_type", "t"), "user_id", "t")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(("2024-01-01", 0L)) == (2L, 2L, 0.5 * 2))
+    assert(got(("2024-01-01", 1L)) == (1L, 2L, 0.5))
+    assert(got(("2024-01-01", 3L)) == (1L, 2L, 0.5))
+    assert(got(("2024-01-08", 0L)) == (1L, 1L, 1.0))
+    // 2024-01-14 is a SUNDAY — still week offset 0 of the 01-08 cohort
+    assert(!got.contains(("2024-01-08", 1L)))
+    assert(got.size == 4)
+  }
+}

@@ -187,4 +187,55 @@ class TextAndJsonSpec extends AnyFunSuite {
     // rarer terms always outweigh common ones at equal tf and dl
     assert(got((2L, "c"))._7 > got((2L, "a"))._7)
   }
+
+  test("bigramLm: closed-form Laplace conditional probabilities on a toy corpus") {
+    // corpus: "a b a b" + "b c"  -> bigrams: (a,b)x2, (b,a)x1, (b,c)x1
+    // vocab V = {a,b,c} = 3; c(a)=2, c(b)=2 (as left context)
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(df, alpha = 1.0, minCount = 1L)
+      .select("w1", "w2", "c12", "c1", "logp")
+      .as[(String, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    def lp(c12: Double, c1: Double) = math.log((c12 + 1.0) / (c1 + 3.0))
+    assert(got(("a", "b"))._3 == 2L && got(("a", "b"))._4 == 2L)
+    assert(math.abs(got(("a", "b"))._5 - BigDecimal(lp(2, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(got(("b", "c"))._5 - BigDecimal(lp(1, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // single-token docs contribute no bigrams but COUNT toward the vocab
+    val withSingle = Seq((1L, "a b"), (2L, "z")).toDF("doc_id", "text")
+    val one = TextAnalysis.bigramLm(withSingle, alpha = 1.0, minCount = 1L)
+      .select("logp").as[Double].collect().head
+    // V = {a,b,z} = 3: p = (1+1)/(1+3)
+    assert(math.abs(one - BigDecimal(math.log(2.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigramLm: minCount prunes rows without changing surviving probabilities") {
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val all = TextAnalysis.bigramLm(df, minCount = 1L)
+      .select("w1", "w2", "logp").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val cut = TextAnalysis.bigramLm(df, minCount = 2L)
+      .select("w1", "w2", "logp").as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cut.keySet == Set(("a", "b")))
+    assert(cut(("a", "b")) == all(("a", "b")))
+  }
+
+  test("invertedIndex: numeric-sorted postings, true df, maxPostings truncation") {
+    val df = Seq((10L, "x y"), (2L, "x"), (1L, "x x")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(df)
+      .select("term", "df", "postings").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // numeric order (1,2,10), not lexicographic ("1","10","2");
+    // doc 1's repeated "x" counted once
+    assert(got("x") == (3L, "1,2,10"))
+    assert(got("y") == (1L, "10"))
+    val capped = TextAnalysis.invertedIndex(df, maxPostings = 2)
+      .select("term", "df", "postings").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(capped("x") == (3L, "1,2"), "df stays true while the list truncates")
+  }
 }
