@@ -318,13 +318,31 @@ object TextDedup {
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      bloomBits: Option[Int] = None,
+      bloomHashes: Int = 5): DataFrame = {
     // exact layer: one anti-join on the 128-bit content hash. Persisted:
     // it feeds BOTH the batch shingling and the final anti-join.
     val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
-    val exactSurvivors = newDocs.withColumn("__h", md5(col(textCol)))
-      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
-      .persist()
+    val newHashed = newDocs.withColumn("__h", md5(col(textCol)))
+    val exactBase = bloomBits match {
+      case Some(m) =>
+        // Bloom prefilter (opt-in): one bounded driver-held bit table
+        // (m/8 bytes) built distributed over the corpus hashes. A
+        // negative probe is definitive, so those rows are new WITHOUT
+        // touching the anti-join's shuffle; only the ~fpp-sized "maybe"
+        // slice pays the exact check. Result is EXACTLY the anti-join's
+        // — the filter changes cost, never the answer.
+        val bloom = graft.functions.BloomFilter.build(
+          corpusHashes, col("__h"), m, bloomHashes)
+        val maybe = graft.functions.BloomFilter.mightContain(
+          bloom, col("__h"), m, bloomHashes)
+        newHashed.filter(!maybe)
+          .unionByName(newHashed.filter(maybe)
+            .join(corpusHashes, Seq("__h"), "left_anti"))
+      case None => newHashed.join(corpusHashes, Seq("__h"), "left_anti")
+    }
+    val exactSurvivors = exactBase.drop("__h").persist()
     // near-dup layer: inverted-index candidates NEW × CORPUS only. The
     // df cap applies to the CORPUS posting lists (stop-shingles are a
     // corpus property); verification always uses full sets. Both shingle

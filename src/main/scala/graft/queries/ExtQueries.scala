@@ -19,6 +19,39 @@ object ExtQueries {
   private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val tsFmtDuck  = "%Y-%m-%d %H:%M:%S.%f"
 
+  /** Shared by `ext_dedup_incremental` and `ext_bloom_incremental`: the
+    * Bloom prefilter provably cannot change the result (negatives are
+    * definitive; positives still pass the exact anti-join), so both run
+    * against the identical exact-semantics oracle.
+    */
+  private val incrementalOracle =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |nw AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      |       UNION ALL
+      |       SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10),
+      |ex AS (SELECT * FROM nw
+      |       WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+      |shn AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ex
+      |        WHERE len(string_split(text, ' ')) >= 2),
+      |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+      |sho AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+      |        WHERE len(string_split(text, ' ')) >= 2),
+      |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+      |szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+      |szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+      |  FROM shn a JOIN sho b ON a.shingle = b.shingle GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT d1 FROM inter
+      |  JOIN szn ON d1 = szn.doc_id JOIN szo ON d2 = szo.doc_id
+      |  WHERE CAST(ni AS DOUBLE) / (szn.sz + szo.sz - ni) >= 0.8)
+      |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT d1 FROM losers)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on content.
@@ -153,32 +186,24 @@ object ExtQueries {
         TextDedup.incrementalSurvivors(newBatch, corpus, k = 2, tau = 0.8,
           maxShingleDf = Long.MaxValue).select("doc_id")
       },
-      Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-        |       UNION ALL
-        |       SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10),
-        |ex AS (SELECT * FROM nw
-        |       WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
-        |shn AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ex
-        |        WHERE len(string_split(text, ' ')) >= 2),
-        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
-        |sho AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
-        |        WHERE len(string_split(text, ' ')) >= 2),
-        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
-        |szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
-        |szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
-        |  FROM shn a JOIN sho b ON a.shingle = b.shingle GROUP BY 1, 2),
-        |losers AS (
-        |  SELECT DISTINCT d1 FROM inter
-        |  JOIN szn ON d1 = szn.doc_id JOIN szo ON d2 = szo.doc_id
-        |  WHERE CAST(ni AS DOUBLE) / (szn.sz + szo.sz - ni) >= 0.8)
-        |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT d1 FROM losers)""".stripMargin)),
+      Some(incrementalOracle)),
+
+    // Same incremental dedup with the Bloom prefilter switched on: the
+    // filter only reroutes definitively-new rows around the exact
+    // anti-join, so the oracle is IDENTICAL — hash-matching it proves
+    // the prefilter is invisible to the result.
+    Q("ext_bloom_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 400)
+        val newBatch = docs.filter(col("doc_id") >= 400)
+          .unionByName(corpus.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        TextDedup.incrementalSurvivors(newBatch, corpus, k = 2, tau = 0.8,
+          maxShingleDf = Long.MaxValue,
+          bloomBits = Some(1 << 17), bloomHashes = 5).select("doc_id")
+      },
+      Some(incrementalOracle)),
 
     // Deterministic content-hash dataset split (train/val/test) — a pure
     // function of md5(text), reproducible across engines and reruns.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Cohort, CycleDetection, Funnel, RangeJoin, Resample}
+import graft.ops.{Anomaly, Cohort, CycleDetection, Funnel, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -280,6 +280,28 @@ object OlapQueries {
         |  round(sum(value) OVER w, 2) / count(*) OVER w AS avg_7d
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin))
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Per-event-type z-score outliers (ops/Anomaly): moments from
+    // grid-rounded sums so mean/sd/z are bit-identical chains on both
+    // engines (Welford stddev_pop would drift in ulps).
+    Q("ext_anomaly_zscore",
+      (s, dir) => Anomaly.zscoreFlags(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = "value", threshold = 3.0)
+        .select("event_id", "event_type", "value", "n", "mean_v", "sd_v",
+          "z", "is_outlier"),
+      Some("""WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    round(sum(value), 2) AS s1, round(sum(value * value), 4) AS s2
+        |  FROM events GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type, n, s1 / n AS mean_v,
+        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd_v
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value, s.n, s.mean_v, s.sd_v,
+        |  round((e.value - s.mean_v) / s.sd_v, 6) AS z,
+        |  CAST(CASE WHEN s.sd_v > 0 AND abs((e.value - s.mean_v) / s.sd_v) > 3.0
+        |       THEN 1 ELSE 0 END AS INT) AS is_outlier
+        |FROM events e JOIN s USING (event_type)""".stripMargin))
   )
 }

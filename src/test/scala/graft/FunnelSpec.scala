@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Cohort, Funnel}
+import graft.ops.{Anomaly, Cohort, Funnel}
 
 /** Funnel ordering semantics and cohort retention arithmetic on
   * hand-built event sequences. */
@@ -107,5 +107,28 @@ class FunnelSpec extends AnyFunSuite {
     // 2024-01-14 is a SUNDAY — still week offset 0 of the 01-08 cohort
     assert(!got.contains(("2024-01-08", 1L)))
     assert(got.size == 4)
+  }
+
+  test("zscoreFlags: closed-form population moments, per-group isolation, threshold flag") {
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 4L, 10.0), ("b", 5L, 10.0)) // constant group: sd 0, var guard
+      .toDF("grp", "event_id", "value")
+    val got = Anomaly.zscoreFlags(rows, Seq("grp"), "value", threshold = 1.2)
+      .select("event_id", "n", "mean_v", "sd_v", "z", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getInt(5)))
+      .toMap
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(got(2L)._1 == 3L && got(2L)._2 == 2.0)
+    assert(math.abs(got(2L)._3 - sd) < 1e-12)
+    assert(got(2L)._4 == 0.0 && got(2L)._5 == 0)
+    assert(got(3L)._5 == 1, "z = 1.2247 > 1.2 flags")
+    assert(math.abs(got(3L)._4 - BigDecimal(1.0 / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // constant group: sd 0 -> z undefined (null in Spark's /0 semantics),
+    // never flagged
+    assert(got(4L)._3 == 0.0 && got(4L)._4.isNaN && got(4L)._5 == 0)
   }
 }
