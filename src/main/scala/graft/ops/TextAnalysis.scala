@@ -355,6 +355,90 @@ object TextAnalysis {
           .as("logp"))
   }
 
+  /** One greedy left-to-right BPE merge pass over a symbol array:
+    * non-overlapping occurrences of adjacent (l, r) become the merged
+    * token, leftmost first (so "aaa" under (a,a) → ["aa","a"]). A pure
+    * `functions.aggregate` fold — literals bound via `lit`, never
+    * spliced into an expr string (symbols come from corpus text and may
+    * contain quotes).
+    */
+  private def mergePair(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      array().cast("array<string>").as("acc"), lit("").as("prev"))
+    aggregate(syms, init,
+      (st, x) =>
+        when(st.getField("prev") === lit(l) && x === lit(r),
+          struct(concat(st.getField("acc"), array(lit(l + r))).as("acc"),
+            lit("").as("prev")))
+          .otherwise(struct(
+            when(st.getField("prev") === "", st.getField("acc"))
+              .otherwise(concat(st.getField("acc"), array(st.getField("prev"))))
+              .as("acc"),
+            x.as("prev"))),
+      st =>
+        when(st.getField("prev") === "", st.getField("acc"))
+          .otherwise(concat(st.getField("acc"), array(st.getField("prev")))))
+  }
+
+  /** Byte-pair-encoding merge induction — the learning step of a BPE
+    * tokenizer (Sennrich et al. 2016): repeatedly count adjacent symbol
+    * pairs frequency-weighted over the corpus and merge the most
+    * frequent, emitting the ordered merge table `(rank, left, right,
+    * pair_count, token)` that a tokenizer then replays.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD frequency
+    * table in one shuffle — the standard BPE-training input — and every
+    * round after that runs on that bounded table: one map-side-combined
+    * pair-count aggregate, ONE collected row (the argmax; ties broken
+    * (count desc, left, right) so induction is deterministic), and a
+    * map-only greedy rewrite, with a `localCheckpoint` per round capping
+    * lineage exactly like the connected-components loop. Driver state is
+    * one row per round. Not SQL-expressible (argmax-dependent
+    * iteration), so the registered query is rows-only with the
+    * closed-form TextAndJsonSpec pin as its trust chain.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      minPairCount: Long = 2L,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    var wordFreq = docs.select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), s -> s != '')").as("syms"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, String)]()
+    var r = 0
+    var go = true
+    while (r < numMerges && go) {
+      val best = wordFreq
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("cnt") < minPairCount) go = false
+      else {
+        val l = best(0).getString(0)
+        val rr = best(0).getString(1)
+        out += ((r + 1, l, rr, best(0).getAs[Long]("cnt"), l + rr))
+        val next = wordFreq
+          .select(mergePair(col("syms"), l, rr).as("syms"), col("freq"))
+          .localCheckpoint()
+        wordFreq.unpersist()
+        wordFreq = next
+        r += 1
+      }
+    }
+    wordFreq.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left", "right", "pair_count", "token")
+  }
+
   /** Inverted index: term → document frequency + sorted posting list
     * (the retrieval-side complement of [[termWeights]]'s scoring).
     * Postings are emitted as a comma-joined string so the row is a

@@ -1002,6 +1002,15 @@ object ExtQueries {
         |  FROM cf)
         |SELECT term, cf, token_id FROM r WHERE token_id < 65536""".stripMargin)),
 
+    // BPE merge induction: ordered merge table learned from the corpus
+    // word-frequency table. Rows-only (argmax-dependent iteration is not
+    // SQL-expressible); trust chain = TextAndJsonSpec's closed-form
+    // Sennrich-style pin.
+    Q("ext_bpe_merges",
+      (s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir),
+        numMerges = 20, minPairCount = 2L),
+      None),
+
     // Bigram LM: adjacent-pair counts + Laplace-smoothed ln P(w2|w1),
     // hapax bigrams pruned (minCount=2) from the emitted table while the
     // probabilities use unpruned totals.

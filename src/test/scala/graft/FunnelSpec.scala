@@ -109,6 +109,23 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("funnel stamping is ONE hash exchange: stacked windows reuse the entity layout") {
+    val rows = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")))
+      .toDF("user_id", "event_type", "t")
+    val stampedDf = Funnel.stamped(rows, "user_id", "event_type", "t", steps)
+    stampedDf.collect() // force AQE to finalize the executed plan
+    val plan = stampedDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"k funnel steps must not cost k shuffles; plan:\n$plan")
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= steps.size, "each step contributes a window operator")
+  }
+
   test("zscoreFlags: closed-form population moments, per-group isolation, threshold flag") {
     val rows = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),

@@ -224,6 +224,37 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(cut(("a", "b")) == all(("a", "b")))
   }
 
+  test("bpeMerges: closed-form merge order on the classic corpus") {
+    // words (space-tokenized): low x5, lower x2, newest x6, widest x3.
+    // Round 1 pair counts: (e,s)=9 ties (s,t)=9 -> lexicographic (e,s).
+    // Round 2: (es,t)=9. Round 3: (l,o)=7 ties (o,w)=7 -> (l,o).
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, numMerges = 3, minPairCount = 1L)
+      .select("rank", "left", "right", "pair_count", "token")
+      .as[(Int, String, String, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L, "es"),
+      (2, "es", "t", 9L, "est"),
+      (3, "l", "o", 7L, "lo")))
+  }
+
+  test("bpeMerges: greedy leftmost merging and the minPairCount stop") {
+    // "aaa" x4 under (a,a): leftmost pair merges first -> ["aa","a"],
+    // round 2 then sees (aa,a)=4
+    val docs = Seq((1L, Seq.fill(4)("aaa").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, numMerges = 5, minPairCount = 1L)
+      .select("rank", "token", "pair_count").as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.head == ((1, "aa", 8L)), "4 words x 2 non-overlapping (a,a) pairs")
+    assert(got(1) == ((2, "aaa", 4L)))
+    assert(got.length == 2, "fully merged words stop the induction")
+    // a high floor stops immediately
+    val stopped = TextAnalysis.bpeMerges(docs, numMerges = 5, minPairCount = 100L)
+    assert(stopped.count() == 0L)
+  }
+
   test("invertedIndex: numeric-sorted postings, true df, maxPostings truncation") {
     val df = Seq((10L, "x y"), (2L, "x"), (1L, "x x")).toDF("doc_id", "text")
     val got = TextAnalysis.invertedIndex(df)
