@@ -439,6 +439,36 @@ object TextAnalysis {
     out.toSeq.toDF("rank", "left", "right", "pair_count", "token")
   }
 
+  /** BPE tokenization — the APPLY step replaying a learned merge table
+    * ([[bpeMerges]] output or any compatible `(rank, left, right)`
+    * frame) over the corpus: each merge in rank order is one map-only
+    * greedy [[mergePair]] rewrite, so encoding is a zero-shuffle chain
+    * of `numMerges` codegen'd transforms — no per-row loop, no UDF. The
+    * merge table is collected to the driver (bounded: one row per
+    * learned merge, the same artifact a tokenizer ships) and bound into
+    * the plan as literals.
+    *
+    * Output: `(id, tokens, n_tokens)` where `tokens` is the word-major
+    * token sequence (whitespace word boundaries are hard boundaries, as
+    * in [[bpeMerges]] training).
+    */
+  def bpeEncode(
+      docs: DataFrame,
+      merges: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ordered = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val base = docs.select(col(idCol),
+      expr(s"transform(filter(split($textCol, ' '), w -> w != ''), " +
+        "w -> filter(split(w, ''), s -> s != ''))").as("wordSyms"))
+    val encodedWords = ordered.foldLeft(col("wordSyms")) { case (c, (l, r)) =>
+      transform(c, w => mergePair(w, l, r))
+    }
+    base.select(col(idCol), flatten(encodedWords).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Inverted index: term → document frequency + sorted posting list
     * (the retrieval-side complement of [[termWeights]]'s scoring).
     * Postings are emitted as a comma-joined string so the row is a

@@ -1011,6 +1011,19 @@ object ExtQueries {
         numMerges = 20, minPairCount = 2L),
       None),
 
+    // BPE tokenization with the table learned above: zero-shuffle chain
+    // of per-merge greedy rewrites. Rows-only; trust chain =
+    // TextAndJsonSpec closed-form encode + lossless-concatenation pin.
+    Q("ext_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = TextAnalysis.bpeMerges(docs, numMerges = 20, minPairCount = 2L)
+        TextAnalysis.bpeEncode(docs, merges)
+          .select(col("doc_id"), col("n_tokens"),
+            concat_ws(" ", col("tokens")).as("tokens_str"))
+      },
+      None),
+
     // Bigram LM: adjacent-pair counts + Laplace-smoothed ln P(w2|w1),
     // hapax bigrams pruned (minCount=2) from the emitted table while the
     // probabilities use unpruned totals.

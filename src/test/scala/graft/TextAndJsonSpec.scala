@@ -255,6 +255,23 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(stopped.count() == 0L)
   }
 
+  test("bpeEncode: replays the merge table in rank order, word boundaries are hard") {
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, numMerges = 3, minPairCount = 1L)
+    val enc = TextAnalysis.bpeEncode(
+      Seq((7L, "lowest newest")).toDF("doc_id", "text"), merges)
+      .select("tokens", "n_tokens").as[(Seq[String], Long)].collect().head
+    // merges learned: es, est, lo -> lowest = [lo w est], newest = [n e w est]
+    assert(enc._1 == Seq("lo", "w", "est", "n", "e", "w", "est"))
+    assert(enc._2 == 7L)
+    // tokenization is lossless: concatenating tokens restores the
+    // original non-space characters
+    assert(enc._1.mkString == "lowest newest".replace(" ", ""))
+  }
+
   test("invertedIndex: numeric-sorted postings, true df, maxPostings truncation") {
     val df = Seq((10L, "x y"), (2L, "x"), (1L, "x x")).toDF("doc_id", "text")
     val got = TextAnalysis.invertedIndex(df)
