@@ -459,13 +459,29 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val ordered = merges.select("rank", "left", "right")
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    val base = docs.select(col(idCol),
-      expr(s"transform(filter(split($textCol, ' '), w -> w != ''), " +
-        "w -> filter(split(w, ''), s -> s != ''))").as("wordSyms"))
-    val encodedWords = ordered.foldLeft(col("wordSyms")) { case (c, (l, r)) =>
-      transform(c, w => mergePair(w, l, r))
-    }
-    base.select(col(idCol), flatten(encodedWords).as("tokens"))
+    // Dictionary encoding: the merge chain (higher-order functions are
+    // interpreted, not codegen'd — ~linear in merges × symbols) runs
+    // ONCE per DISTINCT word, not once per occurrence; documents then
+    // look their words up. On a natural-language corpus occurrences
+    // outnumber the vocabulary by orders of magnitude, and at 100 TB
+    // the vocab side is the only part the merge chain ever touches.
+    val occurrences = docs.select(col(idCol),
+      posexplode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+        .as(Seq("pos", "w")))
+    val vocabSyms = occurrences.select("w").distinct()
+      .withColumn("syms", expr("filter(split(w, ''), s -> s != '')"))
+    val encoded = ordered.foldLeft(vocabSyms) { case (df, (l, r)) =>
+      df.withColumn("syms", mergePair(col("syms"), l, r))
+    }.withColumnRenamed("syms", "toks")
+    val assembled = occurrences.join(encoded, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
+    // left join back so wordless documents keep an empty token list
+    docs.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
