@@ -198,6 +198,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel summary equals the naive sequential replay on random streams") {
+    (1 to 8).foreach { seed =>
+      val rnd = new Random(4000 + seed)
+      val types = Vector("view", "click", "purchase", "other")
+      // unique (user, time) so ordering is total and ties don't obscure
+      // the strictly-after semantics under test
+      val rows = List.fill(80)((1L + rnd.nextInt(6), rnd.nextLong(10000L),
+        types(rnd.nextInt(types.length))))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val df = rows.map { case (u, off, t) => (u, t, new Timestamp(base + off)) }
+        .toDF("user_id", "event_type", "t")
+      val got = graft.ops.Funnel.conversionSummary(
+        df, "user_id", "event_type", "t", Seq("view", "click", "purchase"))
+        .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+      // driver replay: earliest view, earliest click strictly after it,
+      // earliest purchase strictly after that
+      val perUser = rows.groupBy(_._1).values.map { es =>
+        def nextAfter(tpe: String, after: Option[Long]): Option[Long] =
+          es.filter(e => e._3 == tpe && after.forall(e._2 > _))
+            .map(_._2).minOption
+        val t1 = nextAfter("view", None)
+        val t2 = if (t1.isDefined) nextAfter("click", t1) else None
+        val t3 = if (t2.isDefined) nextAfter("purchase", t2) else None
+        (t1.isDefined, t2.isDefined, t3.isDefined)
+      }.toList
+      assert(got(1) == perUser.count(_._1), s"seed=$seed step1")
+      assert(got(2) == perUser.count(_._2), s"seed=$seed step2")
+      assert(got(3) == perUser.count(_._3), s"seed=$seed step3")
+    }
+  }
+
+  test("bloom filter never rejects an inserted key, over random unicode-ish keys") {
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(5000 + seed)
+      val keys = List.fill(200)(
+        List.fill(1 + rnd.nextInt(12))((rnd.nextInt(0xD7FF) + 1).toChar).mkString)
+        .distinct
+      val df = keys.toDF("key")
+      val bloom = graft.functions.BloomFilter.build(df, col("key"), 1 << 13, 5)
+      val kept = df.filter(
+        graft.functions.BloomFilter.mightContain(bloom, col("key"), 1 << 13, 5)).count()
+      assert(kept == keys.length, s"seed=$seed")
+    }
+  }
+
+  test("bpe round-trip: tokens concatenate back to the source words on random corpora") {
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(6000 + seed)
+      val lexicon = List.fill(12)(
+        List.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(5)).toChar).mkString)
+      val docs = List.tabulate(10) { i =>
+        (i.toLong, List.fill(1 + rnd.nextInt(20))(lexicon(rnd.nextInt(lexicon.length)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val merges = graft.ops.TextAnalysis.bpeMerges(docs, numMerges = 8, minPairCount = 1L)
+      val enc = graft.ops.TextAnalysis.bpeEncode(docs, merges)
+        .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+      docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
+        case (id, text) =>
+          assert(enc(id).mkString == text.replace(" ", ""), s"seed=$seed doc=$id")
+          // every token is a contiguous substring of some source word
+          enc(id).foreach(tok =>
+            assert(text.split(" ").exists(_.contains(tok)), s"seed=$seed tok=$tok"))
+      }
+    }
+  }
+
   test("resampleToMixture: raising one share only ever ADDS copies (monotone)") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "source", "text")
