@@ -9,7 +9,7 @@ import graft.fixtures.{FixtureGen, Fixtures}
 import graft.io.JdbcSinks
 import graft.ops.CycleDetection
 import graft.pipeline.DailyAggregatorJob
-import graft.streaming.StreamingPipeline
+import graft.streaming.{FunnelStream, StreamingPipeline}
 
 /** Streaming ≡ batch on the fixture, including cross-micro-batch state. */
 class StreamingSpec extends AnyFunSuite {
@@ -234,6 +234,71 @@ class StreamingSpec extends AnyFunSuite {
       "test must be non-vacuous: raw delivery order has to mis-assign cycles")
     val bufferedGot = runStream(buffered = true, "reorder_on")
     assert(bufferedGot == expected)
+  }
+
+  test("streaming funnel: step reaches equal batch stamped under out-of-order delivery") {
+    // user 1's conversion arrives REVERSED across micro-batches (the
+    // purchase and click land a batch before the view that anchors
+    // them); user 3 proves order-sensitivity (purchase BEFORE its view
+    // must not convert); sentinel user 999 pushes the watermark so the
+    // reorder buffers drain.
+    val header = "user_id,event_type,ts"
+    val dir = Files.createTempDirectory("graft_funnel_stream").toString
+    def l(u: Long, t: String, ts: String) = s"$u,$t,${ts}Z"
+    val base = System.currentTimeMillis()
+    // all disorder stays WITHIN the 1 h watermark delay — anything
+    // older is dropped by Spark's late-data rule (the documented
+    // contract of every ordered stage)
+    Seq(
+      Seq(l(1, "click", "2024-10-16T10:05:00.000"),
+        l(1, "purchase", "2024-10-16T10:10:00.000"),
+        l(3, "purchase", "2024-10-16T09:40:00.000")),
+      Seq(l(1, "view", "2024-10-16T10:00:00.000"),
+        l(2, "view", "2024-10-16T09:50:00.000"),
+        l(3, "view", "2024-10-16T09:45:00.000")),
+      Seq(l(3, "click", "2024-10-16T09:50:00.000"),
+        l(999, "view", "2024-10-20T00:00:00.000"))
+    ).zipWithIndex.foreach { case (rows, i) =>
+      FixtureGen.writeCsv(s"$dir/f$i.csv", header +: rows)
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+    val schema = "user_id LONG, event_type STRING, ts TIMESTAMP"
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    def readStreamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(dir)
+    def readBatch = spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(dir)
+    val steps = Seq("view", "click", "purchase")
+    val q = FunnelStream.stepReaches(
+      readStreamed.as[FunnelStream.FunnelEvent], steps, "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("funnel_st").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("funnel_st").filter(col("user_id") < 999)
+      .select("user_id", "step_idx", "ts")
+      .as[(Long, Int, java.sql.Timestamp)].collect()
+    // append exactly-once: no (user, step) may emit twice
+    assert(streamed.map(r => (r._1, r._2)).distinct.length == streamed.length)
+    // batch oracle: ops.Funnel.stamped over the same rows
+    val stamped = graft.ops.Funnel.stamped(
+      readBatch.filter(col("user_id") < 999),
+      "user_id", "event_type", "ts", steps)
+      .groupBy("user_id")
+      .agg(min("step_ts_1").as("t1"), min("step_ts_2").as("t2"),
+        min("step_ts_3").as("t3"))
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect()
+    val expected = stamped.flatMap { case (u, t1, t2, t3) =>
+      Seq(t1, t2, t3).zipWithIndex.collect {
+        case (Some(ts), i) => (u, i + 1, ts)
+      }
+    }.toSet
+    assert(streamed.toSet == expected)
+    // the fixture is non-vacuous: a full conversion, a partial, and an
+    // order-blocked purchase
+    assert(expected.count(_._1 == 1L) == 3 && expected.count(_._1 == 2L) == 1 &&
+      expected.count(_._1 == 3L) == 2)
   }
 
   test("cycleTimesOrdered: closed-cycle boundaries survive out-of-order delivery") {
