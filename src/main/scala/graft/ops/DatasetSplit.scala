@@ -109,4 +109,36 @@ object DatasetSplit {
       .filter(col("graft_rk") <= k)
       .drop("graft_rank_bucket", "graft_rk")
   }
+
+  /** Deterministic weighted sampling (priority sampling, Duffield et
+    * al.): each row gets priority = weight / u with u the shared salted
+    * content coin mapped to (0, 1]; the k largest priorities are the
+    * sample, so heavier rows are proportionally likelier while staying a
+    * pure function of content. Raising one row's weight can only raise
+    * its priority — it never evicts itself — so weight tuning is
+    * monotone per row, like the other sampling ops here.
+    *
+    * Scale shape: `orderBy(..).limit(k)` plans as TakeOrderedAndProject
+    * — per-partition top-k then a k-row merge, never a global sort.
+    * Priority is one exact-rounded IEEE division of engine-identical
+    * inputs, so the selected SET is reproducible across engines (no
+    * libm pow/log in the ranking, unlike textbook A-ES — the
+    * exponential-variate formulation would risk cross-engine rank flips
+    * at ulp distance).
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      contentCol: String,
+      idCol: String = "doc_id",
+      salt: String = "wsamp"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (saltedBucket(col(contentCol), salt) + lit(1)).cast("double") /
+      lit(Granularity.toDouble)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority", col(weightCol) / u)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

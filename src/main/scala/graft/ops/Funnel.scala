@@ -60,6 +60,33 @@ object Funnel {
     df
   }
 
+  /** First-order behavior transitions: counts and conditional
+    * probabilities of consecutive event-type pairs per entity — the
+    * Markov-chain view of the event stream that funnels are a special
+    * case of. One exchange (the lag window on the entity key); the
+    * matrix math runs on |types|² rows. `tieCol` makes the within-ts
+    * order deterministic, mirroring the oracle's ORDER BY.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val counts = pairs
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("n_prev"))
+    counts.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        col("n_prev").cast("long").as("n_prev"),
+        round(col("n") / col("n_prev"), 6).as("p"))
+  }
+
   /** One row per funnel step: `(step_idx, step_name, n_users, conversion)`
     * where `n_users` counts entities whose ordered progression reached the
     * step and `conversion` is the fraction of step-1 entities (null when

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Anomaly, Cohort, CycleDetection, Funnel, RangeJoin, Resample}
+import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -302,6 +302,65 @@ object OlapQueries {
         |  round((e.value - s.mean_v) / s.sd_v, 6) AS z,
         |  CAST(CASE WHEN s.sd_v > 0 AND abs((e.value - s.mean_v) / s.sd_v) > 3.0
         |       THEN 1 ELSE 0 END AS INT) AS is_outlier
-        |FROM events e JOIN s USING (event_type)""".stripMargin))
+        |FROM events e JOIN s USING (event_type)""".stripMargin)),
+
+    // First-order event-type transition matrix per user (ops/Funnel):
+    // counts + conditional probabilities, one lag-window exchange.
+    Q("ext_event_transitions",
+      (s, dir) => Funnel.transitionMatrix(Tables.events(s, dir),
+        entityCol = "user_id", typeCol = "event_type", tsCol = "ts",
+        tieCol = "event_id"),
+      Some("""WITH p AS (
+        |  SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n, t.n_prev,
+        |  round(c.n / t.n_prev, 6) AS p
+        |FROM c JOIN t USING (prev_type)""".stripMargin)),
+
+    // Equal-width value histogram per event type: bin edges on the
+    // 25-unit grid (integral edges are exact doubles, so floor/divide
+    // is engine-identical).
+    Q("ext_value_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bin"),
+          (col("bin") * 25.0).as("lo_edge"), col("n")),
+      Some("""SELECT event_type, CAST(floor(value / 25.0) AS INT) AS bin,
+        |  CAST(floor(value / 25.0) AS INT) * 25.0 AS lo_edge, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Mergeable quantile sketch (t-digest-family approx_percentile) —
+    // the 100 TB form of a8's exact rank percentiles. Rows-only; the
+    // SketchesSpec rank-envelope pin vs the exact (oracle-checked)
+    // discrete percentile is the trust chain.
+    Q("ext_sketch_quantile",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("q"))
+        .select(col("event_type"), col("q")(0).as("p50_approx"),
+          col("q")(1).as("p95_approx")),
+      None),
+
+    // Deterministic weighted sampling (priority sampling): documents
+    // weighted by length; top-100 priorities, reproducible in SQL.
+    Q("ext_sample_weighted",
+      (s, dir) => DatasetSplit.sampleWeighted(Tables.documents(s, dir),
+        k = 100, weightCol = "n_chars", contentCol = "text")
+        .select("doc_id", "n_chars", "priority"),
+      Some("""SELECT doc_id, n_chars,
+        |  CAST(n_chars AS DOUBLE) /
+        |    ((CAST(('0x' || substr(md5('wsamp:' || text), 1, 4)) AS INT) + 1)
+        |      / 65536.0) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin))
   )
 }

@@ -274,6 +274,31 @@ class DedupSpec extends AnyFunSuite {
     assert(all == docs10.count())
   }
 
+  test("sampleWeighted: exactly k, reshard-deterministic, monotone in a row's own weight") {
+    import graft.ops.DatasetSplit
+    val docs10 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "n_chars", "text")
+    val a = DatasetSplit.sampleWeighted(docs10, k = 50, weightCol = "n_chars",
+      contentCol = "text").select("doc_id").as[Long].collect().toSet
+    assert(a.size == 50)
+    val b = DatasetSplit.sampleWeighted(docs10.repartition(13), k = 50,
+      weightCol = "n_chars", contentCol = "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "membership must be a pure function of content and weights")
+    // raising one sampled row's weight can only keep it in the sample
+    val target = a.head
+    val boosted = docs10.withColumn("n_chars",
+      when(col("doc_id") === target, col("n_chars") * 1000).otherwise(col("n_chars")))
+    val c = DatasetSplit.sampleWeighted(boosted, k = 50, weightCol = "n_chars",
+      contentCol = "text").select("doc_id").as[Long].collect().toSet
+    assert(c.contains(target))
+    // heavier rows dominate: the sample's mean weight exceeds the corpus mean
+    val meanAll = docs10.agg(avg("n_chars")).as[Double].collect().head
+    val meanSample = docs10.filter(col("doc_id").isin(a.toSeq: _*))
+      .agg(avg("n_chars")).as[Double].collect().head
+    assert(meanSample > meanAll)
+  }
+
   test("shingles: documents shorter than k words produce none; k-grams are distinct") {
     val df = Seq((1L, "a b c b a b"), (2L, "single")).toDF("doc_id", "text")
     val sh = TextDedup.shingles(df, 2).as[(Long, String)].collect().toSeq

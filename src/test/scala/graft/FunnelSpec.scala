@@ -126,6 +126,28 @@ class FunnelSpec extends AnyFunSuite {
     assert(windows >= steps.size, "each step contributes a window operator")
   }
 
+  test("transitionMatrix: closed-form counts and conditional probabilities") {
+    val rows = Seq(
+      // user 1: a -> b -> a -> c ; user 2: a -> b
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 10:01:00")),
+      (1L, 3L, "a", ts("2024-01-01 10:02:00")),
+      (1L, 4L, "c", ts("2024-01-01 10:03:00")),
+      (2L, 5L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 6L, "b", ts("2024-01-01 10:01:00")))
+      .toDF("user_id", "event_id", "event_type", "t")
+    val got = graft.ops.Funnel.transitionMatrix(rows, "user_id", "event_type", "t", "event_id")
+      .select("prev_type", "next_type", "n", "n_prev", "p")
+      .as[(String, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // from a: ->b twice, ->c once; from b: ->a once (user 2's b is terminal)
+    assert(got(("a", "b")) == (2L, 3L, 0.666667))
+    assert(got(("a", "c")) == (1L, 3L, 0.333333))
+    assert(got(("b", "a")) == (1L, 1L, 1.0))
+    assert(got.size == 3, "terminal events contribute no transition")
+    // cross-user sequences never chain: user 2's 'b' -> user 1's 'a' absent
+  }
+
   test("zscoreFlags: closed-form population moments, per-group isolation, threshold flag") {
     val rows = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),

@@ -114,4 +114,22 @@ class SketchesSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(sharded == onePass, "HLL union over shards must equal the one-pass sketch")
   }
+
+  test("approx quantile sketch: returned values sit within a 2% rank envelope of target") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val approx = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)).as("q"))
+      .select(col("event_type"), col("q")(0).as("p50"), col("q")(1).as("p95"))
+      .as[(String, Double, Double)].collect()
+    val byType = ev.select("event_type", "value").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (t, p50, p95) =>
+      val vs = byType(t)
+      def rankOf(v: Double): Double = vs.count(_ <= v).toDouble / vs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.02, s"$t p50=$p50 rank=${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.02, s"$t p95=$p95 rank=${rankOf(p95)}")
+      // the sketch returns actual data values, not interpolations
+      assert(vs.contains(p50) && vs.contains(p95))
+    }
+  }
 }
