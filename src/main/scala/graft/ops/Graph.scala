@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over an edge DataFrame — the ranking half of
+  * TextRank keyword extraction (Mihalcea & Tarau 2004) when the edges
+  * are word co-occurrences, and a general centrality tool for any graph
+  * the engine derives (near-dup graphs, transition graphs).
+  *
+  * Power iteration: r'(v) = (1−d)/N + d·(Σ_in r(u)·w(u,v)/W(u) + D/N)
+  * where W(u) is u's total out-weight and D the dangling mass (rank
+  * held by nodes with no out-edges, redistributed uniformly — without
+  * it rank leaks and Σr drifts from 1).
+  *
+  * Scale shape, mirroring the connected-components loop: edges are
+  * normalized ONCE (one join + one aggregate, then persisted); each
+  * iteration is one join on `src` + one aggregate on `dst` over the
+  * edge table, with `localCheckpoint` per round capping lineage. Driver
+  * state per iteration is two scalars (node count once, dangling mass
+  * per round) — the same bounded-driver-action class as the CC
+  * convergence checksum. Iterations are FIXED (`iters`), not
+  * convergence-tested, so the result is a pure function of the graph —
+  * reproducible across engines and what the unrolled-CTE oracle
+  * replays.
+  */
+object Graph {
+
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 10,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "weight"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nCount = nodes.count() // fills the persist; one bounded scalar
+    val outW = e.groupBy("src").agg(sum("w").as("ow")).persist()
+    val eNorm = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("frac"))
+      .persist()
+    eNorm.count() // pre-fill before the multi-consumer loop
+    val srcNodes = outW.select(col("src").as("node"))
+    var ranks = nodes.withColumn("r", lit(1.0 / nCount)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+      val inc = eNorm
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("frac")).as("inc"))
+      val next = nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / nCount) + lit(damping) *
+            (coalesce(col("inc"), lit(0.0)) + lit(dangling / nCount))).as("r"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+    }
+    nodes.unpersist()
+    outW.unpersist()
+    eNorm.unpersist()
+    ranks
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AsOfJoin, Curation, DatasetSplit, Multimodal, Packing, Scd2, Similarity, Skew, Sketches, TextAnalysis, TextDedup}
+import graft.ops.{AsOfJoin, Curation, DatasetSplit, Graph, Multimodal, Packing, Scd2, Similarity, Skew, Sketches, TextAnalysis, TextDedup}
 
 /** LLM-training-data-pipeline operators: dedup, similarity search, text
   * analysis, JSON extraction, multimodal plumbing — over the
@@ -51,6 +51,46 @@ object ExtQueries {
       |  JOIN szn ON d1 = szn.doc_id JOIN szo ON d2 = szo.doc_id
       |  WHERE CAST(ni AS DOUBLE) / (szn.sz + szo.sz - ni) >= 0.8)
       |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT d1 FROM losers)""".stripMargin
+
+  /** Unrolled-CTE PageRank oracle: recursive CTEs cannot contain an
+    * aggregate in the recursive term, so the fixed power iteration is
+    * generated as `iters` chained CTE steps — the same arithmetic as
+    * `Graph.pageRank` (0.15/n teleport, 0.85 damping, dangling mass
+    * redistributed uniformly), final 6-dp rounding on both sides.
+    */
+  private def textrankOracle(iters: Int): String = {
+    // AS MATERIALIZED is load-bearing: each step references the previous
+    // rank table twice, and DuckDB's default CTE inlining would expand
+    // the chain into a 2^iters-node plan (measured: times out at 10
+    // iterations; 0.5 s materialized)
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT w1 AS src, w2 AS dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        |    SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        |    FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |          WHERE len(string_split(text, ' ')) >= 2),
+        |         LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i))
+        |  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+        |base AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        |en AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS frac FROM e JOIN ow USING (src)),
+        |pr0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM base, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM pr${i - 1}
+         |        WHERE node NOT IN (SELECT src FROM ow)),
+         |i$i AS MATERIALIZED (SELECT en.dst AS node, sum(p.r * en.frac) AS inc
+         |        FROM en JOIN pr${i - 1} p ON en.src = p.node GROUP BY en.dst),
+         |pr$i AS MATERIALIZED (SELECT b.node,
+         |           0.15 / nn.n + 0.85 * (COALESCE(i$i.inc, 0) + d$i.dm / nn.n) AS r
+         |         FROM base b LEFT JOIN i$i ON b.node = i$i.node, nn, d$i)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT node AS term, round(r, 6) AS rank FROM pr$iters
+         |ORDER BY rank DESC, term LIMIT 20""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -1001,6 +1041,27 @@ object ExtQueries {
         |      AS token_id
         |  FROM cf)
         |SELECT term, cf, token_id FROM r WHERE token_id < 65536""".stripMargin)),
+
+    // TextRank: PageRank over the word co-occurrence (bigram) graph —
+    // keyword centrality. Fixed 10 power iterations; the oracle unrolls
+    // the identical iteration as 10 chained CTEs (recursive CTEs cannot
+    // aggregate per step).
+    Q("ext_textrank",
+      (s, dir) => {
+        val pairs = Tables.documents(s, dir)
+          .select(split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i + 1] AS dst))"))
+            .as("b"))
+          .select(col("b.src").as("src"), col("b.dst").as("dst"))
+          .filter(length(col("src")) > 0 && length(col("dst")) > 0)
+          .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
+        Graph.pageRank(pairs, iters = 10, damping = 0.85)
+          .select(col("node").as("term"), round(col("r"), 6).as("rank"))
+          .orderBy(desc("rank"), asc("term")).limit(20)
+      },
+      Some(textrankOracle(10))),
 
     // BPE merge induction: ordered merge table learned from the corpus
     // word-frequency table. Rows-only (argmax-dependent iteration is not

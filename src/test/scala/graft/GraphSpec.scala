@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+/** PageRank semantics: symmetry, rank conservation (incl. dangling
+  * mass), and exact agreement with a driver-side reference iteration. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side reference power iteration, same arithmetic. */
+  private def reference(
+      edges: Seq[(String, String, Double)], iters: Int, d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * (w / outW(s)) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (inc.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String, Double)], iters: Int): Map[String, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "weight"), iters)
+      .as[(String, Double)].collect().toMap
+
+  test("two-node cycle: perfectly symmetric ranks") {
+    val got = run(Seq(("a", "b", 1.0), ("b", "a", 1.0)), iters = 7)
+    assert(got("a") == 0.5 && got("b") == 0.5)
+  }
+
+  test("ranks sum to 1 even with dangling nodes (mass is redistributed, not leaked)") {
+    val edges = Seq(
+      ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+      ("c", "d", 1.0)) // d is dangling
+    val got = run(edges, iters = 12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
+    assert(got.size == 4)
+  }
+
+  test("matches the driver-side reference iteration exactly (weighted, dangling, hub)") {
+    val edges = Seq(
+      ("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("c", "d", 2.0), ("d", "a", 1.0), ("e", "a", 5.0)) // e gets only teleport
+    val got = run(edges, iters = 10)
+    val exp = reference(edges, iters = 10, d = 0.85)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - exp(v)) < 1e-9, s"node $v: $r vs ${exp(v)}")
+    }
+    // the hub (everyone points at a) outranks everything
+    assert(got("a") == got.values.max)
+  }
+}
