@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, RangeJoin, Resample}
+import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -361,6 +361,63 @@ object OlapQueries {
         |    ((CAST(('0x' || substr(md5('wsamp:' || text), 1, 4)) AS INT) + 1)
         |      / 65536.0) AS priority
         |FROM documents WHERE n_chars > 0
-        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin))
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Fuzzy entity matching (ops/FuzzyJoin): part-name pairs within
+    // edit distance 2, length-band-blocked dictionary matching with the
+    // exact integer levenshtein verify. The oracle is the plain O(n²)
+    // distinct-name join — identical results prove the blocking is
+    // lossless.
+    Q("ext_fuzzy_match",
+      (s, dir) => FuzzyJoin.dictionaryMatches(Tables.part(s, dir),
+        nameCol = "p_name", maxDist = 2),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |       WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin)),
+
+    // Semi/anti join surface made explicit: customers with and without
+    // orders in one frame.
+    Q("j5_semi_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select("c_custkey")
+        val o = Tables.orders(s, dir).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_orders").as("status"))
+          .unionByName(
+            c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+              .select(col("c_custkey"), lit("no_orders").as("status")))
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)),
+
+    // Ranking-function family over a total per-type order (unique
+    // event_id tiebreak => no peers, so every function is
+    // deterministic): rank, dense_rank, ntile, percent_rank, cume_dist.
+    Q("w5_rank_family",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+      },
+      Some("""SELECT event_id, event_type, value,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin))
   )
 }
