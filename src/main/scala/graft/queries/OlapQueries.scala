@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, RangeJoin, Resample}
+import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, Profile, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -418,6 +418,30 @@ object OlapQueries {
         |  round(percent_rank() OVER w, 6) AS pct_rank,
         |  round(cume_dist() OVER w, 6) AS cdist
         |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin))
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+
+    // Table profiling (ops/Profile): per-column quality stats in one
+    // aggregation pass. The oracle is one UNION ALL leg per column over
+    // the same definitions.
+    Q("ext_profile_table",
+      (s, dir) => Profile.table(Tables.events(s, dir),
+        numericCols = Seq("event_id", "user_id", "value"),
+        stringCols = Seq("event_type", "props")),
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS DOUBLE) AS min_num,
+             |  CAST(max($c) AS DOUBLE) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str,
+             |  CAST(NULL AS VARCHAR) AS max_str FROM events""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  CAST(min($c) AS VARCHAR), CAST(max($c) AS VARCHAR) FROM events""".stripMargin
+        (Seq("event_id", "user_id", "value").map(num) ++
+          Seq("event_type", "props").map(str)).mkString("\nUNION ALL\n")
+      })
   )
 }

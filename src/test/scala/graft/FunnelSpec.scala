@@ -148,6 +148,23 @@ class FunnelSpec extends AnyFunSuite {
     // cross-user sequences never chain: user 2's 'b' -> user 1's 'a' absent
   }
 
+  test("Profile.table: per-column counts, nulls, distinct, typed min/max in one pass") {
+    val df = Seq(
+      (Some(3.0), Some("b")), (Some(1.0), None),
+      (None, Some("a")), (Some(3.0), Some("b")))
+      .toDF("v", "s")
+    val got = graft.ops.Profile.table(df, numericCols = Seq("v"), stringCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = got("v")
+    assert((v.getLong(1), v.getLong(2), v.getLong(3)) == ((4L, 1L, 2L)))
+    assert((v.getDouble(4), v.getDouble(5)) == ((1.0, 3.0)))
+    assert(v.isNullAt(6) && v.isNullAt(7))
+    val s = got("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) == ((4L, 1L, 2L)))
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert((s.getString(6), s.getString(7)) == (("a", "b")))
+  }
+
   test("zscoreFlags: closed-form population moments, per-group isolation, threshold flag") {
     val rows = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),

@@ -9,7 +9,7 @@ import graft.fixtures.{FixtureGen, Fixtures}
 import graft.io.JdbcSinks
 import graft.ops.CycleDetection
 import graft.pipeline.DailyAggregatorJob
-import graft.streaming.{FunnelStream, StreamingPipeline}
+import graft.streaming.{FunnelStream, StreamingPipeline, StreamJoins}
 
 /** Streaming ≡ batch on the fixture, including cross-micro-batch state. */
 class StreamingSpec extends AnyFunSuite {
@@ -299,6 +299,56 @@ class StreamingSpec extends AnyFunSuite {
     // order-blocked purchase
     assert(expected.count(_._1 == 1L) == 3 && expected.count(_._1 == 2L) == 1 &&
       expected.count(_._1 == 3L) == 2)
+  }
+
+  test("stream-stream interval join equals the batch range join across micro-batches") {
+    // views land within/outside the 10-minute window after errors of
+    // the same user; the two sides arrive in SEPARATE streams and
+    // different micro-batches
+    val vDir = Files.createTempDirectory("graft_ssj_v").toString
+    val eDir = Files.createTempDirectory("graft_ssj_e").toString
+    val base = System.currentTimeMillis()
+    def write(dir: String, name: String, header: String, rows: Seq[String], i: Int): Unit = {
+      FixtureGen.writeCsv(s"$dir/$name", header +: rows)
+      new java.io.File(s"$dir/$name").setLastModified(base + i * 2000L): Unit
+    }
+    write(vDir, "v0.csv", "user_id,view_id,vts", Seq(
+      "1,10,2024-10-16T10:05:00.000Z",   // inside [10:00, 10:10]
+      "1,11,2024-10-16T10:15:00.000Z",   // outside
+      "2,12,2024-10-16T10:05:00.000Z"), 0) // user 2: no error
+    write(vDir, "v1.csv", "user_id,view_id,vts", Seq(
+      "1,13,2024-10-16T10:10:00.000Z",   // boundary: inclusive
+      "1,14,2024-10-16T09:59:59.000Z"), 1) // before the error
+    write(eDir, "e0.csv", "user_id,err_id,ets", Seq(
+      "1,90,2024-10-16T10:00:00.000Z"), 0)
+    write(eDir, "e1.csv", "user_id,err_id,ets", Seq(
+      "3,91,2024-10-16T10:00:00.000Z"), 1) // error with no views
+    val vSchema = "user_id LONG, view_id LONG, vts TIMESTAMP"
+    val eSchema = "user_id LONG, err_id LONG, ets TIMESTAMP"
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    def rd(dir: String, schema: String, stream: Boolean) =
+      if (stream) spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("header", "true").option("timestampFormat", fmt).csv(dir)
+      else spark.read.schema(schema).option("header", "true")
+        .option("timestampFormat", fmt).csv(dir)
+    val joined = StreamJoins.intervalJoin(
+      rd(vDir, vSchema, stream = true), rd(eDir, eSchema, stream = true),
+      keyCols = Seq("user_id"), leftTs = "vts", rightTs = "ets",
+      lowerSec = 0L, upperSec = 600L, delay = "1 hour")
+      .select("view_id", "err_id")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj").as[(Long, Long)].collect().toSet
+    // batch oracle: plain inequality join over the same files
+    val expected = rd(vDir, vSchema, stream = false).as("v")
+      .join(rd(eDir, eSchema, stream = false).as("e"),
+        col("v.user_id") === col("e.user_id") &&
+          col("vts") >= col("ets") &&
+          col("vts") <= col("ets") + expr("interval 600 seconds"))
+      .select("view_id", "err_id").as[(Long, Long)].collect().toSet
+    assert(expected == Set((10L, 90L), (13L, 90L)), "fixture must be non-trivial")
+    assert(streamed == expected)
   }
 
   test("cycleTimesOrdered: closed-cycle boundaries survive out-of-order delivery") {
