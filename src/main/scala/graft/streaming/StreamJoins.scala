@@ -22,6 +22,13 @@ object StreamJoins {
     * left's). Both inputs must be STREAMING frames; `delay` is each
     * side's watermark.
     */
+  /** `joinType` extends the inner form: `leftOuter` additionally emits
+    * each unmatched left row exactly once, null-padded, WHEN the
+    * watermark proves no in-interval partner can still arrive — outer
+    * results are therefore delayed by the watermark, while inner
+    * matches still emit eagerly. (Same contract as Spark's
+    * stream-stream outer-join semantics; `rightOuter` is symmetric.)
+    */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -30,7 +37,8 @@ object StreamJoins {
       rightTs: String,
       lowerSec: Long,
       upperSec: Long,
-      delay: String): DataFrame = {
+      delay: String,
+      joinType: String = "inner"): DataFrame = {
     require(keyCols.nonEmpty, "interval join needs at least one key")
     require(lowerSec <= upperSec, "lowerSec must be <= upperSec")
     val l = left.withWatermark(leftTs, delay)
@@ -38,6 +46,6 @@ object StreamJoins {
     val cond = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
       l(leftTs) >= r(rightTs) + expr(s"interval $lowerSec seconds") &&
       l(leftTs) <= r(rightTs) + expr(s"interval $upperSec seconds")
-    keyCols.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+    keyCols.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
   }
 }

@@ -351,6 +351,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit once the watermark closes them") {
+    val vDir = Files.createTempDirectory("graft_ssjo_v").toString
+    val eDir = Files.createTempDirectory("graft_ssjo_e").toString
+    val base = System.currentTimeMillis()
+    def write(dir: String, name: String, header: String, rows: Seq[String], i: Int): Unit = {
+      FixtureGen.writeCsv(s"$dir/$name", header +: rows)
+      new java.io.File(s"$dir/$name").setLastModified(base + i * 2000L): Unit
+    }
+    write(vDir, "v0.csv", "user_id,view_id,vts", Seq(
+      "1,10,2024-10-16T10:05:00.000Z",      // matched
+      "2,12,2024-10-16T10:05:00.000Z"), 0)  // no error: outer row
+    // far-future sentinels on BOTH sides push both watermarks past the
+    // outer candidates so the null-padded rows actually emit
+    write(vDir, "v1.csv", "user_id,view_id,vts", Seq(
+      "998,99,2024-10-20T00:00:00.000Z"), 1)
+    write(eDir, "e0.csv", "user_id,err_id,ets", Seq(
+      "1,90,2024-10-16T10:00:00.000Z"), 0)
+    write(eDir, "e1.csv", "user_id,err_id,ets", Seq(
+      "998,98,2024-10-20T00:00:00.000Z"), 1)
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    def rd(dir: String, schema: String) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("header", "true").option("timestampFormat", fmt).csv(dir)
+    val joined = StreamJoins.intervalJoin(
+      rd(vDir, "user_id LONG, view_id LONG, vts TIMESTAMP"),
+      rd(eDir, "user_id LONG, err_id LONG, ets TIMESTAMP"),
+      keyCols = Seq("user_id"), leftTs = "vts", rightTs = "ets",
+      lowerSec = 0L, upperSec = 600L, delay = "1 hour",
+      joinType = "leftOuter")
+      .select(col("view_id"), col("err_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_outer").filter(col("view_id") < 99)
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((10L, Some(90L)), (12L, None)),
+      "matched row eager, unmatched row null-padded after watermark closure")
+  }
+
   test("cycleTimesOrdered: closed-cycle boundaries survive out-of-order delivery") {
     val (dir, batchCsv) = outOfOrderFixture()
     val clean = StreamingPipeline.cleanse(
