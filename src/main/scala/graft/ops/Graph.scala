@@ -49,16 +49,20 @@ object Graph {
     val srcNodes = outW.select(col("src").as("node"))
     var ranks = nodes.withColumn("r", lit(1.0 / nCount)).localCheckpoint()
     (1 to iters).foreach { _ =>
+      // the dangling mass rides along as a broadcast one-row frame
+      // instead of a per-round driver collect — each iteration is ONE
+      // job (the localCheckpoint materialization), not two
       val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("r"), lit(0.0)).as("__dm"))
       val inc = eNorm
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") * col("frac")).as("inc"))
       val next = nodes.join(inc, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / nCount) + lit(damping) *
-            (coalesce(col("inc"), lit(0.0)) + lit(dangling / nCount))).as("r"))
+            (coalesce(col("inc"), lit(0.0)) + col("__dm") / lit(nCount.toDouble))).as("r"))
         .localCheckpoint()
       ranks.unpersist()
       ranks = next
