@@ -411,6 +411,7 @@ object TextAnalysis {
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, String)]()
     var r = 0
     var go = true
+    var sinceCkpt = 0
     while (r < numMerges && go) {
       val best = wordFreq
         .filter(size(col("syms")) >= 2)
@@ -426,11 +427,20 @@ object TextAnalysis {
         val l = best(0).getString(0)
         val rr = best(0).getString(1)
         out += ((r + 1, l, rr, best(0).getAs[Long]("cnt"), l + rr))
-        val next = wordFreq
+        // checkpoint every few rounds, not every round: a handful of
+        // stacked mergePair layers re-evaluate cheaply under the argmax
+        // job, and each skipped checkpoint is one whole job saved
+        sinceCkpt += 1
+        val rewritten = wordFreq
           .select(mergePair(col("syms"), l, rr).as("syms"), col("freq"))
-          .localCheckpoint()
-        wordFreq.unpersist()
-        wordFreq = next
+        if (sinceCkpt >= 4 || r + 1 == numMerges) {
+          val next = rewritten.localCheckpoint()
+          wordFreq.unpersist()
+          wordFreq = next
+          sinceCkpt = 0
+        } else {
+          wordFreq = rewritten
+        }
         r += 1
       }
     }
