@@ -32,10 +32,17 @@ object Cohort {
       entityCol: String,
       tsCol: String): DataFrame = {
     val week = date_trunc("week", col(tsCol))
-    // one pass over events: cohort AND active-week set per entity
+    // one pass over events: cohort AND active-week set per entity.
+    // Persisted because BOTH the matrix and the cohort sizes read it —
+    // without the cache the second consumer re-runs the event exchange,
+    // which is exactly the cost this operator exists to pay once
+    // (ScaleTechniquesSpec pins the exchange count; Verify clears the
+    // cache between catalog queries, the documented scoped-persist
+    // pattern here).
     val perEntity = events.groupBy(col(entityCol)).agg(
       date_trunc("week", min(col(tsCol))).as("cohort_week"),
       collect_set(week).as("weeks"))
+      .persist()
     // perEntity has exactly one row per entity, so count(*) = cohort size
     val sizes = perEntity.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))

@@ -151,4 +151,41 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Double)].collect().head
     assert(sum == ((4L, 1000L, 989L, 250.0, 3.956)))
   }
+
+  test("fuzzy match plans as a bin equi-join, never a nested-loop fallback") {
+    val names = (1 to 50).map(i => s"name$i").toDF("name")
+    val pairs = graft.ops.FuzzyJoin.dictionaryMatches(names, "name", maxDist = 2)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"length-band blocking must stay an equi-join; plan:\n$plan")
+  }
+
+  test("cohort retention exchanges the event volume exactly once") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-10 10:00:00")))
+      .toDF("user_id", "t")
+    val m = graft.ops.Cohort.weeklyRetention(ev, "user_id", "t")
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the entity aggregate is the only exchange fed by the event scan;
+    // everything else reshuffles entities×weeks or broadcasts sizes
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes must come back broadcast; plan:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 3,
+      s"events must cross the wire once (entity agg) + matrix-sized exchanges only; plan:\n$plan")
+  }
+
+  test("anomaly z-scores broadcast the per-group stats, no window over the events") {
+    val ev = Seq(("a", 1L, 1.0), ("a", 2L, 2.0)).toDF("grp", "event_id", "value")
+    val z = graft.ops.Anomaly.zscoreFlags(ev, Seq("grp"), "value")
+    z.collect()
+    val plan = z.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"stats must broadcast; plan:\n$plan")
+    assert(!plan.contains("Window"), s"no window over the event volume; plan:\n$plan")
+  }
 }
