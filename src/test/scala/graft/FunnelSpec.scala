@@ -148,6 +148,33 @@ class FunnelSpec extends AnyFunSuite {
     // cross-user sequences never chain: user 2's 'b' -> user 1's 'a' absent
   }
 
+  test("edge cases: empty inputs and null keys do not crash or mis-count") {
+    val empty = Seq.empty[(Long, String, Timestamp)].toDF("user_id", "event_type", "t")
+    // empty funnel: k rows, zero users, null conversions (0/0)
+    val f = Funnel.conversionSummary(empty, "user_id", "event_type", "t", steps)
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    assert(f == Map(1 -> 0L, 2 -> 0L, 3 -> 0L))
+    // empty cohort: empty matrix
+    assert(Cohort.weeklyRetention(empty, "user_id", "t").count() == 0)
+    // null entity ids form their own funnel group rather than crashing
+    val withNull = Seq(
+      (Option.empty[Long], "view", ts("2024-01-01 10:00:00")),
+      (Some(1L), "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "t")
+    val n = Funnel.conversionSummary(withNull, "user_id", "event_type", "t", steps)
+      .filter($"step_idx" === 1).select("n_users").as[Long].collect().head
+    assert(n == 2L, "the null-id group still counts as a funnel entity")
+    // empty transition matrix
+    assert(graft.ops.Funnel.transitionMatrix(
+      empty, "user_id", "event_type", "t", "t").count() == 0)
+    // all-null profile column: zero distinct, null min/max
+    val p = graft.ops.Profile.table(
+      Seq.empty[Option[Double]].toDF("v").union(Seq(Option.empty[Double]).toDF("v")),
+      numericCols = Seq("v"), stringCols = Nil).collect().head
+    assert(p.getLong(1) == 1L && p.getLong(2) == 1L && p.getLong(3) == 0L)
+    assert(p.isNullAt(4) && p.isNullAt(5))
+  }
+
   test("Profile.table: per-column counts, nulls, distinct, typed min/max in one pass") {
     val df = Seq(
       (Some(3.0), Some("b")), (Some(1.0), None),

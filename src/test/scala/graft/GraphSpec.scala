@@ -32,6 +32,16 @@ class GraphSpec extends AnyFunSuite {
     Graph.pageRank(edges.toDF("src", "dst", "weight"), iters)
       .as[(String, Double)].collect().toMap
 
+  test("edge cases: empty graph, self-loops, zero/null weights dropped") {
+    assert(run(Seq.empty, iters = 3).isEmpty)
+    // self-loop only: the single node keeps all rank
+    val self = run(Seq(("a", "a", 1.0)), iters = 5)
+    assert(self == Map("a" -> 1.0))
+    // zero-weight edges are ignored entirely (b appears only via a real edge)
+    val z = run(Seq(("a", "b", 1.0), ("b", "c", 0.0)), iters = 3)
+    assert(z.keySet == Set("a", "b"))
+  }
+
   test("two-node cycle: perfectly symmetric ranks") {
     val got = run(Seq(("a", "b", 1.0), ("b", "a", 1.0)), iters = 7)
     assert(got("a") == 0.5 && got("b") == 0.5)
