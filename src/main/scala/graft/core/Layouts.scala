@@ -125,6 +125,51 @@ object Layouts {
     numFiles
   }
 
+  /** Partition-pruned MERGE (upsert) into a partitioned parquet table —
+    * the Delta-less form of `MERGE INTO`: matched keys are replaced,
+    * new keys inserted, and ONLY the partitions the update batch
+    * touches are read or rewritten.
+    *
+    * Mechanics: the touched partition values are collected (bounded by
+    * the batch, not the table), the target read is filtered to them —
+    * partition pruning keeps the scan off every other partition — and
+    * the merged result is written with DYNAMIC partition overwrite, so
+    * parquet files in untouched partitions are not even re-listed, let
+    * alone rewritten. At 100 TB this turns a merge from a full-table
+    * rewrite into work proportional to the update's partition
+    * footprint, which is the entire point of partitioning the table by
+    * an update-locality column (ingest date, tenant, …).
+    *
+    * Not transactional (parquet has no commit protocol): a crash
+    * mid-write can leave touched partitions partially rewritten —
+    * production puts a table format (Delta/Iceberg) or a
+    * rename-on-success convention on top; the PLAN shape (prune +
+    * partial overwrite) is what this operator demonstrates and pins.
+    */
+  def upsertPartitioned(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val target = spark.read.parquet(dir)
+      .filter(col(partitionCol).isin(touched: _*))
+    // eagerly materialized BEFORE the write: the overwrite targets the
+    // same path the merge reads, so the lineage to those files must be
+    // cut or Spark (rightly) refuses the self-overwrite
+    val merged = target.join(updates, keyCols, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+      .localCheckpoint()
+    merged.write
+      .partitionBy(partitionCol)
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dir)
+  }
+
   /** True when the executed plan of `df` contains no shuffle exchange —
     * the property bucketed co-located joins buy.
     *

@@ -152,6 +152,34 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(sum == ((4L, 1000L, 989L, 250.0, 3.956)))
   }
 
+  test("upsertPartitioned: untouched partitions keep their exact files; touched merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 2), (5L, "e", 3))
+      .toDF("id", "v", "p")
+      .write.partitionBy("p").parquet(dir)
+    def files(p: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val (f1, f3) = (files(1), files(3))
+    assert(f1.nonEmpty && f3.nonEmpty)
+    // update id=3 (existing, p=2) and insert id=40 (new, p=2)
+    graft.core.Layouts.upsertPartitioned(spark, dir,
+      Seq((3L, "C!", 2), (40L, "x", 2)).toDF("id", "v", "p"),
+      keyCols = Seq("id"), partitionCol = "p")
+    assert(files(1) == f1 && files(3) == f3,
+      "partitions the batch does not touch must not be rewritten")
+    val got = spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 1), (2L, "b", 1), (3L, "C!", 2), (4L, "d", 2),
+      (40L, "x", 2), (5L, "e", 3)))
+    // idempotent re-apply: same result
+    graft.core.Layouts.upsertPartitioned(spark, dir,
+      Seq((3L, "C!", 2), (40L, "x", 2)).toDF("id", "v", "p"),
+      keyCols = Seq("id"), partitionCol = "p")
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
   test("fuzzy match plans as a bin equi-join, never a nested-loop fallback") {
     val names = (1 to 50).map(i => s"name$i").toDF("name")
     val pairs = graft.ops.FuzzyJoin.dictionaryMatches(names, "name", maxDist = 2)
