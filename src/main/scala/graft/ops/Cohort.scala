@@ -60,4 +60,36 @@ object Cohort {
         round(col("n_active").cast("double") / col("cohort_size"), 6)
           .as("retention"))
   }
+
+  /** Rolling active entities ("WAU"): for every observed day, the exact
+    * count of distinct entities active within the trailing `windowDays`
+    * days.
+    *
+    * Exact distinct over a SLIDING window has no window-function form
+    * (`countDistinct` is not a frame aggregate), so the scalable shape
+    * is contribution explosion: each distinct (day, entity) row fans
+    * out to the `windowDays` target days it contributes to — a map-only
+    * ×windowDays expansion of the ALREADY-DEDUPED (day, entity) frame,
+    * not of the raw events — and one distinct-count aggregate per
+    * target day. Output is restricted to days that actually occur (no
+    * fabricated leading/trailing spine).
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val dayEnt = events
+      .select(to_date(col(tsCol)).as("d"), col(entityCol).as("ent"))
+      .distinct()
+    val contributions = dayEnt
+      .select(explode(expr(s"sequence(0, ${windowDays - 1})")).as("i"),
+        col("d"), col("ent"))
+      .select(date_add(col("d"), col("i")).as("day"), col("ent"))
+    val spine = dayEnt.select(col("d").as("day")).distinct()
+    contributions.join(spine, "day")
+      .groupBy("day")
+      .agg(countDistinct(col("ent")).as("active"))
+  }
 }

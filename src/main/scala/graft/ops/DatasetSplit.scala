@@ -110,6 +110,22 @@ object DatasetSplit {
       .drop("graft_rank_bucket", "graft_rk")
   }
 
+  /** Content-keyed k-fold assignment for cross-validation: fold =
+    * salted content coin mod k — every row lands in exactly one fold, a
+    * pure function of content (reshard/engine reproducible, like
+    * [[assign]]), and folds are disjoint and exhaustive by
+    * construction. Fold i's train set is simply `fold =!= i`.
+    */
+  def kFold(
+      df: DataFrame,
+      k: Int,
+      contentCol: String,
+      salt: String = "kfold"): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    df.withColumn("fold",
+      pmod(saltedBucket(col(contentCol), salt), lit(k)).cast("int"))
+  }
+
   /** Deterministic weighted sampling (priority sampling, Duffield et
     * al.): each row gets priority = weight / u with u the shared salted
     * content coin mapped to (0, 1]; the k largest priorities are the

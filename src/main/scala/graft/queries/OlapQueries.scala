@@ -363,6 +363,33 @@ object OlapQueries {
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // Rolling 7-day active users per observed day (ops/Cohort):
+    // contribution explosion over the deduped (day, user) frame —
+    // exact distinct over a sliding window has no window-function form.
+    Q("ext_rolling_active",
+      (s, dir) => Cohort.rollingActiveUsers(Tables.events(s, dir),
+        entityCol = "user_id", tsCol = "ts", windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active")),
+      Some("""WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        |  FROM events),
+        |x AS (
+        |  SELECT CAST(d + CAST(i AS INT) AS DATE) AS day, user_id
+        |  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS i)),
+        |spine AS (SELECT DISTINCT d AS day FROM du)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT x.user_id) AS active
+        |FROM spine s JOIN x ON x.day = s.day GROUP BY 1""".stripMargin)),
+
+    // Content-keyed k-fold cross-validation assignment (ops/DatasetSplit).
+    Q("ext_kfold_assign",
+      (s, dir) => DatasetSplit.kFold(Tables.documents(s, dir), k = 5,
+        contentCol = "text").select("doc_id", "fold"),
+      Some("""SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('kfold:' || text), 1, 4)) AS INT) % 5
+        |       AS INT) AS fold
+        |FROM documents""".stripMargin)),
+
     // Fuzzy entity matching (ops/FuzzyJoin): part-name pairs within
     // edit distance 2, length-band-blocked dictionary matching with the
     // exact integer levenshtein verify. The oracle is the plain O(n²)

@@ -299,6 +299,23 @@ class DedupSpec extends AnyFunSuite {
     assert(meanSample > meanAll)
   }
 
+  test("kFold: disjoint-exhaustive, reshard-deterministic, roughly balanced") {
+    import graft.ops.DatasetSplit
+    val docs10 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val a = DatasetSplit.kFold(docs10, k = 5, contentCol = "text")
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(a.size == docs10.count(), "every row gets exactly one fold")
+    assert(a.values.toSet.subsetOf((0 until 5).toSet))
+    val b = DatasetSplit.kFold(docs10.repartition(13), k = 5, contentCol = "text")
+      .select("doc_id", "fold").as[(Long, Int)].collect().toMap
+    assert(a == b, "fold is a pure function of content")
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    sizes.foreach { case (f, n) =>
+      assert(n > 50 && n < 150, s"fold $f badly unbalanced at $n of 500")
+    }
+  }
+
   test("shingles: documents shorter than k words produce none; k-grams are distinct") {
     val df = Seq((1L, "a b c b a b"), (2L, "single")).toDF("doc_id", "text")
     val sh = TextDedup.shingles(df, 2).as[(Long, String)].collect().toSeq

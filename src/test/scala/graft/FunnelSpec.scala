@@ -148,6 +148,22 @@ class FunnelSpec extends AnyFunSuite {
     // cross-user sequences never chain: user 2's 'b' -> user 1's 'a' absent
   }
 
+  test("rollingActiveUsers: trailing-window distinct counts, only observed days") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), // repeat user within window
+      (3L, ts("2024-01-05 10:00:00")))
+      .toDF("user_id", "t")
+    val got = Cohort.rollingActiveUsers(rows, "user_id", "t", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // observed days only: 01, 02, 05 (03/04 have no events -> no rows)
+    assert(got == Map(
+      "2024-01-01" -> 2L, // users 1,2
+      "2024-01-02" -> 2L, // users 1 (deduped), 2 (from day 1)
+      "2024-01-05" -> 1L)) // user 3 alone: day-2 contributions expired
+  }
+
   test("edge cases: empty inputs and null keys do not crash or mis-count") {
     val empty = Seq.empty[(Long, String, Timestamp)].toDF("user_id", "event_type", "t")
     // empty funnel: k rows, zero users, null conversions (0/0)
