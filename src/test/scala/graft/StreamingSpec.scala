@@ -301,6 +301,56 @@ class StreamingSpec extends AnyFunSuite {
       expected.count(_._1 == 3L) == 2)
   }
 
+  test("funnel state (pending buffer + reached steps) survives a checkpoint restart") {
+    // run 1 ingests the LATER funnel steps (they stay pending in the
+    // reorder buffer); the query stops; run 2 resumes from the
+    // checkpoint, delivers the anchoring view plus the watermark push —
+    // the restored buffer must release in order and convert fully
+    val dir = Files.createTempDirectory("graft_funnel_restart").toString
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    val header = "user_id,event_type,ts"
+    def put(name: String, rows: Seq[String], i: Int): Unit = {
+      FixtureGen.writeCsv(s"$dir/$name", header +: rows)
+      new java.io.File(s"$dir/$name").setLastModified(System.currentTimeMillis() + i): Unit
+    }
+    put("f0.csv", Seq(
+      "1,click,2024-10-16T10:05:00.000Z",
+      "1,purchase,2024-10-16T10:10:00.000Z"), 0)
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    StreamingSpec.funnelRestartRows.clear()
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).option("header", "true")
+        .option("timestampFormat", fmt).csv(dir)
+        .as[FunnelStream.FunnelEvent]
+      val q = FunnelStream.stepReaches(src, Seq("view", "click", "purchase"), "1 hour")
+        .toDF()
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("user_id", "step_idx", "ts")
+            .as[(Long, Int, java.sql.Timestamp)].collect()
+          StreamingSpec.funnelRestartRows.synchronized {
+            StreamingSpec.funnelRestartRows ++= rows
+          }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    put("f1.csv", Seq(
+      "1,view,2024-10-16T10:00:00.000Z",
+      "999,view,2024-10-20T00:00:00.000Z"), 1000)
+    run()
+    val got = StreamingSpec.funnelRestartRows.filter(_._1 < 999).toSet
+    val t = (s: String) => java.sql.Timestamp.from(java.time.Instant.parse(s))
+    assert(got == Set(
+      (1L, 1, t("2024-10-16T10:00:00.000Z")),
+      (1L, 2, t("2024-10-16T10:05:00.000Z")),
+      (1L, 3, t("2024-10-16T10:10:00.000Z"))),
+      "the restored pending buffer must anchor and release the full chain")
+  }
+
   test("stream-stream interval join equals the batch range join across micro-batches") {
     // views land within/outside the 10-minute window after errors of
     // the same user; the two sides arrive in SEPARATE streams and
@@ -834,4 +884,5 @@ object StreamingSpec {
   val restartRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
   val summaryRows = scala.collection.mutable.LinkedHashMap[
     (java.sql.Date, Int, String), org.apache.spark.sql.Row]()
+  val funnelRestartRows = scala.collection.mutable.ArrayBuffer[(Long, Int, java.sql.Timestamp)]()
 }
