@@ -447,6 +447,69 @@ object OlapQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
 
+    // Ratio-to-report: each event's share of its type's total value
+    // (an unordered full-partition window; the denominator rounds on
+    // the 2-decimal grid so the division is engine-identical).
+    Q("w6_ratio_to_report",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+        Tables.events(s, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          round(sum("value").over(w), 2).as("type_total"),
+          round(col("value") / round(sum("value").over(w), 2), 6).as("share"))
+      },
+      Some("""SELECT event_id, event_type, value,
+        |  round(sum(value) OVER w, 2) AS type_total,
+        |  round(value / round(sum(value) OVER w, 2), 6) AS share
+        |FROM events WINDOW w AS (PARTITION BY event_type)""".stripMargin)),
+
+    // Running cumulative aggregates per user in event order: both
+    // engines evaluate the frame rows in the same order, so the raw
+    // running sums are bit-identical (rounded at the data grid anyway).
+    Q("w7_running_aggs",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), tsFmtSpark).as("ts"),
+          count(lit(1)).over(w).as("n_so_far"),
+          round(sum("value").over(w), 2).as("sum_so_far"),
+          round(min("value").over(w), 2).as("min_so_far"),
+          round(max("value").over(w), 2).as("max_so_far"))
+      },
+      Some(s"""SELECT event_id, user_id, strftime(ts, '$tsFmtDuck') AS ts,
+        |  count(*) OVER w AS n_so_far,
+        |  round(sum(value) OVER w, 2) AS sum_so_far,
+        |  round(min(value) OVER w, 2) AS min_so_far,
+        |  round(max(value) OVER w, 2) AS max_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ROLLUP (hierarchical subtotals, vs a9's full CUBE): totals per
+    // (type, user) -> per type -> grand total.
+    Q("a10_rollup",
+      (s, dir) => Tables.events(s, dir)
+        .rollup(col("event_type"), col("user_id"))
+        .agg(
+          (grouping(col("event_type")) * 2 + grouping(col("user_id")))
+            .cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total"))
+        .select(
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("user_id").cast("string"), lit("(all)")).as("user_id"),
+          col("gid"), col("n"), col("total")),
+      Some("""SELECT
+        |  COALESCE(event_type, '(all)') AS event_type,
+        |  COALESCE(CAST(user_id AS VARCHAR), '(all)') AS user_id,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS INT) AS gid,
+        |  count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY ROLLUP(event_type, user_id)""".stripMargin)),
+
     // Table profiling (ops/Profile): per-column quality stats in one
     // aggregation pass. The oracle is one UNION ALL leg per column over
     // the same definitions.
