@@ -265,6 +265,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollingActiveUsers equals the naive trailing-window replay on random streams") {
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(8000 + seed)
+      val rows = List.fill(120)((1L + rnd.nextInt(8),
+        new Timestamp(base + rnd.nextLong(20L) * 86400000L + rnd.nextLong(86400000L))))
+      val win = 1 + rnd.nextInt(9)
+      val got = graft.ops.Cohort.rollingActiveUsers(
+        rows.toDF("user_id", "t"), "user_id", "t", windowDays = win)
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val dayOf = (ts: Timestamp) =>
+        ts.toLocalDateTime.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val byDay = rows.map { case (u, ts) => (dayOf(ts), u) }.distinct
+      val days = byDay.map(_._1).distinct
+      val expected = days.map { d =>
+        d.toString -> byDay.filter { case (ed, _) =>
+          !ed.isAfter(d) && ed.isAfter(d.minusDays(win))
+        }.map(_._2).distinct.size.toLong
+      }.toMap
+      assert(got == expected, s"seed=$seed win=$win")
+    }
+  }
+
+  test("transitionMatrix rows are stochastic: per-context probabilities sum to ~1") {
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(9000 + seed)
+      val types = Vector("a", "b", "c")
+      val rows = List.fill(100)((1L + rnd.nextInt(5), rnd.nextLong(100000L),
+        types(rnd.nextInt(3))))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toList
+        .zipWithIndex.map { case ((u, off, t), i) =>
+          (u, i.toLong, t, new Timestamp(base + off))
+        }
+      val m = graft.ops.Funnel.transitionMatrix(
+        rows.toDF("user_id", "event_id", "event_type", "t"),
+        "user_id", "event_type", "t", "event_id")
+        .select("prev_type", "p").as[(String, Double)].collect()
+      m.groupBy(_._1).foreach { case (prev, ps) =>
+        val sum = ps.map(_._2).sum
+        // each p is individually rounded to 6dp, so the row sum is 1
+        // within the accumulated rounding slack
+        assert(math.abs(sum - 1.0) < 1e-5, s"seed=$seed prev=$prev sum=$sum")
+      }
+    }
+  }
+
+  test("profile invariants: nulls + non-nulls = rows, distinct <= non-nulls, min <= max") {
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(9500 + seed)
+      val rows = List.fill(80)((
+        if (rnd.nextDouble() < 0.2) None else Some(rnd.nextInt(10).toDouble),
+        if (rnd.nextDouble() < 0.2) None else Some(s"s${rnd.nextInt(6)}")))
+      val prof = graft.ops.Profile.table(rows.toDF("v", "s"),
+        numericCols = Seq("v"), stringCols = Seq("s")).collect()
+      prof.foreach { r =>
+        val (n, nulls, distinct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(n == 80L && nulls + distinct <= n && distinct <= n - nulls,
+          s"seed=$seed ${r.getString(0)}")
+      }
+      val v = prof.find(_.getString(0) == "v").get
+      if (!v.isNullAt(4)) assert(v.getDouble(4) <= v.getDouble(5))
+    }
+  }
+
   test("resampleToMixture: raising one share only ever ADDS copies (monotone)") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "source", "text")
