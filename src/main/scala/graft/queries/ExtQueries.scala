@@ -1042,6 +1042,27 @@ object ExtQueries {
         |  FROM cf)
         |SELECT term, cf, token_id FROM r WHERE token_id < 65536""".stripMargin)),
 
+    // Unicode NFC normalization via the custom codegen `normalize_text`
+    // Expression: each doc gets a DECOMPOSED "e + U+0301" suffix so the
+    // normalization provably fires on every row (changed = 1), and the
+    // md5 of the composed result must match DuckDB's utf8proc NFC.
+    Q("ext_text_normalize",
+      (s, dir) => {
+        // suffix is DECOMPOSED on purpose (e + combining U+0301): NFC
+        // composes it, so normalization provably fires on every row
+        val raw = concat(col("text"), lit(" cafe\u0301"))
+        val norm = graft.core.GraftExtensions.normalizeText(s, raw, "NFC")
+        Tables.documents(s, dir).select(col("doc_id"),
+          md5(norm).as("nfc_md5"),
+          (norm =!= raw).cast("int").as("changed"))
+      },
+      Some("""SELECT doc_id,
+        |  md5(nfc_normalize(text || ' cafe' || chr(769))) AS nfc_md5,
+        |  CAST(CASE WHEN nfc_normalize(text || ' cafe' || chr(769))
+        |            != (text || ' cafe' || chr(769))
+        |       THEN 1 ELSE 0 END AS INT) AS changed
+        |FROM documents""".stripMargin)),
+
     // TextRank: PageRank over the word co-occurrence (bigram) graph —
     // keyword centrality. Fixed 10 power iterations; the oracle unrolls
     // the identical iteration as 10 chained CTEs (recursive CTEs cannot

@@ -224,6 +224,36 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(cut(("a", "b")) == all(("a", "b")))
   }
 
+  test("normalize_text: NFC composes, NFKC folds compatibility, idempotent, null-safe") {
+    import graft.core.GraftExtensions
+    val df = Seq(
+      Some("cafe\u0301"),    // decomposed: e + combining acute
+      Some("caf\u00e9"),     // already composed
+      Some("\ufb01le \uff21"), // ligature fi + full-width A
+      None)
+      .toDF("t")
+    def norm(form: String) = df.select(
+      GraftExtensions.normalizeText(spark, col("t"), form).as("n"))
+      .as[Option[String]].collect().toSeq
+    val nfc = norm("NFC")
+    assert(nfc(0) == Some("caf\u00e9") && nfc(1) == Some("caf\u00e9"),
+      "composed and decomposed inputs converge under NFC")
+    assert(nfc(2) == Some("\ufb01le \uff21"), "NFC leaves compatibility forms alone")
+    assert(nfc(3).isEmpty, "null passes through")
+    val nfkc = norm("NFKC")
+    assert(nfkc(2) == Some("file A"), "NFKC folds ligatures and full-width forms")
+    // idempotence: a second pass changes nothing
+    val twice = df.select(GraftExtensions.normalizeText(spark,
+      GraftExtensions.normalizeText(spark, col("t"), "NFKC"), "NFKC").as("n"))
+      .as[Option[String]].collect().toSeq
+    assert(twice == nfkc)
+    // dedup convergence: the exact-dedup key is identical post-NFC
+    val keyed = Seq((1L, "cafe\u0301"), (2L, "caf\u00e9")).toDF("doc_id", "text")
+      .select(md5(GraftExtensions.normalizeText(spark, col("text"), "NFC")).as("k"))
+      .as[String].collect().toSet
+    assert(keyed.size == 1, "normalization unifies dedup keys")
+  }
+
   test("bpeMerges: closed-form merge order on the classic corpus") {
     // words (space-tokenized): low x5, lower x2, newest x6, widest x3.
     // Round 1 pair counts: (e,s)=9 ties (s,t)=9 -> lexicographic (e,s).
