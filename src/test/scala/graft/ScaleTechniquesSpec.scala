@@ -180,6 +180,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 6)
   }
 
+  test("headline q1/q5 plans: pushed scan filters, broadcast dims, no sort-merge joins") {
+    val sf = "/root/testdata/sf0.001"
+    val byName = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+    val q1 = byName("q1_pricing_summary").run(spark, sf)
+    q1.collect()
+    val p1 = q1.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"the shipdate filter must reach the parquet scan; plan:\n${p1.take(2000)}")
+    val q5 = byName("q5_region_revenue").run(spark, sf)
+    q5.collect()
+    val p5 = q5.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val bhj = "BroadcastHashJoin".r.findAllIn(p5).size
+    assert(bhj >= 4, s"the four dimension joins must broadcast, got $bhj")
+    assert(!p5.contains("SortMergeJoin"),
+      "no dimension in q5 is big enough to justify a sort-merge join at test scale")
+  }
+
   test("fuzzy match plans as a bin equi-join, never a nested-loop fallback") {
     val names = (1 to 50).map(i => s"name$i").toDF("name")
     val pairs = graft.ops.FuzzyJoin.dictionaryMatches(names, "name", maxDist = 2)
