@@ -26,13 +26,42 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Personalized PageRank: teleportation lands on `sources` (uniformly
+    * across them) instead of on all nodes — rank measures proximity to
+    * the seed set, the standard recommendation / related-items scoring.
+    * Dangling mass also returns to the sources, preserving Σr = 1.
+    * Identical iteration shape to [[pageRank]]; `None` = classic
+    * uniform teleport.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      sources: Seq[Any],
+      iters: Int = 10,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "weight"): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs at least one source")
+    pageRankImpl(edges, iters, damping, srcCol, dstCol, weightCol, Some(sources))
+  }
+
   def pageRank(
       edges: DataFrame,
       iters: Int = 10,
       damping: Double = 0.85,
       srcCol: String = "src",
       dstCol: String = "dst",
-      weightCol: String = "weight"): DataFrame = {
+      weightCol: String = "weight"): DataFrame =
+    pageRankImpl(edges, iters, damping, srcCol, dstCol, weightCol, None)
+
+  private def pageRankImpl(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      sources: Option[Seq[Any]]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -47,7 +76,15 @@ object Graph {
       .persist()
     eNorm.count() // pre-fill before the multi-consumer loop
     val srcNodes = outW.select(col("src").as("node"))
-    var ranks = nodes.withColumn("r", lit(1.0 / nCount)).localCheckpoint()
+    // teleport distribution t(v): uniform 1/N classically, 1/|S| over
+    // the seed set for personalized ranks. Both the (1−d) restart and
+    // the dangling mass land on t, so Σr = 1 is preserved either way.
+    val teleport = sources match {
+      case Some(s) =>
+        when(col("node").isin(s: _*), lit(1.0 / s.size)).otherwise(lit(0.0))
+      case None => lit(1.0 / nCount)
+    }
+    var ranks = nodes.withColumn("r", teleport).localCheckpoint()
     (1 to iters).foreach { _ =>
       // the dangling mass rides along as a broadcast one-row frame
       // instead of a per-round driver collect — each iteration is ONE
@@ -61,8 +98,8 @@ object Graph {
       val next = nodes.join(inc, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
-          (lit((1 - damping) / nCount) + lit(damping) *
-            (coalesce(col("inc"), lit(0.0)) + col("__dm") / lit(nCount.toDouble))).as("r"))
+          (teleport * (lit(1 - damping) + lit(damping) * col("__dm")) +
+            lit(damping) * coalesce(col("inc"), lit(0.0))).as("r"))
         .localCheckpoint()
       ranks.unpersist()
       ranks = next

@@ -13,17 +13,22 @@ class GraphSpec extends AnyFunSuite {
 
   /** Driver-side reference power iteration, same arithmetic. */
   private def reference(
-      edges: Seq[(String, String, Double)], iters: Int, d: Double): Map[String, Double] = {
+      edges: Seq[(String, String, Double)], iters: Int, d: Double,
+      sources: Option[Seq[String]] = None): Map[String, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val n = nodes.length
+    val t = (v: String) => sources match {
+      case Some(s) => if (s.contains(v)) 1.0 / s.size else 0.0
+      case None => 1.0 / n
+    }
     val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    var r = nodes.map(v => v -> t(v)).toMap
     (1 to iters).foreach { _ =>
       val dangling = nodes.filterNot(outW.contains).map(r).sum
       val inc = edges.groupBy(_._2).view.mapValues(
         _.map { case (s, _, w) => r(s) * (w / outW(s)) }.sum).toMap
       r = nodes.map(v =>
-        v -> ((1 - d) / n + d * (inc.getOrElse(v, 0.0) + dangling / n))).toMap
+        v -> (t(v) * ((1 - d) + d * dangling) + d * inc.getOrElse(v, 0.0))).toMap
     }
     r
   }
@@ -54,6 +59,24 @@ class GraphSpec extends AnyFunSuite {
     val got = run(edges, iters = 12)
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
     assert(got.size == 4)
+  }
+
+  test("personalized PageRank: mass localizes near the seed, sums to 1, matches reference") {
+    // a chain a->b->c->d plus a far node e->d: seeding at 'a' must rank
+    // b above d, and e (unreachable from a) gets rank only via teleport
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("e", "d", 1.0))
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst", "weight"),
+      sources = Seq("a"), iters = 12)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val exp = reference(edges, iters = 12, d = 0.85, sources = Some(Seq("a")))
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - exp(v)) < 1e-9, s"node $v: $r vs ${exp(v)}")
+    }
+    assert(got("a") > got("b") && got("b") > got("c"),
+      "rank decays with distance from the seed")
+    assert(got("e") == 0.0, "a node unreachable from the seed set gets nothing")
   }
 
   test("matches the driver-side reference iteration exactly (weighted, dangling, hub)") {
