@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -91,6 +92,19 @@ object ExtQueries {
          |SELECT node AS term, round(r, 6) AS rank FROM pr$iters
          |ORDER BY rank DESC, term LIMIT 20""".stripMargin
   }
+
+  /** Word-bigram co-occurrence edges over the corpus — the graph behind
+    * ext_textrank and ext_graph_triangles.
+    */
+  private def wordBigramEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i + 1] AS dst))"))
+        .as("b"))
+      .select(col("b.src").as("src"), col("b.dst").as("dst"))
+      .filter(length(col("src")) > 0 && length(col("dst")) > 0)
 
   val all: Seq[Q] = Seq(
 
@@ -1069,20 +1083,48 @@ object ExtQueries {
     // aggregate per step).
     Q("ext_textrank",
       (s, dir) => {
-        val pairs = Tables.documents(s, dir)
-          .select(split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS src, ws[i + 1] AS dst))"))
-            .as("b"))
-          .select(col("b.src").as("src"), col("b.dst").as("dst"))
-          .filter(length(col("src")) > 0 && length(col("dst")) > 0)
+        val pairs = wordBigramEdges(s, dir)
           .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
         Graph.pageRank(pairs, iters = 10, damping = 0.85)
           .select(col("node").as("term"), round(col("r"), 6).as("rank"))
           .orderBy(desc("rank"), asc("term")).limit(20)
       },
       Some(textrankOracle(10))),
+
+    // Triangle counts over the same word co-occurrence graph: local
+    // clustering signal per term. ops/Graph orients every edge from its
+    // lower-(degree, id) endpoint, so the wedge join is O(m^1.5) even
+    // with hub nodes; the oracle counts the identical triangle set via
+    // the naive a<b<c three-way self-join (orientation changes the
+    // algorithm's cost, never the triangle set).
+    Q("ext_graph_triangles",
+      (s, dir) => Graph.triangleCounts(wordBigramEdges(s, dir))
+        .orderBy(desc("triangles"), asc("node")),
+      Some("""WITH p AS (
+        |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i)
+        |  WHERE length(ws[i + 1]) > 0 AND length(ws[i + 2]) > 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |  FROM p WHERE w1 <> w2),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM t
+        |      UNION ALL SELECT y FROM t
+        |      UNION ALL SELECT z FROM t),
+        |c AS (SELECT node, count(*) AS c FROM n GROUP BY 1)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS triangles
+        |FROM deg d LEFT JOIN c USING (node)
+        |ORDER BY triangles DESC, node""".stripMargin)),
 
     // BPE merge induction: ordered merge table learned from the corpus
     // word-frequency table. Rows-only (argmax-dependent iteration is not

@@ -92,4 +92,51 @@ class GraphSpec extends AnyFunSuite {
     // the hub (everyone points at a) outranks everything
     assert(got("a") == got.values.max)
   }
+
+  /** Driver-side brute-force triangle reference: all node triples. */
+  private def refTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val e = edges.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a) }.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = nodes.combinations(3).filter { case Seq(x, y, z) =>
+      e((x, y)) && e((x, z)) && e((y, z)) }.toSeq
+    nodes.map(n => n -> tris.count(_.contains(n)).toLong).toMap
+  }
+
+  private def runTriangles(edges: Seq[(String, String)]): Map[String, (Long, Long)] =
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(String, Long, Long)].collect()
+      .map { case (n, d, t) => n -> (d, t) }.toMap
+
+  test("triangles: K4 minus an edge, duplicates/reverses/self-loops collapse") {
+    // {a,b,c,d} complete minus (c,d): triangles abc and abd only
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "a"),            // dup + reverse + loop
+      ("a", "c"), ("b", "c"), ("a", "d"), ("d", "b"))
+    val got = runTriangles(edges)
+    assert(got == Map(
+      "a" -> (3L, 2L), "b" -> (3L, 2L), "c" -> (2L, 1L), "d" -> (2L, 1L)))
+  }
+
+  test("triangles: triangle-free graphs count zero everywhere") {
+    // a 4-cycle and a star have no triangles
+    val cyc = runTriangles(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    assert(cyc.values.forall(_._2 == 0L))
+    val star = runTriangles(Seq(("h", "x"), ("h", "y"), ("h", "z")))
+    assert(star("h") == (3L, 0L) && star("x") == (1L, 0L))
+  }
+
+  test("triangles: matches brute-force reference on a random graph (hub included)") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 14).map(i => f"n$i%02d")
+    // random edges plus a deliberate hub connected to everyone —
+    // exercises the degree-orientation tie-breaks
+    val edges = (for {
+      _ <- 0 until 40
+      a = nodes(rnd.nextInt(nodes.size)); b = nodes(rnd.nextInt(nodes.size))
+    } yield (a, b)) ++ nodes.tail.map(("hub", _))
+    val got = runTriangles(edges)
+    val exp = refTriangles(edges)
+    assert(got.view.mapValues(_._2).toMap == exp)
+  }
 }
