@@ -355,6 +355,48 @@ object TextAnalysis {
           .as("logp"))
   }
 
+  /** Document-level term co-occurrence with pointwise mutual information:
+    * pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) over document presence — the
+    * classic phrase/collocation miner (word2vec-era association scoring).
+    *
+    * Scale shape: presence is a distinct (doc, term) projection (one
+    * shuffle); terms with document frequency above `maxDfFraction`·N are
+    * dropped BEFORE pairing — they are the stopword-like hubs whose
+    * per-doc pair fan-out would otherwise dominate (a term in every doc
+    * pairs with everything). The pair join is an equi-join on doc_id, so
+    * candidates are Σ_doc k_doc² with k bounded by document length —
+    * never corpus². N rides along as a broadcast one-row aggregate, not
+    * a driver collect.
+    */
+  def pmiCooccurrence(
+      docs: DataFrame,
+      maxDfFraction: Double = 0.9,
+      minPairCount: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val keep = df.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFraction)
+      .select("term", "df")
+    val dtk = dt.join(keep, "term")
+    val left = dtk.select(col("doc_id"), col("term").as("w1"), col("df").as("df1"))
+    val right = dtk.select(col("doc_id"), col("term").as("w2"), col("df").as("df2"))
+    left.join(right, Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2", "df1", "df2")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("c_ab"), col("df1"), col("df2"),
+        round(log(col("c_ab") * col("n_docs") / (col("df1") * col("df2"))), 6)
+          .as("pmi"))
+  }
+
   /** One greedy left-to-right BPE merge pass over a symbol array:
     * non-overlapping occurrences of adjacent (l, r) become the merged
     * token, leftmost first (so "aaa" under (a,a) → ["aa","a"]). A pure

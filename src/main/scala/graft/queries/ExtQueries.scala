@@ -1172,6 +1172,31 @@ object ExtQueries {
         |FROM c12 JOIN c1 USING (w1), v
         |WHERE c12.c12 >= 2""".stripMargin)),
 
+    // PMI collocations: document-level co-occurrence association. The
+    // df cap (0.9·N here) drops stopword-like hubs BEFORE pairing; the
+    // pair join is per-doc quadratic only, never corpus². ln rounded at
+    // 6 dp on both sides (libm-ulps rule, same as TF-IDF).
+    Q("ext_pmi_cooccurrence",
+      (s, dir) => TextAnalysis.pmiCooccurrence(Tables.documents(s, dir),
+        maxDfFraction = 0.9, minPairCount = 2L),
+      Some("""WITH dt AS (
+        |  SELECT DISTINCT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        |keep AS (SELECT term, df FROM df, n WHERE df <= n_docs * 0.9),
+        |dtk AS (SELECT dt.doc_id, dt.term, keep.df FROM dt JOIN keep USING (term)),
+        |p AS (
+        |  SELECT a.term AS w1, b.term AS w2, a.df AS df1, b.df AS df2,
+        |    count(*) AS c_ab
+        |  FROM dtk a JOIN dtk b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+        |  round(ln(c_ab * n_docs / (df1 * df2)), 6) AS pmi
+        |FROM p, n WHERE c_ab >= 2""".stripMargin)),
+
     // Inverted index: term -> true df + sorted posting list (joined to a
     // scalar string). maxPostings left unbounded so the output is the
     // exact index the oracle rebuilds.

@@ -212,6 +212,33 @@ class TextAndJsonSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("pmiCooccurrence: closed-form PMI, df cap drops hubs, minPairCount prunes") {
+    // presence sets: the(1,2,3,4) a(1,2,3) b(1,2) c(3,4); N = 4
+    // "the" has df 4 = N -> dropped by any cap < 1.0
+    val df = Seq(
+      (1L, "the a b"), (2L, "the b a a"), (3L, "the a c"), (4L, "the c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCooccurrence(df, maxDfFraction = 0.9, minPairCount = 1L)
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c")), "hub 'the' must not pair")
+    def pmi(cab: Double, d1: Double, d2: Double) = BigDecimal(
+      math.log(cab * 4.0 / (d1 * d2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (a,b): c=2, df(a)=3, df(b)=2; duplicate 'a' in doc 2 counts once
+    assert(got(("a", "b"))._3 == 2L && got(("a", "b"))._4 == 3L && got(("a", "b"))._5 == 2L)
+    assert(math.abs(got(("a", "b"))._6 - pmi(2, 3, 2)) < 1e-9)
+    // (a,c): c=1 -> pmi ln(4/(3*2)) < 0 (anti-associated)
+    assert(math.abs(got(("a", "c"))._6 - pmi(1, 3, 2)) < 1e-9)
+    assert(got(("a", "c"))._6 < 0.0)
+    // minPairCount = 2 prunes the singleton pair without touching the rest
+    val cut = TextAnalysis.pmiCooccurrence(df, maxDfFraction = 0.9, minPairCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._6).toMap
+    assert(cut.keySet == Set(("a", "b")))
+    assert(cut(("a", "b")) == got(("a", "b"))._6)
+  }
+
   test("bigramLm: minCount prunes rows without changing surviving probabilities") {
     val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
     val all = TextAnalysis.bigramLm(df, minCount = 1L)
