@@ -59,4 +59,45 @@ object Resample {
         acc.withColumn(s"${n}_ffill", last(col(n), ignoreNulls = true).over(w))
     }
   }
+
+  /** Exponentially weighted moving average of `valueCol` per key, in
+    * `orderCols` order — pandas `ewm(adjust=True)` semantics truncated
+    * to the last `window` observations:
+    *
+    *   ewma_t = Σ_{j<min(t,window)} decay^j · x_{t−j}  /  Σ_j decay^j
+    *
+    * The truncation makes the kernel finite (for the default
+    * decay = 0.5, window = 50 the discarded tail weighs < 2⁻⁵⁰ ≈ 1e-15
+    * of the total) and the whole computation map-shaped: ONE shuffle to
+    * sort each key, a sliding `collect_list` frame, and a codegen'd
+    * in-order `aggregate` fold per row — no self-join, no per-key
+    * driver state, no unbounded window memory. The default decay of
+    * 0.5 is deliberate: its weights are exact powers of two, so every
+    * engine computes bit-identical terms (`pow(0.5, k)` is exact),
+    * which is what lets the DuckDB oracle reproduce the result.
+    * Null observations are skipped (absent, not zero).
+    */
+  def ewma(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      decay: Double = 0.5,
+      window: Int = 50,
+      outCol: String = "ewma"): DataFrame = {
+    require(decay > 0 && decay < 1, "decay must be in (0, 1)")
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vs = size(col("__vs"))
+    df
+      .withColumn("__vs", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn(outCol,
+        expr(s"""aggregate(sequence(1, size(__vs)), 0D,
+                |  (acc, i) -> acc + __vs[i - 1] * pow(${decay}D, size(__vs) - i))"""
+          .stripMargin)
+          / ((lit(1.0) - pow(lit(decay), vs.cast("double"))) / lit(1.0 - decay)))
+      .drop("__vs")
+  }
 }

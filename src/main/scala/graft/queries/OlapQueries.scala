@@ -194,6 +194,31 @@ object OlapQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
         |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket""".stripMargin)),
 
+    // EWMA smoothing per user (pandas adjust=True, truncated kernel):
+    // one sort shuffle + a sliding collect_list frame + an in-order
+    // codegen fold. decay=0.5 keeps every weight an exact power of two,
+    // so Spark and DuckDB compute identical terms; the discarded tail
+    // beyond 50 observations weighs < 1e-15 of the total.
+    Q("ts_ewma",
+      (s, dir) => Resample.ewma(
+        Tables.events(s, dir).select("user_id", "event_id", "ts", "value"),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        valueCol = "value", decay = 0.5, window = 50)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), tsFmtSpark).as("ts_s"), col("value"),
+          round(col("ewma"), 6).as("ewma")),
+      Some(s"""WITH t AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vs
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, ts, value, len(vs) AS l, vs[i] AS v, i
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(vs) + 1)) AS i) g)
+        |SELECT user_id, event_id, strftime(ts, '$tsFmtDuck') AS ts_s, value,
+        |  round(sum(v * pow(0.5, l - i)) / ((1 - pow(0.5, l)) / 0.5), 6) AS ewma
+        |FROM x GROUP BY user_id, event_id, ts, value, l""".stripMargin)),
+
     // Ordered funnel view→click→purchase per user: step k matches only
     // strictly after step k-1's match (ops/Funnel — one exchange on
     // user_id, k stacked unordered window aggregates). The oracle builds
