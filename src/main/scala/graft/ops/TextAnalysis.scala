@@ -383,7 +383,10 @@ object TextAnalysis {
     val keep = df.crossJoin(broadcast(nDocs))
       .filter(col("df") <= col("n_docs") * maxDfFraction)
       .select("term", "df")
-    val dtk = dt.join(keep, "term")
+    // eager cut: both sides of the pair self-join consume the capped
+    // presence table — without it the explode+distinct+df subtree runs
+    // twice (the corpus would be tokenized twice at scale)
+    val dtk = dt.join(keep, "term").localCheckpoint()
     val left = dtk.select(col("doc_id"), col("term").as("w1"), col("df").as("df1"))
     val right = dtk.select(col("doc_id"), col("term").as("w2"), col("df").as("df2"))
     left.join(right, Seq("doc_id"))
