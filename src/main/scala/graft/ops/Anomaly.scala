@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group z-score outlier flagging: standardize each row's value
@@ -47,5 +48,57 @@ object Anomaly {
       .withColumn("z", round(z, 6))
       .withColumn("is_outlier",
         (col("sd_v") > 0 && abs(z) > threshold).cast("int"))
+  }
+
+  /** Robust (median/MAD) outlier flagging — the screen to reach for when
+    * the group itself is contaminated: a z-score's mean and stddev are
+    * dragged by the very outliers being hunted (masking), while the
+    * median and the median absolute deviation have a 50% breakdown
+    * point. Flags Iglewicz–Hoaglin modified z = 0.6745·|x − med| / MAD
+    * above `threshold` (their recommended 3.5 default).
+    *
+    * Both medians are DISCRETE (the rank-⌈n/2⌉ element, a8's rank
+    * selection), so every emitted number is a fixed IEEE chain on
+    * bit-identical inputs — no summation anywhere, nothing to drift
+    * across engines or partitionings. A constant-majority group
+    * (MAD = 0) leaves the modified z undefined and flags nothing,
+    * mirroring zscoreFlags' sd = 0 guard.
+    *
+    * Scale shape: two rank windows (each one exchange on `keys` — the
+    * deviation pass re-sorts but does not re-shuffle), reduced to a
+    * per-group {med, MAD} frame that is broadcast back onto the stream.
+    * At 100 TB the same contract ships with approx_percentile medians,
+    * the way A2 ships approx_count_distinct — exact rank here is the
+    * oracle-checkable form.
+    */
+  def madFlags(
+      events: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val kc = keys.map(col)
+    val wc = Window.partitionBy(kc: _*)
+    def discreteMedian(df: DataFrame, c: String, out: String): DataFrame = {
+      val wv = Window.partitionBy(kc: _*).orderBy(col(c).asc, col(tieCol).asc)
+      df.withColumn("__rk", row_number().over(wv))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .groupBy(kc: _*)
+        .agg(max(when(col("__rk") === greatest(lit(1L), ceil(lit(0.5) * col("__n"))),
+          col(c))).as(out))
+    }
+    // eager cut of the tiny per-group median frame: it feeds BOTH the
+    // deviation pass and the final stats join, and left lazy its full
+    // window-sort-over-events subtree would run twice
+    val med = discreteMedian(events, valueCol, "med_v").localCheckpoint()
+    val withDev = events.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col(valueCol) - col("med_v")))
+    val mad = discreteMedian(withDev, "__dev", "mad_v")
+    val stats = med.join(mad, keys)
+    val dev = abs(col(valueCol) - col("med_v"))
+    val rz = lit(0.6745) * dev / col("mad_v")
+    events.join(broadcast(stats), keys)
+      .withColumn("robust_z", when(col("mad_v") > 0, round(rz, 6)))
+      .withColumn("is_outlier", (col("mad_v") > 0 && rz > threshold).cast("int"))
   }
 }

@@ -329,6 +329,45 @@ object OlapQueries {
         |       THEN 1 ELSE 0 END AS INT) AS is_outlier
         |FROM events e JOIN s USING (event_type)""".stripMargin)),
 
+    // Robust median/MAD outliers (ops/Anomaly.madFlags): the screen that
+    // survives contaminated groups (50% breakdown vs the z-score's
+    // mean/sd masking). Discrete rank-selected medians — no summation,
+    // so every number is a fixed IEEE chain on both engines.
+    Q("ext_anomaly_mad",
+      (s, dir) => Anomaly.madFlags(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = "value", tieCol = "event_id",
+        threshold = 3.5)
+        .select("event_id", "event_type", "value", "med_v", "mad_v",
+          "robust_z", "is_outlier"),
+      Some("""WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN value END) AS med_v
+        |  FROM r GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.med_v,
+        |    abs(e.value - med.med_v) AS dev
+        |  FROM events e JOIN med USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, event_id, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN dev END) AS mad_v
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value, d.med_v, mad.mad_v,
+        |  CASE WHEN mad.mad_v > 0 THEN round(0.6745 * d.dev / mad.mad_v, 6) END
+        |    AS robust_z,
+        |  CAST(CASE WHEN mad.mad_v > 0 AND 0.6745 * d.dev / mad.mad_v > 3.5
+        |       THEN 1 ELSE 0 END AS INT) AS is_outlier
+        |FROM d JOIN mad USING (event_type)""".stripMargin)),
+
     // First-order event-type transition matrix per user (ops/Funnel):
     // counts + conditional probabilities, one lag-window exchange.
     Q("ext_event_transitions",

@@ -230,4 +230,33 @@ class FunnelSpec extends AnyFunSuite {
     // never flagged
     assert(got(4L)._3 == 0.0 && got(4L)._4.isNaN && got(4L)._5 == 0)
   }
+
+  test("madFlags: discrete medians, masking resistance, MAD=0 guard") {
+    // group a: {1,2,3,4,100} -> med = 3 (rank ceil(5/2)=3), devs
+    // {2,1,0,1,97} -> MAD = 1 (sorted {0,1,1,2,97}, rank 3).
+    // modified z of 100 = 0.6745*97 = 65.4 -> flagged; z-score would
+    // have been dragged toward the outlier (masking).
+    // group b: majority-constant {5,5,5,9} -> MAD = 0, nothing flagged.
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0), ("b", 9L, 9.0))
+      .toDF("grp", "event_id", "value")
+    val got = Anomaly.madFlags(rows, Seq("grp"), "value", tieCol = "event_id",
+      threshold = 3.5)
+      .select("event_id", "med_v", "mad_v", "robust_z", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getInt(4)))
+      .toMap
+    assert(got(1L)._1 == 3.0 && got(1L)._2 == 1.0)
+    assert(got(5L)._3 == BigDecimal(0.6745 * 97.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble && got(5L)._4 == 1)
+    assert(got(3L)._3 == 0.0 && got(3L)._4 == 0, "the median itself is clean")
+    assert(got(2L)._4 == 0 && got(4L)._4 == 0)
+    // MAD = 0: robust z undefined (null), the genuine deviant unflagged
+    // by design (documented contract, mirrors sd=0)
+    (6L to 9L).foreach { id =>
+      assert(got(id)._2 == 0.0 && got(id)._3.isNaN && got(id)._4 == 0) }
+  }
 }
