@@ -127,21 +127,28 @@ object Graph {
     * wedge join on the pivot, closing join on (v,w)) plus the final
     * per-node count — no iteration, no driver state.
     */
-  def triangleCounts(
-      edges: DataFrame,
-      srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    // canonical undirected simple edges a < b
-    val e = edges.select(
+  /** Canonical undirected simple edges a < b: self-loops and nulls
+    * dropped, duplicate/reverse edges collapsed.
+    */
+  private def simpleEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-      .persist()
-    val deg = e.select(col("a").as("node"))
+
+  /** Endpoint degrees of a canonical simple edge list. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist()
+
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = simpleEdges(edges, srcCol, dstCol).persist()
+    val deg = degrees(e).persist()
     deg.count() // pre-fill: deg is consumed by the orientation AND the output join
     // orient each edge from the lower (deg, node) endpoint u to the
     // higher one v; carry v's rank for the wedge ordering below
@@ -181,5 +188,47 @@ object Graph {
     deg.unpersist()
     oriented.unpersist()
     out
+  }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k,
+    * by iterative peeling — drop under-degree nodes, recompute, repeat
+    * to the fixpoint. Returns `(node, deg)` of the surviving core with
+    * in-core degrees (empty when the graph has no k-core).
+    *
+    * Scale shape — the CC-loop pattern: each round is one degree
+    * aggregate + two semi-joins against the (broadcastable-or-shuffled)
+    * survivor set, materialized with `localCheckpoint` to cap lineage;
+    * the only driver state is the edge count (ONE bounded scalar per
+    * round, doubling as the convergence test — peeling strictly
+    * shrinks the edge set or has converged). Rounds are data-bounded:
+    * each non-final round removes ≥ 1 edge, and in practice peeling
+    * collapses in a handful of cascades; `maxRounds` is a safety
+    * valve, not a tuning knob.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = simpleEdges(edges, srcCol, dstCol).localCheckpoint()
+    var nEdges = e.count()
+    var prev = -1L
+    var rounds = 0
+    while (nEdges != prev && nEdges > 0 && rounds < maxRounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      val next = e
+        .join(keep.withColumnRenamed("node", "a"), "a")
+        .join(keep.withColumnRenamed("node", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint()
+      e.unpersist()
+      prev = nEdges
+      e = next
+      nEdges = e.count()
+      rounds += 1
+    }
+    degrees(e)
   }
 }

@@ -1099,6 +1099,10 @@ object ExtQueries {
     // algorithm's cost, never the triangle set).
     Q("ext_graph_triangles",
       (s, dir) => Graph.triangleCounts(wordBigramEdges(s, dir))
+        .withColumn("lcc",
+          when(col("deg") >= 2, round(
+            col("triangles") * lit(2.0) / (col("deg") * (col("deg") - lit(1))),
+            6)))
         .orderBy(desc("triangles"), asc("node")),
       Some("""WITH p AS (
         |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
@@ -1122,9 +1126,20 @@ object ExtQueries {
         |      UNION ALL SELECT z FROM t),
         |c AS (SELECT node, count(*) AS c FROM n GROUP BY 1)
         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
-        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS triangles
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    round(COALESCE(c.c, 0) * 2.0 / (d.deg * (d.deg - 1)), 6) END AS lcc
         |FROM deg d LEFT JOIN c USING (node)
         |ORDER BY triangles DESC, node""".stripMargin)),
+
+    // k-core of the bigram graph: iterative peel to the fixpoint — not
+    // SQL-expressible (recursive CTEs cannot aggregate per step and the
+    // round count is data-dependent), so rows-only; trust chain =
+    // GraphSpec's reference-peel replay incl. cascading deletions.
+    Q("ext_graph_kcore",
+      (s, dir) => Graph.kCore(wordBigramEdges(s, dir), k = 20)
+        .orderBy(desc("deg"), asc("node")),
+      None),
 
     // BPE merge induction: ordered merge table learned from the corpus
     // word-frequency table. Rows-only (argmax-dependent iteration is not

@@ -126,6 +126,51 @@ class GraphSpec extends AnyFunSuite {
     assert(star("h") == (3L, 0L) && star("x") == (1L, 0L))
   }
 
+  /** Driver-side reference peel. */
+  private def refKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
+    var e = edges.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      changed = e2 != e; e = e2
+    }
+    (e.toSeq.map(_._1) ++ e.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private def runKCore(edges: Seq[(String, String)], k: Int): Map[String, Long] =
+    Graph.kCore(edges.toDF("src", "dst"), k)
+      .as[(String, Long)].collect().toMap
+
+  test("kCore: cascading peel strips the tail, keeps the triangle") {
+    // triangle abc with tail c-d-e: dropping e (deg 1) drops d, two rounds
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    assert(runKCore(edges, 2) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // a star has no 2-core at all
+    assert(runKCore(Seq(("h", "x"), ("h", "y"), ("h", "z")), 2).isEmpty)
+    // K5 at k=4: everything survives with in-core degree 4
+    val k5 = for { a <- 'a' to 'e'; b <- 'a' to 'e' if a < b }
+      yield (a.toString, b.toString)
+    assert(runKCore(k5, 4).values.toSet == Set(4L))
+  }
+
+  test("kCore: matches the reference peel on a random graph across k") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 12).map(i => f"n$i%02d")
+    val edges = for {
+      _ <- 0 until 30
+      a = nodes(rnd.nextInt(nodes.size)); b = nodes(rnd.nextInt(nodes.size))
+    } yield (a, b)
+    for (k <- Seq(2, 3, 4)) {
+      val exp = refKCore(edges, k).map { case (n, d) => n -> d.toLong }
+      assert(runKCore(edges, k) == exp, s"k=$k")
+    }
+  }
+
   test("triangles: matches brute-force reference on a random graph (hub included)") {
     val rnd = new scala.util.Random(42)
     val nodes = (0 until 14).map(i => f"n$i%02d")
