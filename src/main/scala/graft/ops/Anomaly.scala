@@ -71,6 +71,55 @@ object Anomaly {
     * the way A2 ships approx_count_distinct — exact rank here is the
     * oracle-checkable form.
     */
+  /** Two-sided CUSUM drift detection (Page 1954) per key: the classic
+    * sequential change-point screen. Upper side
+    * S⁺_t = max(0, S⁺_{t−1} + z_t − κ) with z standardized against the
+    * key's own grid-safe moments (zscoreFlags' formulation), flagged
+    * when S⁺ (or the mirrored S⁻) exceeds `threshold`; κ is the slack
+    * that absorbs in-control noise (0.5σ ≈ tuned for a 1σ shift).
+    *
+    * The recursion is NOT computed recursively: with prefix sums
+    * P_t = Σ_{i≤t}(z_i − κ) and P₀ = 0, the running-max identity
+    * S⁺_t = P_t − min(0, P₁..P_t) turns it into two stacked window
+    * aggregates over ONE sort — a running sum, then a running min of
+    * that sum. One exchange per key total, no iteration, no UDF, no
+    * per-key driver state; this is what makes a sequential detector
+    * scale-shaped. sd = 0 keys have undefined z and flag nothing.
+    */
+  def cusumFlags(
+      events: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      orderCols: Seq[String],
+      slack: Double = 0.5,
+      threshold: Double = 5.0): DataFrame = {
+    val kc = keys.map(col)
+    val stats = events.groupBy(kc: _*).agg(
+      count(lit(1)).as("__n"),
+      round(sum(col(valueCol)), 2).as("__s1"),
+      round(sum(col(valueCol) * col(valueCol)), 4).as("__s2"))
+      .withColumn("__mean", col("__s1") / col("__n"))
+      .withColumn("__sd",
+        sqrt(greatest(col("__s2") / col("__n") - col("__mean") * col("__mean"), lit(0.0))))
+      .drop("__s1", "__s2", "__n")
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = (col(valueCol) - col("__mean")) / col("__sd")
+    val up = sum(z - lit(slack)).over(w)
+    val dn = sum(-z - lit(slack)).over(w)
+    val sUp = col("__pu") - least(min(col("__pu")).over(w), lit(0.0))
+    val sDn = col("__pd") - least(min(col("__pd")).over(w), lit(0.0))
+    events.join(broadcast(stats), keys)
+      .withColumn("__pu", up)
+      .withColumn("__pd", dn)
+      .withColumn("cusum_up", round(sUp, 6))
+      .withColumn("cusum_dn", round(sDn, 6))
+      .withColumn("is_drift",
+        (col("__sd") > 0 && (sUp > threshold || sDn > threshold)).cast("int"))
+      .drop("__pu", "__pd", "__mean", "__sd")
+  }
+
   def madFlags(
       events: DataFrame,
       keys: Seq[String],

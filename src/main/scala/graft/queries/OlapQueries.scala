@@ -329,6 +329,45 @@ object OlapQueries {
         |       THEN 1 ELSE 0 END AS INT) AS is_outlier
         |FROM events e JOIN s USING (event_type)""".stripMargin)),
 
+    // Two-sided CUSUM drift detection (ops/Anomaly.cusumFlags): Page's
+    // sequential max(0, S+z-k) recursion rewritten as prefix-sum minus
+    // running-min — two stacked window aggregates over ONE sort, no
+    // iteration. z standardized with the grid-safe moment chains.
+    Q("ext_cusum_drift",
+      (s, dir) => Anomaly.cusumFlags(Tables.events(s, dir),
+        keys = Seq("event_type"), valueCol = "value",
+        orderCols = Seq("ts", "event_id"), slack = 0.5, threshold = 5.0)
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), tsFmtSpark).as("ts_s"), col("value"),
+          col("cusum_up"), col("cusum_dn"), col("is_drift")),
+      Some(s"""WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    round(sum(value), 2) AS s1, round(sum(value * value), 4) AS s2
+        |  FROM events GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type, s1 / n AS mean_v,
+        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd_v
+        |  FROM st),
+        |p AS (
+        |  SELECT e.event_id, e.event_type, e.ts, e.value, s.sd_v,
+        |    sum((e.value - s.mean_v) / s.sd_v - 0.5) OVER w1 AS pu,
+        |    sum(-((e.value - s.mean_v) / s.sd_v) - 0.5) OVER w1 AS pd
+        |  FROM events e JOIN s USING (event_type)
+        |  WINDOW w1 AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT event_id, event_type, ts, value, sd_v,
+        |    pu - least(min(pu) OVER w2, 0.0) AS su,
+        |    pd - least(min(pd) OVER w2, 0.0) AS sdn
+        |  FROM p
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, strftime(ts, '$tsFmtDuck') AS ts_s, value,
+        |  round(su, 6) AS cusum_up, round(sdn, 6) AS cusum_dn,
+        |  CAST(CASE WHEN sd_v > 0 AND (su > 5.0 OR sdn > 5.0)
+        |       THEN 1 ELSE 0 END AS INT) AS is_drift
+        |FROM f""".stripMargin)),
+
     // Robust median/MAD outliers (ops/Anomaly.madFlags): the screen that
     // survives contaminated groups (50% breakdown vs the z-score's
     // mean/sd masking). Discrete rank-selected medians — no summation,

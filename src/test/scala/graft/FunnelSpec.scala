@@ -231,6 +231,41 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(4L)._3 == 0.0 && got(4L)._4.isNaN && got(4L)._5 == 0)
   }
 
+  test("cusumFlags: prefix-sum identity equals the sequential recursion; sd=0 guard") {
+    // random series: the window form must equal Page's recursion exactly
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 40).map(_ => math.rint(rnd.nextDouble() * 100) / 10.0)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) } ++
+      Seq(("c", 100L, 7.0), ("c", 101L, 7.0)) // constant key: sd = 0
+    val got = Anomaly.cusumFlags(rows.toDF("grp", "seq", "value"),
+      keys = Seq("grp"), valueCol = "value", orderCols = Seq("seq"),
+      slack = 0.5, threshold = 2.0)
+      .select("grp", "seq", "cusum_up", "cusum_dn", "is_drift")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+         if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getInt(4)))
+      .toMap
+    // driver-side reference: the literal recursion on the same moments
+    val n = xs.size
+    val mean = BigDecimal(xs.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble / n
+    val s2 = BigDecimal(xs.map(x => x * x).sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / n
+    val sd = math.sqrt(math.max(s2 - mean * mean, 0.0))
+    var su = 0.0; var sn = 0.0
+    xs.zipWithIndex.foreach { case (x, i) =>
+      val z = (x - mean) / sd
+      su = math.max(0.0, su + z - 0.5)
+      sn = math.max(0.0, sn + (-z) - 0.5)
+      val (gu, gn, flag) = got(("a", i.toLong))
+      assert(math.abs(gu - su) < 1e-6, s"row $i up: $gu vs $su")
+      assert(math.abs(gn - sn) < 1e-6, s"row $i dn: $gn vs $sn")
+      assert(flag == (if (su > 2.0 || sn > 2.0) 1 else 0), s"row $i flag")
+    }
+    // sd = 0: cusum undefined, never flagged
+    assert(got(("c", 100L))._1.isNaN && got(("c", 100L))._3 == 0)
+    assert(got(("c", 101L))._3 == 0)
+  }
+
   test("madFlags: discrete medians, masking resistance, MAD=0 guard") {
     // group a: {1,2,3,4,100} -> med = 3 (rank ceil(5/2)=3), devs
     // {2,1,0,1,97} -> MAD = 1 (sorted {0,1,1,2,97}, rank 3).
