@@ -233,4 +233,34 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"stats must broadcast; plan:\n$plan")
     assert(!plan.contains("Window"), s"no window over the event volume; plan:\n$plan")
   }
+
+  test("ewma/cusum/mad plans: one sort per key, broadcast stats, no sort-merge joins") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ev = Seq(("a", 1L, ts, 1.0), ("a", 2L, ts, 2.0))
+      .toDF("grp", "event_id", "t", "value")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // EWMA: the per-key sort is the ONLY exchange; no join anywhere
+    val pe = planOf(graft.ops.Resample.ewma(ev, Seq("grp"),
+      Seq("t", "event_id"), "value"))
+    assert("Exchange hashpartitioning".r.findAllIn(pe).size == 1,
+      s"ewma is one sort shuffle; plan:\n$pe")
+    assert(!pe.contains("Join"), s"ewma must not join; plan:\n$pe")
+    // CUSUM: stats aggregate + ONE window sort; stats come back broadcast
+    val pc = planOf(graft.ops.Anomaly.cusumFlags(ev, Seq("grp"), "value",
+      Seq("t", "event_id")))
+    assert("Exchange hashpartitioning".r.findAllIn(pc).size <= 2,
+      s"cusum = stats agg + one window sort; plan:\n$pc")
+    assert(pc.contains("BroadcastHashJoin") && !pc.contains("SortMergeJoin"),
+      s"cusum stats must broadcast; plan:\n$pc")
+    // MAD: the median frame is pre-cut, so the consumer plan holds one
+    // deviation window sort and broadcast stats joins only
+    val pm = planOf(graft.ops.Anomaly.madFlags(ev, Seq("grp"), "value", "event_id"))
+    assert("Exchange hashpartitioning".r.findAllIn(pm).size <= 2,
+      s"mad consumer plan re-sorts at most the deviation pass; plan:\n$pm")
+    assert(pm.contains("BroadcastHashJoin") && !pm.contains("SortMergeJoin"),
+      s"mad stats must broadcast; plan:\n$pm")
+  }
 }
