@@ -304,6 +304,55 @@ object StreamingPipeline {
       idleTtl: Option[String] = None): Dataset[StreamCycleTime] =
     orderedStateful(clean, delay, CycleOpenState(0L, None), idleTtl)(cycleTimeStep)
 
+  final case class EwmaPoint(
+      event_timestamp: Timestamp,
+      machine_id: String,
+      parameter_name: String,
+      value: Option[Float],
+      ewma: Option[Double])
+
+  /** Running adjust=True EWMA recursions: num_t = x_t + d·num_{t−1},
+    * den_t = 1 + d·den_{t−1}, ewma = num/den. TWO doubles per key.
+    */
+  final case class EwmaState(num: Double, den: Double)
+
+  private def ewmaStep(decay: Double)(
+      machine: String, st: EwmaState, e: CleanedEvent,
+      out: scala.collection.mutable.ArrayBuffer[EwmaPoint]): EwmaState =
+    e.value match {
+      case Some(v) =>
+        val next = EwmaState(v.toDouble + decay * st.num, 1.0 + decay * st.den)
+        out += EwmaPoint(e.event_timestamp, e.machine_id, e.parameter_name,
+          e.value, Some(next.num / next.den))
+        next
+      case None =>
+        // a null observation is absent, not zero: emit the current
+        // smooth unchanged (None before any observation) — the same
+        // skip semantics as the batch kernel
+        out += EwmaPoint(e.event_timestamp, e.machine_id, e.parameter_name,
+          None, if (st.den > 0) Some(st.num / st.den) else None)
+        st
+    }
+
+  /** Stream-native EWMA per machine — the sequential complement of
+    * `ops/Resample.ewma`: where the batch kernel truncates at `window`
+    * observations to stay a map-shaped fold, the stream keeps the EXACT
+    * unbounded-history recursion in two doubles of state per key (the
+    * numerator/denominator pair), so an always-on smoother never
+    * re-reads history and never grows state. Behind the event-time
+    * reorder buffer the released order is provably non-decreasing, so
+    * stream ≡ batch on the same series (the Horner evaluation here and
+    * the batch fold compute the same rational; for a long series the
+    * batch kernel's ≥ window-sized tail weighs < decay^window). `idleTtl`
+    * restarts the smooth for keys quiet beyond the TTL — for a smoother
+    * that is usually the RIGHT semantics even at bounded fleets: after
+    * a long outage yesterday's smooth is stale context.
+    */
+  def ewmaStreamOrdered(
+      clean: Dataset[CleanedEvent], delay: String, decay: Double = 0.5,
+      idleTtl: Option[String] = None): Dataset[EwmaPoint] =
+    orderedStateful(clean, delay, EwmaState(0.0, 0.0), idleTtl)(ewmaStep(decay))
+
   /** Batch cleanse re-expressed on the stream (identical expressions). */
   def cleanse(raw: DataFrame): Dataset[CleanedEvent] = {
     import raw.sparkSession.implicits._

@@ -462,6 +462,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("ewmaStreamOrdered: stream equals the batch kernel under out-of-order delivery") {
+    // three cycles with DIFFERENT forces so the smooth actually moves;
+    // nulls (marker rows) must pass through without disturbing it
+    def cyc(hhmm: String, force: Double): Seq[String] = {
+      val base = s"2024-10-16T$hhmm"
+      Seq(
+        s"$base:00.000Z,M1,Cycle_Start,,",
+        s"$base:00.100Z,M1,Pick_Check,PP_Force,$force",
+        s"$base:00.500Z,M1,Cycle_End,,")
+    }
+    val header = "timestamp,machine_id,event_name,parameter_name,value"
+    val sentinel = "2024-10-20T00:00:00.000Z,M_FLUSH,Cycle_Start,,"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_s").toString
+    val base = System.currentTimeMillis()
+    Seq(
+      header +: cyc("00:10", 90.0),               // newer arrives first
+      header +: cyc("00:00", 80.0),               // oldest second
+      (header +: cyc("00:20", 70.0)) :+ sentinel  // + watermark push
+    ).zipWithIndex.foreach { case (lines, i) =>
+      FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+    val clean = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+    val q = StreamingPipeline.ewmaStreamOrdered(clean, "1 hour").toDF()
+      .writeStream.format("memory").queryName("ewma_ord").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ewma_ord").filter(col("machine_id") === "M1")
+      .select("event_timestamp", "parameter_name", "ewma")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // batch kernel over the same rows in event-time order (window large
+    // enough that truncation never kicks in -> same rational number)
+    val batchRows = header +: (cyc("00:00", 80.0) ++ cyc("00:10", 90.0) ++
+      cyc("00:20", 70.0))
+    val batchCsv = java.nio.file.Files.createTempDirectory("graft_ewma_b")
+      .toString + "/all.csv"
+    FixtureGen.writeCsv(batchCsv, batchRows)
+    val batch = graft.ops.Resample.ewma(
+      DailyAggregatorJob.cleanse(DailyAggregatorJob.readRawCsv(spark, batchCsv)).toDF(),
+      keys = Seq("machine_id"), orderCols = Seq("event_timestamp", "parameter_name"),
+      valueCol = "value", decay = 0.5, window = 1000)
+      .select("event_timestamp", "parameter_name", "ewma")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    streamed.foreach { case (k, sv) =>
+      (sv, batch(k)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"$k: $a vs $b")
+        case (a, b) => assert(a == b, s"$k: $a vs $b")
+      }
+    }
+    // the smooth follows the forces: 80, then (90+.5*80)/1.5, then
+    // (70+.5*90+.25*80)/1.75 — spot-check the valued rows
+    val valued = streamed.collect { case ((_, "PP_Force"), Some(v)) => v }.toSeq.sorted
+    assert(valued.contains(80.0))
+    assert(valued.exists(v => math.abs(v - (90.0 + 0.5 * 80.0) / 1.5) < 1e-9))
+    assert(valued.exists(v => math.abs(v - (70.0 + 0.5 * 90.0 + 0.25 * 80.0) / 1.75) < 1e-9))
+  }
+
   test("summaryRowsOrdered: tagged summary rows survive out-of-order delivery") {
     val (dir, batchCsv) = outOfOrderFixture()
     def rows(df: org.apache.spark.sql.Dataset[StreamingPipeline.SummaryRow], name: String) = {
