@@ -51,4 +51,43 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
+    * pass — the feature-redundancy screen run before training (highly
+    * correlated features are duplicated signal). The moment formulation
+    * corr = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) needs
+    * only sums, so all k + k(k+1)/2 accumulators ride in one map-side-
+    * combinable aggregate: the table is scanned ONCE for the whole
+    * matrix, never per pair, and the reshape to (col_a, col_b, corr)
+    * rows is a map-only explode of the single wide row. Over integer-
+    * valued columns (counts) every sum is exact regardless of partial-
+    * aggregation order, which is what makes the output engine-portable.
+    * Rows with a null in ANY profiled column are dropped first
+    * (listwise-complete matrix — every pair sees the same n). Constant
+    * columns have zero variance and yield null correlations.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val clean = df.na.drop(cols)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def d(c: String): Column = col(c).cast("double")
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(d(c)).as(s"__s_$c"),
+        sum(d(c) * d(c)).as(s"__s2_$c"))) ++
+       pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"__sp_${a}_$b") })
+    val wide = clean.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val va = n * col(s"__s2_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__s2_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
+    }
+    wide.select(col("__n").cast("long").as("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
+  }
 }

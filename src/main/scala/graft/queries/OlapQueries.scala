@@ -635,6 +635,52 @@ object OlapQueries {
              |  CAST(min($c) AS VARCHAR), CAST(max($c) AS VARCHAR) FROM events""".stripMargin
         (Seq("event_id", "user_id", "value").map(num) ++
           Seq("event_type", "props").map(str)).mkString("\nUNION ALL\n")
+      }),
+
+    // Feature correlation matrix (ops/Profile.correlationMatrix): the
+    // pairwise Pearson screen over per-user event-type counts, computed
+    // in ONE aggregation pass for the whole matrix. Counts are integers,
+    // so every sum is exact under any partial-aggregation order — the
+    // corr chains are bit-identical on both engines.
+    Q("ext_feature_corr",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+        Profile.correlationMatrix(counts, types)
+      },
+      Some {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val cnt = types.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS $t")
+          .mkString(",\n    ")
+        val moments = (
+          Seq("CAST(count(*) AS DOUBLE) AS n") ++
+          types.flatMap(t => Seq(s"sum($t) AS s_$t", s"sum($t * $t) AS s2_$t")) ++
+          (for { i <- types.indices; j <- types.indices if i < j }
+            yield s"sum(${types(i)} * ${types(j)}) AS sp_${types(i)}_${types(j)}"))
+          .mkString(",\n    ")
+        val legs = for { i <- types.indices; j <- types.indices if i < j } yield {
+          val (a, b) = (types(i), types(j))
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN (n * s2_$a - s_$a * s_$a) > 0
+             |        AND (n * s2_$b - s_$b * s_$b) > 0
+             |  THEN round((n * sp_${a}_$b - s_$a * s_$b) /
+             |    sqrt((n * s2_$a - s_$a * s_$a) * (n * s2_$b - s_$b * s_$b)), 6)
+             |  END AS corr FROM m""".stripMargin
+        }
+        s"""WITH c AS (
+           |  SELECT user_id,
+           |    $cnt
+           |  FROM events GROUP BY user_id),
+           |m AS (
+           |  SELECT
+           |    $moments
+           |  FROM c)
+           |""".stripMargin + legs.mkString("\nUNION ALL\n")
       })
   )
 }

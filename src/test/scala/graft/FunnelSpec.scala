@@ -208,6 +208,31 @@ class FunnelSpec extends AnyFunSuite {
     assert((s.getString(6), s.getString(7)) == (("a", "b")))
   }
 
+  test("correlationMatrix: closed forms, null-row listwise drop, constant-column guard") {
+    // y = x -> corr 1; z = -x -> corr -1; w constant -> null vs anything;
+    // the row with a null x must be dropped from EVERY pair (same n)
+    val df = Seq(
+      (Some(1.0), 1.0, -1.0, 5.0), (Some(2.0), 2.0, -2.0, 5.0),
+      (Some(3.0), 3.0, -3.0, 5.0), (None, 9.0, 9.0, 5.0))
+      .toDF("x", "y", "z", "w")
+    val got = graft.ops.Profile.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.size == 6 && got.values.forall(_._1 == 3L), "listwise n = 3 everywhere")
+    assert(got(("x", "y"))._2.contains(1.0))
+    assert(got(("x", "z"))._2.contains(-1.0))
+    assert(got(("y", "z"))._2.contains(-1.0))
+    assert(got(("x", "w"))._2.isEmpty && got(("y", "w"))._2.isEmpty,
+      "zero-variance column correlates with nothing")
+    // independent-ish check: a known hand value. x=(1,2,3), u=(1,3,2):
+    // corr = 0.5 exactly
+    val df2 = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("x", "u")
+    val r2 = graft.ops.Profile.correlationMatrix(df2, Seq("x", "u"))
+      .collect().head
+    assert(r2.getDouble(3) == 0.5)
+  }
+
   test("zscoreFlags: closed-form population moments, per-group isolation, threshold flag") {
     val rows = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
