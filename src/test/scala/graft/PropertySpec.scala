@@ -343,4 +343,32 @@ class PropertySpec extends AnyFunSuite {
     lo.foreach { case (d, n) => assert(hi(d) >= n, s"doc $d lost copies") }
     assert(hi.values.sum > lo.values.sum)
   }
+
+  test("graph invariants: triangle counts and k-cores over random graphs") {
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val nodes = (0 until 10).map(i => s"n$i")
+      val edges = List.fill(25)((
+        nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+      val tri = graft.ops.Graph.triangleCounts(edges.toDF("src", "dst"))
+        .as[(String, Long, Long)].collect()
+      // every triangle contributes to exactly 3 nodes
+      assert(tri.map(_._3).sum % 3 == 0, s"seed $seed: sum divisible by 3")
+      // a node's triangles fit inside its neighborhood's pair count
+      tri.foreach { case (n, d, t) =>
+        assert(t <= d * (d - 1) / 2, s"seed $seed node $n: $t > C($d,2)") }
+      // k-cores are nested: (k+1)-core nodes ⊆ k-core nodes, and every
+      // surviving in-core degree honors k
+      val cores = (2 to 4).map(k =>
+        k -> graft.ops.Graph.kCore(edges.toDF("src", "dst"), k)
+          .as[(String, Long)].collect().toMap)
+      cores.foreach { case (k, m) =>
+        m.values.foreach(d => assert(d >= k, s"seed $seed k=$k: deg $d < k")) }
+      cores.sliding(2).foreach {
+        case Seq((_, outer), (_, inner)) =>
+          assert(inner.keySet.subsetOf(outer.keySet), s"seed $seed: nesting")
+        case _ =>
+      }
+    }
+  }
 }
