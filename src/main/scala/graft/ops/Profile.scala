@@ -90,4 +90,38 @@ object Profile {
     wide.select(col("__n").cast("long").as("n"), explode(array(rows: _*)).as("p"))
       .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
   }
+
+  /** Spearman rank correlation matrix: Pearson over average ranks —
+    * the monotone-association screen that survives outliers and
+    * nonlinearity (the reasons to distrust raw Pearson on telemetry).
+    *
+    * Ranks are tie-averaged: r(v) = (#smaller) + (1 + #equal)/2, which
+    * is the standard fractional rank. Scale shape: a global
+    * `rank().over(orderBy(c))` would funnel the table through ONE
+    * partition, so instead each column builds its per-VALUE count table
+    * (one map-side-combinable aggregate), takes the cumulative count
+    * with a window over the DISTINCT values only (bounded — the
+    * buildVocab pattern: the window runs on the post-aggregation value
+    * domain, never the row volume), and joins the rank back. Ranks are
+    * halves (.0/.5), so all downstream moment sums are exact dyadics —
+    * the same engine-portability argument as [[correlationMatrix]],
+    * which this delegates to after the rank transform.
+    */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val clean = df.na.drop(cols)
+    val ranked = cols.foldLeft(clean) { (acc, c) =>
+      val byVal = acc.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).cast("double").as("__cnt"))
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = byVal.withColumn("__below", coalesce(sum("__cnt").over(w), lit(0.0)))
+        .select(col("__v").as(c),
+          (col("__below") + (lit(1.0) + col("__cnt")) / lit(2.0)).as(s"__rk_$c"))
+      acc.join(rk, c)
+    }
+    correlationMatrix(
+      ranked.select(cols.map(c => col(s"__rk_$c").as(c)): _*), cols)
+  }
 }

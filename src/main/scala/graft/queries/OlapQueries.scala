@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -643,44 +644,73 @@ object OlapQueries {
     // so every sum is exact under any partial-aggregation order — the
     // corr chains are bit-identical on both engines.
     Q("ext_feature_corr",
-      (s, dir) => {
-        val types = Seq("click", "view", "purchase", "signup", "error")
-        val counts = Tables.events(s, dir)
-          .groupBy("user_id")
-          .pivot("event_type", types)
-          .agg(count(lit(1)))
-          .na.fill(0L)
-        Profile.correlationMatrix(counts, types)
-      },
-      Some {
-        val types = Seq("click", "view", "purchase", "signup", "error")
-        val cnt = types.map(t =>
-          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS $t")
-          .mkString(",\n    ")
-        val moments = (
-          Seq("CAST(count(*) AS DOUBLE) AS n") ++
-          types.flatMap(t => Seq(s"sum($t) AS s_$t", s"sum($t * $t) AS s2_$t")) ++
-          (for { i <- types.indices; j <- types.indices if i < j }
-            yield s"sum(${types(i)} * ${types(j)}) AS sp_${types(i)}_${types(j)}"))
-          .mkString(",\n    ")
-        val legs = for { i <- types.indices; j <- types.indices if i < j } yield {
-          val (a, b) = (types(i), types(j))
-          s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
-             |  CASE WHEN (n * s2_$a - s_$a * s_$a) > 0
-             |        AND (n * s2_$b - s_$b * s_$b) > 0
-             |  THEN round((n * sp_${a}_$b - s_$a * s_$b) /
-             |    sqrt((n * s2_$a - s_$a * s_$a) * (n * s2_$b - s_$b * s_$b)), 6)
-             |  END AS corr FROM m""".stripMargin
-        }
+      (s, dir) => Profile.correlationMatrix(userTypeCounts(s, dir), corrTypes),
+      Some(pearsonSql(corrTypes,
+        s"""WITH src AS (
+           |  SELECT user_id,
+           |    ${countCols(corrTypes)}
+           |  FROM events GROUP BY user_id)""".stripMargin))),
+
+    // Spearman rank correlation (ops/Profile.spearmanMatrix): Pearson
+    // over tie-averaged ranks — the monotone-association screen. Ranks
+    // are halves, so every moment sum is exact; oracle ranks via
+    // rank() + (ties-1)/2 reproduce the cumulative-count fractional
+    // ranks bit-for-bit.
+    Q("ext_spearman_corr",
+      (s, dir) => Profile.spearmanMatrix(userTypeCounts(s, dir), corrTypes),
+      Some(pearsonSql(corrTypes,
         s"""WITH c AS (
            |  SELECT user_id,
-           |    $cnt
+           |    ${countCols(corrTypes)}
            |  FROM events GROUP BY user_id),
-           |m AS (
-           |  SELECT
-           |    $moments
-           |  FROM c)
-           |""".stripMargin + legs.mkString("\nUNION ALL\n")
-      })
+           |src AS (
+           |  SELECT user_id,
+           |    ${corrTypes.map(t =>
+                s"rank() OVER (ORDER BY $t) + (count(*) OVER (PARTITION BY $t) - 1) / 2.0 AS $t")
+                .mkString(",\n    ")}
+           |  FROM c)""".stripMargin)))
   )
+
+  /** The event types whose per-user counts feed the correlation
+    * screens, and the shared SQL generators for their oracles.
+    * (lazy: referenced from `all`'s initializer above its declaration.) */
+  private lazy val corrTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  private def userTypeCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", corrTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private def countCols(types: Seq[String]): String = types.map(t =>
+    s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS $t")
+    .mkString(",\n    ")
+
+  /** Pearson moment sums + one UNION ALL leg per pair over a CTE named
+    * `src` with `types` as numeric columns (the SQL mirror of
+    * `Profile.correlationMatrix`). */
+  private def pearsonSql(types: Seq[String], srcCte: String): String = {
+    val moments = (
+      Seq("CAST(count(*) AS DOUBLE) AS n") ++
+      types.flatMap(t => Seq(s"sum($t) AS s_$t", s"sum($t * $t) AS s2_$t")) ++
+      (for { i <- types.indices; j <- types.indices if i < j }
+        yield s"sum(${types(i)} * ${types(j)}) AS sp_${types(i)}_${types(j)}"))
+      .mkString(",\n    ")
+    val legs = for { i <- types.indices; j <- types.indices if i < j } yield {
+      val (a, b) = (types(i), types(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (n * s2_$a - s_$a * s_$a) > 0
+         |        AND (n * s2_$b - s_$b * s_$b) > 0
+         |  THEN round((n * sp_${a}_$b - s_$a * s_$b) /
+         |    sqrt((n * s2_$a - s_$a * s_$a) * (n * s2_$b - s_$b * s_$b)), 6)
+         |  END AS corr FROM m""".stripMargin
+    }
+    s"""$srcCte,
+       |m AS (
+       |  SELECT
+       |    $moments
+       |  FROM src)
+       |""".stripMargin + legs.mkString("\nUNION ALL\n")
+  }
 }

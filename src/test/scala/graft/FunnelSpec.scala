@@ -233,6 +233,24 @@ class FunnelSpec extends AnyFunSuite {
     assert(r2.getDouble(3) == 0.5)
   }
 
+  test("spearmanMatrix: monotone nonlinearity scores 1, ties average, Pearson differs") {
+    // y = 10^x is monotone but wildly nonlinear: Spearman 1, Pearson < 1
+    val df = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 1000.0), (4.0, 10000.0))
+      .toDF("x", "y")
+    val sp = graft.ops.Profile.spearmanMatrix(df, Seq("x", "y")).collect().head
+    assert(sp.getDouble(3) == 1.0)
+    val pe = graft.ops.Profile.correlationMatrix(df, Seq("x", "y")).collect().head
+    assert(pe.getDouble(3) < 1.0, "Pearson must see the nonlinearity")
+    // tie-averaged ranks: x=(1,2,2,3) -> (1, 2.5, 2.5, 4); a co-monotone
+    // tied y gives exactly 1, an anti-monotone y exactly -1
+    val tied = Seq((1.0, 4.0), (2.0, 5.0), (2.0, 5.0), (3.0, 6.0)).toDF("x", "y")
+    assert(graft.ops.Profile.spearmanMatrix(tied, Seq("x", "y"))
+      .collect().head.getDouble(3) == 1.0)
+    val anti = Seq((1.0, 6.0), (2.0, 5.0), (2.0, 5.0), (3.0, 4.0)).toDF("x", "y")
+    assert(graft.ops.Profile.spearmanMatrix(anti, Seq("x", "y"))
+      .collect().head.getDouble(3) == -1.0)
+  }
+
   test("zscoreFlags: closed-form population moments, per-group isolation, threshold flag") {
     val rows = Seq(
       ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
