@@ -93,6 +93,46 @@ object ExtQueries {
          |ORDER BY rank DESC, term LIMIT 20""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank oracle: same iteration as
+    * [[textrankOracle]] but the teleport vector t(v) is 1/|S| over the
+    * two lexicographically-smallest nodes (and 0 elsewhere), matching
+    * the Spark query's seed choice; both the restart and the dangling
+    * mass land on t, the exact arithmetic of Graph.pageRankImpl.
+    */
+  private def pprOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT w1 AS src, w2 AS dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        |    SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        |    FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |          WHERE len(string_split(text, ' ')) >= 2),
+        |         LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i))
+        |  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+        |base AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS MATERIALIZED (SELECT node FROM base ORDER BY node LIMIT 2),
+        |tv AS MATERIALIZED (
+        |  SELECT b.node,
+        |    CASE WHEN b.node IN (SELECT node FROM seeds) THEN 0.5 ELSE 0.0 END AS t
+        |  FROM base b),
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        |en AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS frac FROM e JOIN ow USING (src)),
+        |pr0 AS MATERIALIZED (SELECT node, t AS r FROM tv)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM pr${i - 1}
+         |        WHERE node NOT IN (SELECT src FROM ow)),
+         |i$i AS MATERIALIZED (SELECT en.dst AS node, sum(p.r * en.frac) AS inc
+         |        FROM en JOIN pr${i - 1} p ON en.src = p.node GROUP BY en.dst),
+         |pr$i AS MATERIALIZED (SELECT tv.node,
+         |           tv.t * (0.15 + 0.85 * d$i.dm) + 0.85 * COALESCE(i$i.inc, 0) AS r
+         |         FROM tv LEFT JOIN i$i ON tv.node = i$i.node, d$i)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT node AS term, round(r, 6) AS rank FROM pr$iters
+         |ORDER BY rank DESC, term LIMIT 20""".stripMargin
+  }
+
   /** Word-bigram co-occurrence edges over the corpus — the graph behind
     * ext_textrank and ext_graph_triangles.
     */
@@ -1090,6 +1130,24 @@ object ExtQueries {
           .orderBy(desc("rank"), asc("term")).limit(20)
       },
       Some(textrankOracle(10))),
+
+    // Personalized PageRank over the bigram graph: proximity to a seed
+    // set (the two lexicographically-smallest terms — a bounded 2-row
+    // driver action, the CMS-probe-list precedent). The oracle unrolls
+    // the identical iteration with the personalized teleport vector.
+    Q("ext_textrank_ppr",
+      (s, dir) => {
+        val pairs = wordBigramEdges(s, dir)
+          .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
+        val seeds = pairs.select(col("src").as("node"))
+          .union(pairs.select(col("dst").as("node")))
+          .distinct().orderBy(asc("node")).limit(2)
+          .collect().map(_.getString(0)).toSeq
+        Graph.personalizedPageRank(pairs, sources = seeds, iters = 10)
+          .select(col("node").as("term"), round(col("r"), 6).as("rank"))
+          .orderBy(desc("rank"), asc("term")).limit(20)
+      },
+      Some(pprOracle(10))),
 
     // Triangle counts over the same word co-occurrence graph: local
     // clustering signal per term. ops/Graph orients every edge from its
