@@ -42,7 +42,19 @@ object Bench {
       trials: Seq[Double],
       loadAvgBefore: Double,
       loadAvgAfter: Double,
-      processCpu: Double)
+      processCpu: Double,
+      gcMsPerTrial: Seq[Long] = Nil,
+      skewJoinsPerTrial: Seq[Long] = Nil)
+
+  /** Cumulative stop-the-world GC milliseconds of this JVM — the delta
+    * around one trial attributes pause time to that trial, so a slow
+    * outlier self-adjudicates: high gc_ms = heap pressure in OUR run,
+    * low gc_ms with low process_cpu = external contention. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
 
   /** 1-minute load average: /proc/loadavg first field (Linux), falling
     * back to the MXBean (-1.0 when unavailable). */
@@ -80,6 +92,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Counts AQE skew-join splits across every executed plan: OptimizeSkewedJoin
+    // tags handled joins "(skew=true)" in the final adaptive plan. Per-trial
+    // deltas of this counter tell a reader whether a slow trial coincided
+    // with a skew-split re-plan. Listener delivery is async, so a fire can
+    // be attributed one trial late — fine for adjudication, which reads
+    // the whole per-query series, not a single cell.
+    val skewFires = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        skewFires.addAndGet(
+          "skew=true".r.findAllIn(qe.executedPlan.toString).length.toLong): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+
     val results = scala.collection.mutable.LinkedHashMap[String, QueryResult]()
 
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
@@ -90,15 +118,19 @@ object Bench {
     // self-evident instead of masquerading as a regression.
     def timeMedian(body: => Unit): QueryResult = {
       val before = loadAvg()
-      val ts = (1 to trials).map { _ =>
+      val measured = (1 to trials).map { _ =>
+        val gc0 = gcMillis()
+        val skew0 = skewFires.get()
         val t = time(body)
         spark.sharedState.cacheManager.clearCache()
-        t
+        (t, gcMillis() - gc0, skewFires.get() - skew0)
       }
+      val ts = measured.map(_._1)
       val cpu = processCpu()
       val after = loadAvg()
       val sorted = ts.sorted
-      QueryResult(sorted(sorted.length / 2), ts, before, after, cpu)
+      QueryResult(sorted(sorted.length / 2), ts, before, after, cpu,
+        measured.map(_._2), measured.map(_._3))
     }
 
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to named
@@ -201,8 +233,11 @@ object Bench {
     try {
       val entries = results.map { case (k, v) =>
         val trialArr = v.trials.map(t => f"$t%.3f").mkString("[", ",", "]")
+        val gcArr = v.gcMsPerTrial.mkString("[", ",", "]")
+        val skewArr = v.skewJoinsPerTrial.mkString("[", ",", "]")
         "    \"" + k + "\": {" +
           f""""median":${v.median}%.3f,"trials":$trialArr,""" +
+          f""""gc_ms":$gcArr,"skew_joins":$skewArr,""" +
           f""""loadavg_before":${v.loadAvgBefore}%.2f,"loadavg_after":${v.loadAvgAfter}%.2f,""" +
           f""""process_cpu":${v.processCpu}%.3f}"""
       }.mkString(",\n")

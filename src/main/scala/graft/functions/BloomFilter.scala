@@ -31,6 +31,10 @@ class BloomFilterAggregator(numBits: Int, numHashes: Int)
   override def zero: Array[Long] = new Array[Long](numBits / 64)
 
   override def reduce(buf: Array[Long], key: String): Array[Long] = {
+    // null keys never match an equi-join anyway, so the filter that
+    // prefilters one may skip them — and UTF8String.fromString(null)
+    // would NPE on a corpus with null text
+    if (key == null) return buf
     val s = UTF8String.fromString(key)
     val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
     val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed2) | 1L
@@ -79,18 +83,25 @@ object BloomFilter {
   /** Pure-Column membership probe against a driver-held filter: true =
     * "maybe present" (up to fpp), false = "definitely absent". Exactly
     * the aggregator's hash family, via the built-in `xxhash64`.
+    * Null-key note: `xxhash64` skips null inputs (yields the seed hash,
+    * never NULL), so the probe is already total; the outer coalesce
+    * guards the contract anyway — a NULL condition here would drop the
+    * row from BOTH branches of a maybe/not-maybe split, silently losing
+    * it, and the build skips nulls so false is the truthful answer.
     */
   def mightContain(bloom: Array[Long], keyCol: Column, numBits: Int, numHashes: Int): Column = {
     require(bloom.length.toLong * 64 == numBits, "bloom length must match numBits")
     val words = typedlit(bloom)
     val h1 = xxhash64(keyCol)
     val h2 = xxhash64(lit(1), keyCol).bitwiseOR(lit(1L))
-    (0 until numHashes).map { i =>
-      val bit = pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong))
-      val word = element_at(words, (bit / 64).cast("int") + 1)
-      // getbit's probe position is a Column, which the scala DSL's
-      // shiftleft/shiftright overloads can't express
-      call_function("getbit", word, (bit % 64).cast("int")) === lit(1)
-    }.reduce(_ && _)
+    coalesce(
+      (0 until numHashes).map { i =>
+        val bit = pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong))
+        val word = element_at(words, (bit / 64).cast("int") + 1)
+        // getbit's probe position is a Column, which the scala DSL's
+        // shiftleft/shiftright overloads can't express
+        call_function("getbit", word, (bit % 64).cast("int")) === lit(1)
+      }.reduce(_ && _),
+      lit(false))
   }
 }

@@ -41,13 +41,16 @@ object Anomaly {
         sqrt(greatest(col("__s2") / col("n") - col("mean_v") * col("mean_v"), lit(0.0))))
       .drop("__s1", "__s2")
     val z = (col(valueCol) - col("mean_v")) / col("sd_v")
-    // sd = 0 (constant group) leaves z undefined (NaN) and flags nothing
-    // — guarded explicitly because Spark orders NaN ABOVE every value,
-    // so a bare abs(z) > threshold would flag the whole constant group
+    // sd = 0 (constant group) makes z NULL (non-ANSI double division by
+    // zero yields NULL, not NaN), and `false AND NULL = false` would
+    // already flag nothing — the sd_v > 0 guard states the intent rather
+    // than leaning on three-valued logic. The outer coalesce keeps the
+    // flag 0 (not NULL) for rows whose VALUE is null, matching the
+    // oracle's CASE … ELSE 0 shape.
     events.join(broadcast(stats), keys)
       .withColumn("z", round(z, 6))
       .withColumn("is_outlier",
-        (col("sd_v") > 0 && abs(z) > threshold).cast("int"))
+        coalesce((col("sd_v") > 0 && abs(z) > threshold).cast("int"), lit(0)))
   }
 
   /** Robust (median/MAD) outlier flagging — the screen to reach for when
@@ -116,7 +119,9 @@ object Anomaly {
       .withColumn("cusum_up", round(sUp, 6))
       .withColumn("cusum_dn", round(sDn, 6))
       .withColumn("is_drift",
-        (col("__sd") > 0 && (sUp > threshold || sDn > threshold)).cast("int"))
+        coalesce(
+          (col("__sd") > 0 && (sUp > threshold || sDn > threshold)).cast("int"),
+          lit(0)))
       .drop("__pu", "__pd", "__mean", "__sd")
   }
 
@@ -148,6 +153,7 @@ object Anomaly {
     val rz = lit(0.6745) * dev / col("mad_v")
     events.join(broadcast(stats), keys)
       .withColumn("robust_z", when(col("mad_v") > 0, round(rz, 6)))
-      .withColumn("is_outlier", (col("mad_v") > 0 && rz > threshold).cast("int"))
+      .withColumn("is_outlier",
+        coalesce((col("mad_v") > 0 && rz > threshold).cast("int"), lit(0)))
   }
 }

@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   * and the set is bounded by weeks-since-signup, not by the entity's
   * event count. Everything downstream (offset explode, matrix counts,
   * broadcast of the tiny per-cohort sizes) runs on ≈ entities ×
-  * active-weeks rows, never on events. Periods are fixed UTC weeks via
-  * `date_trunc`, so offsets are exact integer multiples of 7 days and
-  * never touch calendar arithmetic.
+  * active-weeks rows, never on events. Periods are `date_trunc("week")`
+  * buckets; the offset between two week starts is computed on DATES
+  * (`datediff / 7`), which stays exact even when a session timezone with
+  * DST transitions makes the physical gap 7d±1h — an epoch-microsecond
+  * division would truncate to an off-by-one week there.
   */
 object Cohort {
-
-  private val weekUs = 7L * 24 * 3600 * 1000000
 
   /** `(cohort_week, week_offset, n_active, cohort_size, retention)` —
     * one row per cohort × offset with at least one active entity.
@@ -49,8 +49,8 @@ object Cohort {
     val matrix = perEntity
       .select(col("cohort_week"), explode(col("weeks")).as("activity_week"))
       .withColumn("week_offset",
-        ((unix_micros(col("activity_week")) - unix_micros(col("cohort_week")))
-          / lit(weekUs)).cast("long"))
+        (datediff(to_date(col("activity_week")), to_date(col("cohort_week")))
+          / 7).cast("long"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
     matrix.join(broadcast(sizes), "cohort_week")

@@ -25,15 +25,24 @@ object Curation {
     *         KEPT document: passes the quality thresholds and is its
     *         near-dup cluster's canonical keeper (smallest passing doc
     *         id; unclustered docs keep themselves).
+    *
+    * `maxShingleDf` defaults to the scale-safe finite cap (jaccardPairs'
+    * own default): a boilerplate shingle shared by a large fraction of a
+    * short-doc corpus would otherwise land in candidate prefixes and blow
+    * up candidate volume quadratically. Pass `Long.MaxValue` to disable
+    * the cap and get the exact τ-pairs (what the oracle-checked catalog
+    * query does on the small fixture corpus, where the two agree —
+    * CurationSpec pins that agreement).
     */
   def curate(
       docs: DataFrame,
       minWords: Int = 20,
       minQuality: Double = 0.3,
-      dedupTau: Double = 0.8): DataFrame = {
+      dedupTau: Double = 0.8,
+      maxShingleDf: Long = 1000L): DataFrame = {
     val good = qualityGate(docs, minWords, minQuality)
     curateDeduped(good,
-      TextDedup.jaccardPairs(good, k = 2, tau = dedupTau, maxShingleDf = Long.MaxValue))
+      TextDedup.jaccardPairs(good, k = 2, tau = dedupTau, maxShingleDf = maxShingleDf))
   }
 
   /** The quality-gate stage alone: docs plus (n_words, quality_score),

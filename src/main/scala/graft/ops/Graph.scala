@@ -32,6 +32,10 @@ object Graph {
     * Dangling mass also returns to the sources, preserving Σr = 1.
     * Identical iteration shape to [[pageRank]]; `None` = classic
     * uniform teleport.
+    *
+    * Seeds are deduplicated (a repeated seed must not dilute the others'
+    * 1/|S| share), and every seed must exist in the graph — a missing
+    * seed would silently leave Σr below 1, so it fails fast instead.
     */
   def personalizedPageRank(
       edges: DataFrame,
@@ -41,8 +45,9 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       weightCol: String = "weight"): DataFrame = {
-    require(sources.nonEmpty, "personalized PageRank needs at least one source")
-    pageRankImpl(edges, iters, damping, srcCol, dstCol, weightCol, Some(sources))
+    val distinctSources = sources.distinct
+    require(distinctSources.nonEmpty, "personalized PageRank needs at least one source")
+    pageRankImpl(edges, iters, damping, srcCol, dstCol, weightCol, Some(distinctSources))
   }
 
   def pageRank(
@@ -81,6 +86,12 @@ object Graph {
     // the dangling mass land on t, so Σr = 1 is preserved either way.
     val teleport = sources match {
       case Some(s) =>
+        // bounded driver check (one count over the persisted node set):
+        // a seed absent from the graph would receive teleport mass that
+        // can never flow anywhere, silently breaking Σr = 1
+        val present = nodes.filter(col("node").isin(s: _*)).count()
+        require(present == s.size,
+          s"personalized PageRank: ${s.size - present} seed(s) not present in the graph")
         when(col("node").isin(s: _*), lit(1.0 / s.size)).otherwise(lit(0.0))
       case None => lit(1.0 / nCount)
     }

@@ -607,4 +607,90 @@ object Similarity {
     val assigned = spark.read.parquet(s"$dir/lists")
     probeLists(assigned, centroids, queries, k, nProbe, idCol)
   }
+
+  /** Persist the full IVFPQ layout (the index a 100 TB ANN service
+    * ships): [[writeIvfIndex]]'s centroids + raw inverted lists (the
+    * exact-re-rank side), PLUS the trained PQ codebooks and every
+    * vector's codes partitioned by `list_id` — so the ADC scan AND the
+    * re-rank fetch both read only the probed list directories.
+    */
+  def writeIvfPqIndex(
+      emb: DataFrame, dir: String,
+      centroidStride: Long = 100L,
+      m: Int = 8, ks: Int = 16, maxIter: Int = 5,
+      idCol: String = "vec_id"): Unit = {
+    writeIvfIndex(emb, dir, centroidStride, idCol)
+    val cb = pqCodebooks(emb, m, ks, maxIter, idCol)
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // read the assignment back from the written lists (not recomputed):
+    // codes and lists are guaranteed consistent even if the quantizer
+    // implementation changes between the two writes
+    val lists = emb.sparkSession.read.parquet(s"$dir/lists")
+      .select(col("n_id").as(idCol), col("list_id"))
+    pqEncode(emb, cb, idCol)
+      .join(lists, Seq(idCol))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/codes")
+  }
+
+  /** IVF-pruned ADC top-k over a persisted [[writeIvfPqIndex]] index —
+    * the standard IVFPQ composition: each query ranks the coarse
+    * centroids, its `nProbe` probed lists prune the partitioned CODE
+    * scan (dynamic partition pruning — [[pqTopK]] scans all codes), ADC
+    * sums the broadcast per-query lookup table over the surviving codes,
+    * and the `rerank·k` ADC winners re-rank by exact cosine against the
+    * raw vectors fetched from the SAME pruned list directories.
+    *
+    * Output matches [[topK]]: (q_id, n_id, rk, cosine). Recall loses
+    * only when a true neighbor's list is unprobed (IVF miss) or it falls
+    * out of the ADC candidate set (PQ coarseness) — both pinned vs
+    * brute force in SimilaritySpec.
+    */
+  def ivfPqTopKIndexed(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 2, rerank: Int = 8,
+      idCol: String = "vec_id"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val m = cb.select(max(col("sub_id"))).head().getInt(0) + 1
+    val dim = queries.select(size(col("embedding"))).head().getInt(0)
+    val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(spark)(col("q_emb"), col("c_emb")))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("c_cos"), asc("c_id"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("q_id"), col("c_id").as("list_id"))
+    // per-query LUT: exact d² from each query subvector to every code
+    // centroid — nq·m·ks rows, broadcast
+    val lut = subVectors(queries, m, dim, idCol)
+      .select(col(idCol).as("q_id"), col("sub_id"), col("sub_vec"))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code"),
+        l2sq(spark)(col("sub_vec"), col("c_vec")).as("d2"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val cand = codes.join(broadcast(probes), Seq("list_id"))
+      .select(col("q_id"), col("list_id"), col(idCol).as("n_id"),
+        posexplode(col("codes")).as(Seq("sub_id", "code")))
+      .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(lut), Seq("q_id", "sub_id", "code"))
+      .groupBy(col("q_id"), col("n_id"), col("list_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(asc("adc_d2"), asc("n_id"))))
+      .filter(col("rk") <= k * rerank)
+      .select("q_id", "n_id", "list_id")
+    // exact re-rank: the (tiny) survivor set broadcasts against the raw
+    // lists, keyed on (list_id, n_id) so the list scan prunes too
+    val lists = spark.read.parquet(s"$dir/lists")
+    lists
+      .join(broadcast(cand.join(broadcast(q), Seq("q_id"))), Seq("list_id", "n_id"))
+      .withColumn("cosine", cosine(spark)(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("cosine"), asc("n_id"))))
+      .filter(col("rk") <= k)
+      .select("q_id", "n_id", "rk", "cosine")
+  }
 }

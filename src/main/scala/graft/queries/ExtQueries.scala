@@ -318,7 +318,11 @@ object ExtQueries {
     // composition of already-oracle-checked stages; the oracle recombines
     // the same SQL fragments with the gate applied before shingling.
     Q("ext_curation_pipeline",
-      (s, dir) => graft.ops.Curation.curate(Tables.documents(s, dir))
+      // explicit Long.MaxValue: the oracle replays the EXACT τ-pairs, so
+      // the library's scale-safe df-cap default is disabled here (the two
+      // agree on this corpus — CurationSpec pins it)
+      (s, dir) => graft.ops.Curation.curate(Tables.documents(s, dir),
+          maxShingleDf = Long.MaxValue)
         .select("doc_id", "n_words", "split"),
       Some("""WITH RECURSIVE stats AS (
         |  SELECT doc_id, text,
@@ -475,6 +479,23 @@ object ExtQueries {
         Similarity.writeIvfIndex(emb, idx, centroidStride = 50L)
         Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
           k = 10, nProbe = 3)
+      },
+      None),
+
+    // IVFPQ: the standard 100 TB ANN service layout — coarse lists prune
+    // the partitioned CODE scan (dynamic partition pruning), ADC scores
+    // only probed lists' codes, exact re-rank fetches raw vectors from
+    // the same pruned directories. Rows-only (xxhash64-seeded quantizer
+    // and codebooks); SimilaritySpec pins recall vs exact top-k, genuine
+    // re-rank cosines, and double partition pruning in the plan.
+    Q("ext_ann_ivf_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = graft.core.TmpDirs.scoped("ivfpq_index")
+        Similarity.writeIvfPqIndex(emb, idx, centroidStride = 50L,
+          m = 8, ks = 16, maxIter = 3)
+        Similarity.ivfPqTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
+          k = 10, nProbe = 3, rerank = 8)
       },
       None),
 
@@ -1190,14 +1211,54 @@ object ExtQueries {
         |FROM deg d LEFT JOIN c USING (node)
         |ORDER BY triangles DESC, node""".stripMargin)),
 
-    // k-core of the bigram graph: iterative peel to the fixpoint — not
-    // SQL-expressible (recursive CTEs cannot aggregate per step and the
-    // round count is data-dependent), so rows-only; trust chain =
-    // GraphSpec's reference-peel replay incl. cascading deletions.
+    // k-core of the bigram graph: iterative peel to the fixpoint. The
+    // data-dependent round count IS recursive-CTE-expressible after all:
+    // each recursion row carries the ENTIRE survivor set as one LIST, so
+    // no aggregate over the recursive table is needed — each round is a
+    // correlated degree count against the static edge table, and the
+    // recursion stops when the list reaches its fixpoint (the emitted
+    // row whose successor equals it). Deg = in-core degree, like Spark's
+    // final degrees() over the peeled edge set; equivalent because the
+    // survivor set shrinks monotonically, so an edge whose endpoints are
+    // both in the final set was never removed. (Trust chain kept:
+    // GraphSpec's reference-peel replay incl. cascading deletions.)
     Q("ext_graph_kcore",
       (s, dir) => Graph.kCore(wordBigramEdges(s, dir), k = 20)
         .orderBy(desc("deg"), asc("node")),
-      None),
+      Some("""WITH RECURSIVE p AS (
+        |  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i)
+        |  WHERE length(ws[i + 1]) > 0 AND length(ws[i + 2]) > 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |  FROM p WHERE w1 <> w2),
+        |dd AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |peel AS (
+        |  SELECT 0 AS round, (SELECT list(DISTINCT src ORDER BY src) FROM dd) AS alive
+        |  UNION ALL
+        |  SELECT pl.round + 1,
+        |    (SELECT coalesce(list(src ORDER BY src), CAST([] AS VARCHAR[])) FROM (
+        |       SELECT src FROM dd
+        |       WHERE list_contains(pl.alive, src) AND list_contains(pl.alive, dst)
+        |       GROUP BY src HAVING count(*) >= 20))
+        |  FROM peel pl
+        |  WHERE (SELECT coalesce(list(src ORDER BY src), CAST([] AS VARCHAR[])) FROM (
+        |       SELECT src FROM dd
+        |       WHERE list_contains(pl.alive, src) AND list_contains(pl.alive, dst)
+        |       GROUP BY src HAVING count(*) >= 20)) <> pl.alive
+        |),
+        |survivors AS (
+        |  SELECT unnest(alive) AS node FROM peel
+        |  WHERE round = (SELECT max(round) FROM peel)
+        |)
+        |SELECT s.node, CAST(count(*) AS BIGINT) AS deg
+        |FROM survivors s JOIN dd ON dd.src = s.node
+        |WHERE dd.dst IN (SELECT node FROM survivors)
+        |GROUP BY s.node
+        |ORDER BY deg DESC, node""".stripMargin)),
 
     // BPE merge induction: ordered merge table learned from the corpus
     // word-frequency table. Rows-only (argmax-dependent iteration is not

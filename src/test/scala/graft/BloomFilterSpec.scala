@@ -58,4 +58,24 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(bloomed == plain)
     assert(plain.nonEmpty && !plain.exists(_ >= 1000L), "exact dups must be dropped")
   }
+
+  test("null keys: the build skips them and the bloom path still equals the anti-join") {
+    // 'changes cost, never the answer': a corpus with null text must not
+    // crash the aggregator (UTF8String.fromString(null) would NPE) —
+    // null never equi-joins, so skipping it in the build is lossless
+    val corpus = ((0 until 20).map(i => (i.toLong, s"corpus doc number $i with words"))
+      :+ (999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = (
+      (100 until 110).map(i => (i.toLong, s"fresh doc $i unlike anything")) ++
+      Seq((2000L, "corpus doc number 3 with words"), // exact dup
+        (2001L, null.asInstanceOf[String])))        // null text in the batch too
+      .toDF("doc_id", "text")
+    val plain = TextDedup.incrementalSurvivors(batch, corpus, k = 2, tau = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = TextDedup.incrementalSurvivors(batch, corpus, k = 2, tau = 0.8,
+      bloomBits = Some(1 << 12), bloomHashes = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    assert(!plain.contains(2000L), "exact dup must be dropped")
+  }
 }

@@ -29,6 +29,20 @@ class CurationSpec extends AnyFunSuite {
     kept.unpersist()
   }
 
+  test("default finite shingle-df cap agrees with the uncapped exact pairs here") {
+    // the library default is the scale-safe finite cap; the catalog query
+    // disables it for oracle identity — on this corpus (every shingle's
+    // df is far below the cap) the two MUST coincide row-for-row, which
+    // is what makes the default flip an optimization, not a semantic drift
+    val docs = Tables.documents(spark, dir)
+    val capped = Curation.curate(docs).cache()
+    val uncapped = Curation.curate(docs, maxShingleDf = Long.MaxValue)
+    assert(capped.count() > 0)
+    assert(capped.exceptAll(uncapped).count() == 0)
+    assert(uncapped.exceptAll(capped).count() == 0)
+    capped.unpersist()
+  }
+
   test("capPerDomain keeps exactly the top-N per source by (quality desc, id)") {
     val docs = Tables.documents(spark, dir)
     val capped = Curation.capPerDomain(docs, maxPerDomain = 3).cache()

@@ -132,6 +132,41 @@ class SimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("IVFPQ: probed-list ADC + exact re-rank — recall pinned, both scans pruned") {
+    val queries = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(emb, idx, centroidStride = 50L,
+      m = 8, ks = 16, maxIter = 3)
+    val out = Similarity.ivfPqTopKIndexed(spark, idx, queries,
+      k = 10, nProbe = 3, rerank = 8).cache()
+    // exactly k rows per query, dense ranks
+    val counts = out.groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 == 10L))
+    // recall vs EXACT top-k: losses come only from unprobed lists (IVF)
+    // or ADC misses (PQ) — composition must not be worse than the
+    // weaker of its parts by much; measured on this corpus
+    val exact = Similarity.topK(emb, queries, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val got = out.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivfpq recall@10 $recall")
+    // re-rank cosines are genuine: every returned score equals the
+    // brute-force cosine for that (q, n)
+    val bruteScores = Similarity.topK(emb, queries, k = 500)
+      .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    out.select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        assert(math.abs(bruteScores((q, n)) - c) < 1e-12, s"($q,$n) score drift")
+      }
+    // the 100 TB claim: BOTH the code scan and the raw-list re-rank read
+    // prune on list_id via the broadcast probe/survivor joins
+    val plan = out.queryExecution.executedPlan.toString
+    assert("dynamicpruning".r.findAllIn(plan).length >= 2,
+      s"expected dynamic partition pruning on codes AND lists:\n$plan")
+    out.unpersist()
+  }
+
   test("dedupByEmbedding: near-dup pairs share a cluster, keeper is the component min") {
     val dd = Similarity.dedupByEmbedding(emb, tau = 0.45).cache()
     assert(dd.count() == emb.count())

@@ -31,6 +31,15 @@ class StreamingSpec extends AnyFunSuite {
     val (early, late) = rows.partition(tsOf(_) < mid)
     FixtureGen.writeCsv(s"$dir/day1_part1.csv", header +: early)
     FixtureGen.writeCsv(s"$dir/day2_part2.csv", header +: late)
+    // Ordering guarantee: the file source sorts pending files by
+    // modification time, and two back-to-back writes can land in the same
+    // millisecond — under full-suite load the tie broke either way, so the
+    // micro-batch order (and with it every cross-batch cycle number)
+    // flipped in ~1 of 2 runs. Pinning strictly increasing mtimes makes
+    // "day1 before day2" structural rather than a race.
+    val base = System.currentTimeMillis()
+    new java.io.File(s"$dir/day1_part1.csv").setLastModified(base): Unit
+    new java.io.File(s"$dir/day2_part2.csv").setLastModified(base + 60000L): Unit
     dir
   }
 
@@ -572,7 +581,27 @@ class StreamingSpec extends AnyFunSuite {
       }
       dir
     }
-    def run(ttl: Option[String], name: String): (Set[(String, String, Long)], Long) = {
+    // Listener-based state-store observability: capture (batchId, stored
+    // rows, memory bytes) per progress event so eviction is asserted as an
+    // actual mid-run DROP in the store, not just a smaller final count.
+    final class StateSeriesListener(name: String)
+        extends org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      val series = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name)
+          e.progress.stateOperators.headOption.foreach { so =>
+            series.synchronized {
+              series += ((e.progress.batchId, so.numRowsTotal, so.memoryUsedBytes))
+            }: Unit
+          }
+    }
+    def run(ttl: Option[String], name: String)
+        : (Set[(String, String, Long)], Long, Seq[(Long, Long, Long)]) = {
+      val listener = new StateSeriesListener(name)
+      spark.streams.addListener(listener)
       val clean = StreamingPipeline.cleanse(
         StreamingPipeline.readCsvStream(spark, mkDir(), maxFilesPerTrigger = 1))
       val q = StreamingPipeline.withCycleSeqOrdered(clean, "1 hour", ttl).toDF()
@@ -581,18 +610,29 @@ class StreamingSpec extends AnyFunSuite {
         q.processAllAvailable()
         val stateRows = q.recentProgress.reverse
           .flatMap(_.stateOperators.headOption).head.numRowsTotal
+        // listener delivery is async: wait until it has seen the final batch
+        val lastBatch = q.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.batchId).max
+        val deadline = System.currentTimeMillis() + 30000L
+        while (listener.series.synchronized(
+            !listener.series.exists(_._1 >= lastBatch)) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(50L)
         val rows = spark.table(name)
           .filter(col("event_name") === "Cycle_Start")
           .select(col("machine_id"),
             date_format(col("event_timestamp"), "yyyy-MM-dd HH:mm").as("t"),
             col("cycle_seq"))
           .as[(String, String, Long)].collect().toSet
-        (rows, stateRows)
-      } finally q.stop()
+        (rows, stateRows, listener.series.synchronized(listener.series.sortBy(_._1).toSeq))
+      } finally {
+        q.stop()
+        spark.streams.removeListener(listener)
+      }
     }
 
-    val (withTtl, stateWithTtl) = run(Some("2 hours"), "ttl_on")
-    val (noTtl, stateNoTtl) = run(None, "ttl_off")
+    val (withTtl, stateWithTtl, seriesWithTtl) = run(Some("2 hours"), "ttl_on")
+    val (noTtl, stateNoTtl, seriesNoTtl) = run(None, "ttl_off")
 
     // active-within-TTL key M2 numbers exactly like the unevicted run
     assert(withTtl.filter(_._1 == "M2") == Set(
@@ -608,6 +648,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateNoTtl == 4, s"expected all 4 groups retained, got $stateNoTtl")
     assert(stateWithTtl < stateNoTtl,
       s"TTL must evict quiet groups: $stateWithTtl vs $stateNoTtl")
+    // listener evidence: with TTL the stored-row series must DROP at some
+    // trigger (the eviction firing); without TTL it never shrinks. Memory
+    // is captured per operator and must be a real (positive) measurement.
+    def rowsOf(s: Seq[(Long, Long, Long)]) = s.map(_._2)
+    assert(rowsOf(seriesWithTtl).sliding(2).exists {
+        case Seq(a, b) => b < a; case _ => false },
+      s"TTL eviction must shrink the state store mid-run: ${rowsOf(seriesWithTtl)}")
+    assert(rowsOf(seriesNoTtl).sliding(2).forall {
+        case Seq(a, b) => b >= a; case _ => true },
+      s"without TTL state must never shrink: ${rowsOf(seriesNoTtl)}")
+    assert(seriesWithTtl.nonEmpty && seriesWithTtl.forall(_._3 > 0L),
+      "listener must capture positive state-store memory per progress event")
   }
 
   test("hourlySummaryStreamOrdered: full 19-column summary equals batch under cross-batch out-of-order delivery") {
