@@ -9,6 +9,7 @@ canonicalize both (column-name sort, row sort, floats rounded), and report
 row/schema/value match. Strict by default so ulp-level drift is visible.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -37,6 +38,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Honor the same subset selector graft.Verify uses, so a partial dump
+    # (e.g. scripts/submit-smoke.sh) checks only what was produced.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in names}
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
