@@ -10,9 +10,10 @@
 #   sfDir  defaults to /root/testdata/sf0.001
 #   outDir defaults to /tmp/submit_smoke
 #
-# Exit 0 = jar built, spark-submit ran graft.Verify, and every selected
-# query wrote a parquet result. Run tools/selfcheck.py afterwards for
-# the DuckDB oracle comparison.
+# Exit 0 = jar built, spark-submit ran graft.Verify, every selected
+# query wrote a parquet result, AND tools/selfcheck.py oracle-matched
+# the submitted output (skipped with a warning if duckdb/pandas are
+# unavailable).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -21,7 +22,8 @@ OUT_DIR="${2:-/tmp/submit_smoke}"
 QUERIES="${SPARK_GRAFT_ONLY:-s1_p1_csv_scan,w2_sessionize,ext_dedup_exact}"
 
 sbt -batch package
-JAR=$(ls target/scala-2.13/projektdata_engineering_iubhspark_*.jar)
+# newest jar wins if a version bump left a stale artifact behind
+JAR=$(ls -t target/scala-2.13/projektdata_engineering_iubhspark_*.jar | head -1)
 
 rm -rf "$OUT_DIR"
 SPARK_GRAFT_ONLY="$QUERIES" /opt/spark/bin/spark-submit \
@@ -39,5 +41,12 @@ for q in "${QS[@]}"; do
     missing=1
   fi
 done
-[ "$missing" -eq 0 ] && echo "submit-smoke OK: ${#QS[@]} queries via spark-submit ($JAR)"
-exit "$missing"
+[ "$missing" -eq 0 ] || exit "$missing"
+
+# Oracle-compare the submitted output (same subset selector).
+if python3 -c 'import duckdb, pandas' 2>/dev/null; then
+  SPARK_GRAFT_ONLY="$QUERIES" python3 tools/selfcheck.py "$SF_DIR" "$OUT_DIR"
+else
+  echo "WARN: duckdb/pandas unavailable — skipping oracle compare" >&2
+fi
+echo "submit-smoke OK: ${#QS[@]} queries via spark-submit ($JAR)"

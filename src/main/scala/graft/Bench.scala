@@ -99,11 +99,15 @@ object Bench {
     // be attributed one trial late — fine for adjudication, which reads
     // the whole per-query series, not a single cell.
     val skewFires = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Compiled once, not per listener fire: iterative queries fire this
+    // dozens of times per trial, and the callback runs on the driver
+    // while timed work is in flight.
+    val skewRe = "skew=true".r
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
         skewFires.addAndGet(
-          "skew=true".r.findAllIn(qe.executedPlan.toString).length.toLong): Unit
+          skewRe.findAllIn(qe.executedPlan.toString).length.toLong): Unit
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     })

@@ -201,6 +201,26 @@ object Similarity {
       .select(col(idCol).as("n_id"), col("embedding").as("n_emb"), col("c_id").as("list_id"))
   }
 
+  /** Rank the coarse centroids per query and keep the top `nProbe`
+    * assignments: (q_id, q_emb, list_id), ties to the smallest centroid
+    * id. The single source of truth for probe ranking, shared by the
+    * exact-IVF and IVFPQ paths so a metric or tie-break change cannot
+    * silently diverge them.
+    */
+  private def probeAssignments(
+      centroids: DataFrame, queries: DataFrame, nProbe: Int,
+      idCol: String): DataFrame = {
+    val s = queries.sparkSession
+    queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(s)(col("q_emb"), col("c_emb")))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("c_cos"), asc("c_id"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("list_id"))
+  }
+
   /** Each query probes its `nProbe` nearest lists; candidates are scored
     * exactly and ranked per query.
     */
@@ -208,14 +228,7 @@ object Similarity {
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int, idCol: String): DataFrame = {
     val s = assigned.sparkSession
-    val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosine(s)(col("q_emb"), col("c_emb")))
-      .withColumn("prk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(desc("c_cos"), asc("c_id"))))
-      .filter(col("prk") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("list_id"))
+    val probes = probeAssignments(centroids, queries, nProbe, idCol)
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", cosine(s)(col("q_emb"), col("n_emb")))
@@ -519,6 +532,20 @@ object Similarity {
         x => x.getField("code")).as("codes"))
   }
 
+  /** Per-query ADC lookup table: exact d² from each query's subvectors
+    * to every code centroid — (q_id, sub_id, code, d2), nq·m·ks rows,
+    * broadcast-sized. The single source of truth for ADC scoring,
+    * shared by [[pqTopK]] and [[ivfPqTopKIndexed]].
+    */
+  private def adcLut(
+      queries: DataFrame, cb: DataFrame, m: Int, dim: Int,
+      idCol: String): DataFrame =
+    subVectors(queries, m, dim, idCol)
+      .select(col(idCol).as("q_id"), col("sub_id"), col("sub_vec"))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code"),
+        l2sq(queries.sparkSession)(col("sub_vec"), col("c_vec")).as("d2"))
+
   /** ADC (asymmetric distance computation) top-k with exact re-rank.
     *
     * Per query, the exact distances from its subvectors to every
@@ -553,11 +580,7 @@ object Similarity {
     val cb = pqCodebooks(emb, m, ks, maxIter, idCol)
     val codes = pqEncode(emb, cb, idCol)
       .select(col(idCol).as("n_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
-    val lut = subVectors(queries, m, dim, idCol)
-      .select(col(idCol).as("q_id"), col("sub_id"), col("sub_vec"))
-      .join(cb, Seq("sub_id"))
-      .select(col("q_id"), col("sub_id"), col("code"),
-        l2sq(s)(col("sub_vec"), col("c_vec")).as("d2"))
+    val lut = adcLut(queries, cb, m, dim, idCol)
     val adcW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(asc("adc_d2"), asc("n_id"))
     val cand = codes.join(broadcast(lut), Seq("sub_id", "code"))
@@ -654,20 +677,11 @@ object Similarity {
     val m = cb.select(max(col("sub_id"))).head().getInt(0) + 1
     val dim = queries.select(size(col("embedding"))).head().getInt(0)
     val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", cosine(spark)(col("q_emb"), col("c_emb")))
-      .withColumn("prk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(desc("c_cos"), asc("c_id"))))
-      .filter(col("prk") <= nProbe)
-      .select(col("q_id"), col("c_id").as("list_id"))
-    // per-query LUT: exact d² from each query subvector to every code
-    // centroid — nq·m·ks rows, broadcast
-    val lut = subVectors(queries, m, dim, idCol)
-      .select(col(idCol).as("q_id"), col("sub_id"), col("sub_vec"))
-      .join(broadcast(cb), Seq("sub_id"))
-      .select(col("q_id"), col("sub_id"), col("code"),
-        l2sq(spark)(col("sub_vec"), col("c_vec")).as("d2"))
+    // q_emb dropped from the broadcast probe frame: the ADC scan only
+    // needs (q_id, list_id); raw query vectors rejoin at the re-rank
+    val probes = probeAssignments(centroids, queries, nProbe, idCol)
+      .select(col("q_id"), col("list_id"))
+    val lut = adcLut(queries, cb, m, dim, idCol)
     val codes = spark.read.parquet(s"$dir/codes")
     val cand = codes.join(broadcast(probes), Seq("list_id"))
       .select(col("q_id"), col("list_id"), col(idCol).as("n_id"),

@@ -1239,16 +1239,13 @@ object ExtQueries {
         |peel AS (
         |  SELECT 0 AS round, (SELECT list(DISTINCT src ORDER BY src) FROM dd) AS alive
         |  UNION ALL
-        |  SELECT pl.round + 1,
-        |    (SELECT coalesce(list(src ORDER BY src), CAST([] AS VARCHAR[])) FROM (
-        |       SELECT src FROM dd
-        |       WHERE list_contains(pl.alive, src) AND list_contains(pl.alive, dst)
-        |       GROUP BY src HAVING count(*) >= 20))
-        |  FROM peel pl
-        |  WHERE (SELECT coalesce(list(src ORDER BY src), CAST([] AS VARCHAR[])) FROM (
-        |       SELECT src FROM dd
-        |       WHERE list_contains(pl.alive, src) AND list_contains(pl.alive, dst)
-        |       GROUP BY src HAVING count(*) >= 20)) <> pl.alive
+        |  SELECT pl.round + 1, nx.next
+        |  FROM peel pl,
+        |       LATERAL (SELECT (SELECT coalesce(list(src ORDER BY src), CAST([] AS VARCHAR[])) FROM (
+        |          SELECT src FROM dd
+        |          WHERE list_contains(pl.alive, src) AND list_contains(pl.alive, dst)
+        |          GROUP BY src HAVING count(*) >= 20)) AS next) nx
+        |  WHERE nx.next <> pl.alive
         |),
         |survivors AS (
         |  SELECT unnest(alive) AS node FROM peel

@@ -122,7 +122,10 @@ class SimilaritySpec extends AnyFunSuite {
     // top-k member must carry the same rank brute force gives it only if
     // all better candidates survived ADC; weaker but always-true pin:
     // returned cosines are genuine (match brute-force scores)
-    val bruteScores = Similarity.topK(emb, queries, k = 500)
+    // k = corpus size makes the brute lookup exhaustive regardless of
+    // fixture growth; a missing key would otherwise crash the test
+    // instead of failing with the intended drift message
+    val bruteScores = Similarity.topK(emb, queries, k = emb.count().toInt)
       .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
       .map { case (q, n, c) => (q, n) -> c }.toMap
     Similarity.pqTopK(emb, queries, k = 10, m = 8, ks = 16, maxIter = 3, rerank = 8)
@@ -152,7 +155,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ivfpq recall@10 $recall")
     // re-rank cosines are genuine: every returned score equals the
     // brute-force cosine for that (q, n)
-    val bruteScores = Similarity.topK(emb, queries, k = 500)
+    // k = corpus size makes the brute lookup exhaustive regardless of
+    // fixture growth; a missing key would otherwise crash the test
+    // instead of failing with the intended drift message
+    val bruteScores = Similarity.topK(emb, queries, k = emb.count().toInt)
       .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
       .map { case (q, n, c) => (q, n) -> c }.toMap
     out.select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()

@@ -39,11 +39,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Honor the same subset selector graft.Verify uses, so a partial dump
-    # (e.g. scripts/submit-smoke.sh) checks only what was produced.
+    # (e.g. scripts/submit-smoke.sh) checks only what was produced. Loud
+    # and strict: unknown names are an error and an empty selection exits
+    # nonzero, so a stale/typo'd env var can't make the check pass
+    # vacuously.
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = sorted(names - oracle.keys())
+        if unknown:
+            sys.exit(f"SPARK_GRAFT_ONLY names not in oracle_sql.json: "
+                     f"{', '.join(unknown)}")
         oracle = {k: v for k, v in oracle.items() if k in names}
+        if not oracle:
+            sys.exit("SPARK_GRAFT_ONLY selected zero queries")
+        print(f"SPARK_GRAFT_ONLY: checking {len(oracle)} selected queries")
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
