@@ -69,16 +69,28 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS): with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it scans as int64 nanos;
-    * floor-divide to micros (exactly DuckDB's truncation) and restore
-    * TimestampType.
+  /** Normalize the three timestamp encodings a wild parquet corpus ships to
+    * one internal `TimestampType` (micros, UTC session):
+    *
+    *  1. TIMESTAMP(NANOS) — with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     it scans as int64 nanos; floor-divide to micros (exactly DuckDB's
+    *     truncation) and restore TimestampType.
+    *  2. TIMESTAMP(MICROS, isAdjustedToUTC=false) — vanilla pandas/pyarrow
+    *     `timestamp[us]`; Spark infers TIMESTAMP_NTZ. Cast to TimestampType:
+    *     lossless under the pinned UTC session, and exactly DuckDB's naive
+    *     reading of the same file.
+    *  3. TIMESTAMP(MICROS, isAdjustedToUTC=true) — already TimestampType;
+    *     pass through unchanged.
     */
   private def fixNanos(df: DataFrame, c: String): DataFrame =
-    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(s"$c div 1000")))
-    else df
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, df(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

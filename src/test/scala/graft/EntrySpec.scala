@@ -18,7 +18,14 @@ class EntrySpec extends AnyFunSuite {
     s.conf.set("spark.sql.ansi.enabled", "true")
     s.conf.set("spark.sql.session.timeZone", "America/New_York")
     // events scan would throw Illegal Parquet type without the per-call
-    // prepare(); date formatting would shift without UTC
+    // prepare(); date formatting would shift without UTC. The corpus has
+    // shipped as TIMESTAMP(NANOS) (rounds 1-6) and MICROS-NTZ (round 7+);
+    // whichever encoding is current, Tables.events must normalize it —
+    // TimestampEncodingSpec pins all three shapes synthetically.
+    val ts = graft.core.Tables.events(s, "/root/testdata/sf0.001").schema("ts").dataType
+    assert(ts == org.apache.spark.sql.types.TimestampType,
+      s"corpus events.ts reached queries as $ts — parquet encoding changed " +
+      "again; extend Tables.fixNanos (see TimestampEncodingSpec)")
     val df = SparkEntry.queries("f2_f3_time_buckets")(s, "/root/testdata/sf0.001")
     val row = df.filter(org.apache.spark.sql.functions.col("event_id") === 0).collect().head
     assert(row.getAs[String]("d") == "2024-01-01") // UTC date, not EST

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+
+/** Contract: `Tables.events` must normalize every timestamp encoding a wild
+  * parquet corpus ships to one internal `TimestampType` with identical
+  * micros. The driver has already shipped two encodings across rounds
+  * (TIMESTAMP(NANOS) in rounds 1-6, pandas/pyarrow MICROS-NTZ from round 7's
+  * regeneration); this spec pins all three wild variants:
+  *
+  *  (a) TIMESTAMP(NANOS) — scans as int64 under
+  *      `spark.sql.legacy.parquet.nanosAsLong=true` (the LongType shape this
+  *      spec writes directly, exactly what the scan yields);
+  *  (b) TIMESTAMP(MICROS, isAdjustedToUTC=false) — pyarrow `timestamp[us]`,
+  *      inferred as TIMESTAMP_NTZ;
+  *  (c) TIMESTAMP(MICROS, isAdjustedToUTC=true) — Spark's own writer,
+  *      already TimestampType.
+  */
+class TimestampEncodingSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = TestSpark.spark
+
+  // Fixed instants incl. sub-second precision; micros since epoch (UTC).
+  private val micros = Seq(
+    1704067200000000L,        // 2024-01-01 00:00:00
+    1704067200123456L,        // 2024-01-01 00:00:00.123456
+    1711929599999999L)        // 2024-03-31 23:59:59.999999
+
+  /** Write `events.parquet` under a fresh dir with ts in the given shape. */
+  private def writeVariant(shape: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"enc_$shape").toString
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+    val withTs = shape match {
+      case "nanos_int64" => base.withColumn("ts", expr("us * 1000L"))
+      case "micros_ntz"  => base.withColumn("ts",
+        timestamp_micros(col("us")).cast(TimestampNTZType))
+      case "micros_utc"  => base.withColumn("ts", timestamp_micros(col("us")))
+    }
+    withTs.drop("us").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def readMicros(dir: String, shape: String): Map[Long, Long] = {
+    val ev = Tables.events(spark, dir)
+    withClue(s"encoding '$shape' must normalize to TimestampType: ") {
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"Tables.events left ts as ${ev.schema("ts").dataType} for parquet " +
+        s"encoding '$shape' — extend Tables.fixNanos for this shape")
+    }
+    ev.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("raw scan shapes differ across the three encodings (spec is non-vacuous)") {
+    val raw = Seq("nanos_int64", "micros_ntz", "micros_utc").map { shape =>
+      val dir = writeVariant(shape)
+      shape -> spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    }.toMap
+    assert(raw("nanos_int64") == LongType)
+    assert(raw("micros_ntz") == TimestampNTZType,
+      "expected pyarrow-style MICROS-NTZ to scan as TIMESTAMP_NTZ — if this " +
+      "changed, the inferTimestampNTZ default moved and the contract below " +
+      "is testing a stale shape")
+    assert(raw("micros_utc") == TimestampType)
+  }
+
+  test("Tables.events yields identical TimestampType micros for all three encodings") {
+    val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    for (shape <- Seq("nanos_int64", "micros_ntz", "micros_utc")) {
+      val got = readMicros(writeVariant(shape), shape)
+      withClue(s"encoding '$shape': ") { assert(got == expected) }
+    }
+  }
+
+  test("timestamp arithmetic (unix_micros) runs on the real corpus events table") {
+    // The regression that cost round 7: unix_micros does not implicitly
+    // cast TIMESTAMP_NTZ, so an unnormalized scan fails analysis here.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"real corpus events.ts scanned as ${ev.schema("ts").dataType} — a new " +
+      "parquet encoding the fixNanos contract does not cover yet")
+    assert(ev.select(unix_micros(col("ts"))).limit(1).count() == 1)
+  }
+}
