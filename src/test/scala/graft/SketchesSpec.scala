@@ -132,4 +132,33 @@ class SketchesSpec extends AnyFunSuite {
       assert(vs.contains(p50) && vs.contains(p95))
     }
   }
+
+  test("approx quantile: eps*n element-rank bound holds across group sizes incl. n < 1/eps") {
+    // The GK-style sketch guarantees element-rank error <= eps*n with
+    // eps = 1/accuracy. The corpus-based test above only exercises one
+    // group-size regime; this one sweeps sizes on BOTH sides of the
+    // n = 1/eps boundary: below it eps*n < 1, so the sketch must be
+    // exact to within one element (the discreteness floor), and well
+    // above it the proportional envelope takes over.
+    val accuracy = 100 // eps = 0.01
+    val sizes = Seq(30, 99, 100, 101, 1000, 20000)
+    val rng = new scala.util.Random(42)
+    val rows = sizes.flatMap(n => Seq.fill(n)((s"g$n", rng.nextDouble() * 1000)))
+    val df = rows.toDF("g", "v")
+    val quantiles = Seq(0.5, 0.95, 0.99)
+    val approx = df.groupBy("g")
+      .agg(percentile_approx(col("v"),
+        array(quantiles.map(lit): _*), lit(accuracy)).as("q"))
+      .as[(String, Seq[Double])].collect().toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (n <- sizes; (q, qi) <- quantiles.zipWithIndex) {
+      val vs = exact(s"g$n")
+      val p = approx(s"g$n")(qi)
+      assert(vs.contains(p), s"n=$n q=$q: sketch must return a data value, got $p")
+      val elemRankErr = math.abs(vs.count(_ <= p) - q * n)
+      val bound = n / accuracy.toDouble + 1.0 // eps*n + discreteness floor
+      assert(elemRankErr <= bound,
+        s"n=$n q=$q: element-rank error $elemRankErr exceeds eps*n+1 = $bound (p=$p)")
+    }
+  }
 }
