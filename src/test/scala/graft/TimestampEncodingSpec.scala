@@ -40,9 +40,16 @@ class TimestampEncodingSpec extends AnyFunSuite {
       case "nanos_int64" => base.withColumn("ts", expr("us * 1000L"))
       case "micros_ntz"  => base.withColumn("ts",
         timestamp_micros(col("us")).cast(TimestampNTZType))
-      case "micros_utc"  => base.withColumn("ts", timestamp_micros(col("us")))
+      case _             => base.withColumn("ts", timestamp_micros(col("us")))
     }
-    withTs.drop("us").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val writer = withTs.drop("us").write.mode("overwrite")
+    if (shape == "int96") {
+      // the legacy Spark/Hive/Impala physical type — the fourth wild
+      // encoding; scans natively as TimestampType, fixNanos passes through
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try writer.parquet(s"$dir/events.parquet")
+      finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    } else writer.parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -70,9 +77,9 @@ class TimestampEncodingSpec extends AnyFunSuite {
     assert(raw("micros_utc") == TimestampType)
   }
 
-  test("Tables.events yields identical TimestampType micros for all three encodings") {
+  test("Tables.events yields identical TimestampType micros for all four encodings") {
     val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
-    for (shape <- Seq("nanos_int64", "micros_ntz", "micros_utc")) {
+    for (shape <- Seq("nanos_int64", "micros_ntz", "micros_utc", "int96")) {
       val got = readMicros(writeVariant(shape), shape)
       withClue(s"encoding '$shape': ") { assert(got == expected) }
     }
