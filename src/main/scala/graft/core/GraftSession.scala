@@ -40,9 +40,10 @@ object GraftSession {
 
   /** Local harness session. Note `common`: ANSI off is PySpark-3.5
     * reference parity (failed casts/parses yield NULL — cleanse depends on
-    * it; Spark 4 flipped the default), and nanosAsLong lets the
-    * TIMESTAMP(NANOS) events table scan as int64 (floored to µs in
-    * Tables.events, matching DuckDB's truncation).
+    * it; Spark 4 flipped the default), and nanosAsLong lets a
+    * TIMESTAMP(NANOS)-encoded events corpus scan as int64 (normalized to
+    * µs TimestampType in Tables.events — see fixNanos for all four
+    * encodings, matching DuckDB's truncation).
     */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = common(SparkSession.builder())
@@ -69,28 +70,37 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Normalize the three timestamp encodings a wild parquet corpus ships to
-    * one internal `TimestampType` (micros, UTC session):
+  /** Normalize the four timestamp encodings a wild parquet corpus ships to
+    * one internal `TimestampType` (micros, instants):
     *
     *  1. TIMESTAMP(NANOS) — with `spark.sql.legacy.parquet.nanosAsLong=true`
     *     it scans as int64 nanos; floor-divide to micros (exactly DuckDB's
     *     truncation) and restore TimestampType.
     *  2. TIMESTAMP(MICROS, isAdjustedToUTC=false) — vanilla pandas/pyarrow
-    *     `timestamp[us]`; Spark infers TIMESTAMP_NTZ. Cast to TimestampType:
-    *     lossless under the pinned UTC session, and exactly DuckDB's naive
-    *     reading of the same file.
+    *     `timestamp[us]`; Spark infers TIMESTAMP_NTZ. The stored wall-clock
+    *     is the UTC instant (exactly DuckDB's naive reading of the same
+    *     file), so re-express it in the session zone before the cast: a
+    *     bare `cast(TimestampType)` would interpret the wall-clock in the
+    *     session zone and silently shift instants on any non-UTC session.
     *  3. TIMESTAMP(MICROS, isAdjustedToUTC=true) — already TimestampType;
     *     pass through unchanged.
+    *  4. Legacy INT96 (old Spark/Hive/Impala writers) — scans natively as
+    *     TimestampType; pass through unchanged.
     */
-  private def fixNanos(df: DataFrame, c: String): DataFrame =
+  private def fixNanos(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn(c, df(c).cast(org.apache.spark.sql.types.TimestampType))
+        val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val asInstant =
+          if (sessionTz == "UTC") df(c)
+          else convert_timezone(lit("UTC"), lit(sessionTz), df(c))
+        df.withColumn(c, asInstant.cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

@@ -21,8 +21,11 @@ class EntrySpec extends AnyFunSuite {
     // prepare(); date formatting would shift without UTC. The corpus has
     // shipped as TIMESTAMP(NANOS) (rounds 1-6) and MICROS-NTZ (round 7+);
     // whichever encoding is current, Tables.events must normalize it —
-    // TimestampEncodingSpec pins all three shapes synthetically.
-    val ts = graft.core.Tables.events(s, "/root/testdata/sf0.001").schema("ts").dataType
+    // TimestampEncodingSpec pins all four shapes. The probe runs on the
+    // properly configured shared session (a NANOS corpus needs nanosAsLong
+    // to scan at all; this session is deliberately misconfigured).
+    val ts = graft.core.Tables.events(TestSpark.spark, "/root/testdata/sf0.001")
+      .schema("ts").dataType
     assert(ts == org.apache.spark.sql.types.TimestampType,
       s"corpus events.ts reached queries as $ts — parquet encoding changed " +
       "again; extend Tables.fixNanos (see TimestampEncodingSpec)")

@@ -85,6 +85,42 @@ class TimestampEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("a REAL pyarrow TIMESTAMP(NANOS) file scans as int64 and normalizes (committed fixture)") {
+    // The synthetic 'nanos_int64' variant above writes a plain BIGINT —
+    // the scan-time shape, but not the real logical type. This committed
+    // fixture (fixtures/events_nanos/events.parquet, written by pyarrow
+    // with timestamp[ns], parquet 2.6 — the rounds-1-6 corpus writer
+    // class) carries the genuine TIMESTAMP(NANOS, isAdjustedToUTC=false)
+    // annotation, so this test breaks if a Spark upgrade changes how the
+    // nanosAsLong flag maps NANOS — the regression the synthetic shape
+    // cannot see.
+    val raw = spark.read.parquet("/root/repo/fixtures/events_nanos/events.parquet")
+    assert(raw.schema("ts").dataType == LongType,
+      s"TIMESTAMP(NANOS) under nanosAsLong=true scanned as " +
+      s"${raw.schema("ts").dataType} — the legacy-nanos scan path changed")
+    val got = readMicros("/root/repo/fixtures/events_nanos", "nanos_true")
+    val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    assert(got == expected)
+  }
+
+  test("NTZ normalization is session-timezone independent (instants, not wall clocks)") {
+    // A bare cast(TimestampType) would interpret the NTZ wall-clock in
+    // the session zone — silently shifting every instant by the zone
+    // offset on a non-UTC session while the schema still reads
+    // TimestampType. fixNanos must yield the same micros on any session.
+    val dir = writeVariant("micros_ntz")
+    val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val ev = Tables.events(s2, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    withClue("micros under a non-UTC session must equal the UTC reading: ") {
+      assert(got == expected)
+    }
+  }
+
   test("timestamp arithmetic (unix_micros) runs on the real corpus events table") {
     // The regression that cost round 7: unix_micros does not implicitly
     // cast TIMESTAMP_NTZ, so an unnormalized scan fails analysis here.
