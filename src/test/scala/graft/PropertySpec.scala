@@ -371,4 +371,54 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ewma equals the naive truncated adjust=True replay on random null-bearing series") {
+    // The closed-form ResampleSpec checks pin fixed interleavings; this
+    // replays the kernel contract on random series: take the last
+    // `window` ROWS, drop nulls, weight the surviving values by recency
+    // among themselves (a null row does NOT decay its neighbors extra).
+    val decay = 0.5
+    val window = 3
+    (1 to 8).foreach { seed =>
+      val rnd = new Random(900 + seed)
+      val rows = (0 until 40).map { i =>
+        (s"u${1 + rnd.nextInt(3)}", i.toLong,
+          if (rnd.nextDouble() < 0.15) None else Some(rnd.nextDouble() * 10))
+      }
+      val df = rows.toDF("user_id", "event_id", "value")
+      val got = graft.ops.Resample.ewma(df, keys = Seq("user_id"),
+        orderCols = Seq("event_id"), valueCol = "value",
+        decay = decay, window = window)
+        .select("user_id", "event_id", "ewma")
+        .as[(String, Long, Option[Double])].collect()
+        .map { case (u, i, e) => (u, i) -> e }.toMap
+      val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.indices.map { j =>
+          val frame = ordered.slice(math.max(0, j - window + 1), j + 1)
+            .flatMap(_._3)
+          val n = frame.size
+          // same fold order as the aggregate() expression: list order,
+          // weight decay^(n-i) — bit-compatible up to libm pow ulps.
+          // An all-null frame has no observations: the operator yields
+          // null there, not NaN.
+          val e = if (n == 0) None else {
+            val num = frame.zipWithIndex.foldLeft(0.0) {
+              case (acc, (v, i)) => acc + v * math.pow(decay, n - i - 1)
+            }
+            Some(num / ((1.0 - math.pow(decay, n.toDouble)) / (1.0 - decay)))
+          }
+          (u, ordered(j)._2) -> e
+        }
+      }
+      rows.foreach { case (u, i, _) =>
+        (got((u, i)), expected((u, i))) match {
+          case (None, None) =>
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) <= 1e-12, s"seed=$seed ($u, $i): got $g expected $e")
+          case (g, e) => fail(s"seed=$seed ($u, $i): got $g expected $e")
+        }
+      }
+    }
+  }
 }
