@@ -93,11 +93,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        val asInstant =
-          if (sessionTz == "UTC") df(c)
-          else convert_timezone(lit("UTC"), lit(sessionTz), df(c))
-        df.withColumn(c, asInstant.cast(org.apache.spark.sql.types.TimestampType))
+        // Pure wall-clock arithmetic: micros since the NTZ epoch, no zone
+        // round-trip. A convert_timezone(UTC→session) + cast pipeline would
+        // resolve DST-ambiguous wall clocks (the session zone's fall-back
+        // repeated hour) to the earlier offset and silently shift those
+        // instants; timestampdiff over two NTZ values never consults a zone.
+        df.withColumn(c, timestamp_micros(expr(
+          s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `$c`)")))
       case _ => df
     }
   }

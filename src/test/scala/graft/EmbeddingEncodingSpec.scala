@@ -18,16 +18,22 @@ class EmbeddingEncodingSpec extends AnyFunSuite {
 
   test("ANN and k-means queries return identical rows for float and double corpora") {
     val src = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("emb_double").toString
-    spark.read.parquet(s"$src/embeddings.parquet")
-      .withColumn("embedding", col("embedding").cast("array<double>"))
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    for (q <- Seq("ext_ann_topk", "ext_kmeans_assign", "ext_dedup_embed")) {
-      val onFloat = SparkEntry.queries(q)(spark, src).collect().map(_.toString).sorted
-      val onDouble = SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted
-      withClue(s"$q diverged on an array<double> embeddings corpus: ") {
-        assert(onFloat.toSeq == onDouble.toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("emb_double")
+    try {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      for (q <- Seq("ext_ann_topk", "ext_kmeans_assign", "ext_dedup_embed")) {
+        val onFloat = SparkEntry.queries(q)(spark, src).collect().map(_.toString).sorted
+        val onDouble = SparkEntry.queries(q)(spark, dir.toString).collect().map(_.toString).sorted
+        withClue(s"$q diverged on an array<double> embeddings corpus: ") {
+          assert(onFloat.toSeq == onDouble.toSeq)
+        }
       }
+    } finally {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
   }
 }

@@ -21,7 +21,8 @@ import graft.core.Tables
   *  (c) TIMESTAMP(MICROS, isAdjustedToUTC=true) — Spark's own writer,
   *      already TimestampType.
   */
-class TimestampEncodingSpec extends AnyFunSuite {
+class TimestampEncodingSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark: SparkSession = TestSpark.spark
 
   // Fixed instants incl. sub-second precision; micros since epoch (UTC).
@@ -30,11 +31,34 @@ class TimestampEncodingSpec extends AnyFunSuite {
     1704067200123456L,        // 2024-01-01 00:00:00.123456
     1711929599999999L)        // 2024-03-31 23:59:59.999999
 
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach { d =>
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+    super.afterAll()
+  }
+
   /** Write `events.parquet` under a fresh dir with ts in the given shape. */
-  private def writeVariant(shape: String): String = {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory(s"enc_$shape").toString
-    val base = micros.zipWithIndex
+  private def writeVariant(shape: String, instants: Seq[Long] = micros): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"enc_$shape").toFile
+    tempDirs += dir
+    // INT96 selection is a session conf read at write time; do that write
+    // on an isolated newSession() so a concurrent parquet write on the
+    // shared TestSpark session can never pick it up.
+    val s =
+      if (shape == "int96") {
+        // the legacy Spark/Hive/Impala physical type — the fourth wild
+        // encoding; scans natively as TimestampType, fixNanos passes through
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        s2
+      } else spark
+    import s.implicits._
+    val base = instants.zipWithIndex
       .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
     val withTs = shape match {
       case "nanos_int64" => base.withColumn("ts", expr("us * 1000L"))
@@ -42,15 +66,8 @@ class TimestampEncodingSpec extends AnyFunSuite {
         timestamp_micros(col("us")).cast(TimestampNTZType))
       case _             => base.withColumn("ts", timestamp_micros(col("us")))
     }
-    val writer = withTs.drop("us").write.mode("overwrite")
-    if (shape == "int96") {
-      // the legacy Spark/Hive/Impala physical type — the fourth wild
-      // encoding; scans natively as TimestampType, fixNanos passes through
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
-      try writer.parquet(s"$dir/events.parquet")
-      finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
-    } else writer.parquet(s"$dir/events.parquet")
-    dir
+    withTs.drop("us").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
   }
 
   private def readMicros(dir: String, shape: String): Map[Long, Long] = {
@@ -94,11 +111,12 @@ class TimestampEncodingSpec extends AnyFunSuite {
     // annotation, so this test breaks if a Spark upgrade changes how the
     // nanosAsLong flag maps NANOS — the regression the synthetic shape
     // cannot see.
-    val raw = spark.read.parquet("/root/repo/fixtures/events_nanos/events.parquet")
+    // repo-relative: sbt test's working directory is the repo root
+    val raw = spark.read.parquet("fixtures/events_nanos/events.parquet")
     assert(raw.schema("ts").dataType == LongType,
       s"TIMESTAMP(NANOS) under nanosAsLong=true scanned as " +
       s"${raw.schema("ts").dataType} — the legacy-nanos scan path changed")
-    val got = readMicros("/root/repo/fixtures/events_nanos", "nanos_true")
+    val got = readMicros("fixtures/events_nanos", "nanos_true")
     val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
     assert(got == expected)
   }
@@ -107,9 +125,21 @@ class TimestampEncodingSpec extends AnyFunSuite {
     // A bare cast(TimestampType) would interpret the NTZ wall-clock in
     // the session zone — silently shifting every instant by the zone
     // offset on a non-UTC session while the schema still reads
-    // TimestampType. fixNanos must yield the same micros on any session.
-    val dir = writeVariant("micros_ntz")
-    val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    // TimestampType. And a convert_timezone(UTC→session)+cast round-trip
+    // is subtly worse: it resolves DST-AMBIGUOUS wall clocks to the
+    // earlier offset, shifting exactly the instants that land in the
+    // session zone's fall-back repeated hour. So the fixture includes:
+    //  - 2024-11-03 06:30:00Z → wall 01:30 in America/New_York, the
+    //    repeated hour (EDT ended 06:00Z); the round-trip resolves it to
+    //    EDT and reads 05:30:00Z — off by exactly one hour;
+    //  - 2024-03-10 07:30:00Z → wall 02:30, the spring-forward GAP (a
+    //    wall clock that never existed in that zone).
+    // fixNanos must yield the same micros on any session for all of them.
+    val dstInstants = micros ++ Seq(
+      1730615400000000L,      // 2024-11-03 06:30:00Z — NY fall-back overlap
+      1710055800000000L)      // 2024-03-10 07:30:00Z — NY spring-forward gap
+    val dir = writeVariant("micros_ntz", dstInstants)
+    val expected = dstInstants.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.session.timeZone", "America/New_York")
     val ev = Tables.events(s2, dir)
