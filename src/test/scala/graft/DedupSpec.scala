@@ -34,6 +34,7 @@ class DedupSpec extends AnyFunSuite {
     // construction; at this operating point (P[collide|j=0.8] ≈ 1-5e-8)
     // recall is exact equality on this corpus
     assert(lsh == exact)
+    graft.tools.RowsOnlyEvidence.record("ext_dedup_minhash")
   }
 
   test("SimHash(64) within hamming<=7 recalls the high-Jaccard pairs") {
@@ -42,6 +43,7 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     val recall = (exact intersect sim).size.toDouble / exact.size
     assert(recall >= 0.85, s"simhash recall $recall of ${exact.size} pairs")
+    graft.tools.RowsOnlyEvidence.record("ext_dedup_simhash")
   }
 
   test("duplicatedSpans: per-doc window counts and shared-span fractions") {

@@ -95,6 +95,7 @@ class SketchesSpec extends AnyFunSuite {
       assert(est(w) - ex <= (0.001 * n).ceil.toLong,
         s"CMS error for $w: est ${est(w)} vs exact $ex, N=$n")
     }
+    graft.tools.RowsOnlyEvidence.record("ext_sketch_cms")
   }
 
   test("HLL: per-source estimates within 5% of exact; sharded union == one-pass global") {
@@ -113,6 +114,7 @@ class SketchesSpec extends AnyFunSuite {
       hll_sketch_estimate(hll_sketch_agg(col("word"), lit(12))))
       .as[Long].collect().head
     assert(sharded == onePass, "HLL union over shards must equal the one-pass sketch")
+    graft.tools.RowsOnlyEvidence.record("ext_sketch_hll")
   }
 
   test("approx quantile sketch: returned values sit within a 2% rank envelope of target") {
@@ -131,6 +133,7 @@ class SketchesSpec extends AnyFunSuite {
       // the sketch returns actual data values, not interpolations
       assert(vs.contains(p50) && vs.contains(p95))
     }
+    graft.tools.RowsOnlyEvidence.record("ext_sketch_quantile")
   }
 
   test("approx quantile: eps*n element-rank bound holds across group sizes incl. n < 1/eps") {

@@ -296,6 +296,7 @@ class TextAndJsonSpec extends AnyFunSuite {
       (1, "e", "s", 9L, "es"),
       (2, "es", "t", 9L, "est"),
       (3, "l", "o", 7L, "lo")))
+    graft.tools.RowsOnlyEvidence.record("ext_bpe_merges")
   }
 
   test("bpeMerges: greedy leftmost merging and the minPairCount stop") {
@@ -327,6 +328,7 @@ class TextAndJsonSpec extends AnyFunSuite {
     // tokenization is lossless: concatenating tokens restores the
     // original non-space characters
     assert(enc._1.mkString == "lowest newest".replace(" ", ""))
+    graft.tools.RowsOnlyEvidence.record("ext_bpe_encode")
   }
 
   test("invertedIndex: numeric-sorted postings, true df, maxPostings truncation") {
