@@ -157,9 +157,9 @@ object Bench {
       // dev runs must not clobber the committed full-catalog evidence:
       // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
       // the caller overrode the path explicitly
-      emit(results, sfDir, trials,
+      val line = emit(results, sfDir, trials,
         defaultFullPath = "bench_partial.json")
-      spark.stop()
+      finalLine(spark, line)
       return
     }
 
@@ -212,8 +212,25 @@ object Bench {
       System.err.println(s"[bench] w2 comparison failed: ${e.getMessage}")
     }
 
-    emit(results, sfDir, trials)
-    spark.stop()
+    finalLine(spark, emit(results, sfDir, trials))
+  }
+
+  /** Round 8 lost 61/133 bench entries to the driver's truncating tail
+    * capture of stdout (`parsed: null`): Spark/log4j shutdown output
+    * landing AFTER the summary line pushed it partially out of the tail
+    * window. So: stop the session first, silence remaining loggers, then
+    * print the compact query→median JSON as the genuinely LAST stdout
+    * line and flush. The line is also printed before stop (unchanged
+    * shape since round 1) — a last-JSON-line-wins parser reads either. */
+  private def finalLine(spark: SparkSession, line: String): Unit = {
+    try spark.stop() catch { case _: Throwable => () }
+    try org.apache.logging.log4j.LogManager.getRootLogger match {
+      case l: org.apache.logging.log4j.core.Logger =>
+        l.setLevel(org.apache.logging.log4j.Level.OFF)
+      case _ => ()
+    } catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
   }
 
   /** Prints the ONE driver-graded JSON line (shape unchanged since round 1:
@@ -227,11 +244,13 @@ object Bench {
       results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
       sfDir: String,
       trials: Int,
-      defaultFullPath: String = "bench_full.json"): Unit = {
+      defaultFullPath: String = "bench_full.json"): String = {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":${v.median}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
 
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultFullPath)
     try {
@@ -266,5 +285,6 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-result write failed: ${e.getMessage}")
     }
+    line
   }
 }
