@@ -24,6 +24,11 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Last streaming trial's engine telemetry (JSON object), for the full
+    * result file — rows/sec and mean micro-batch latency have no slot in
+    * the per-query median table. */
+  private var streamingTelemetry: Option[String] = None
+
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -153,34 +158,37 @@ object Bench {
           }
       }
 
-    if (only.isDefined) {
-      // dev runs must not clobber the committed full-catalog evidence:
-      // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
-      // the caller overrode the path explicitly
-      val line = emit(results, sfDir, trials,
-        defaultFullPath = "bench_partial.json")
-      finalLine(spark, line)
-      return
+    // The reference-shaped workloads are individually selectable under
+    // BENCH_ONLY like catalog queries; a full run (only empty) runs all.
+    val wantMachineDay = only.forall(_.contains("machine_day_pipeline"))
+    val wantStream = only.forall(_.contains("stream_machine_day"))
+    val wantW2 = only.forall(s =>
+      s.contains("w2_single_window") || s.contains("w2_two_phase_prefix_sum"))
+
+    // Machine-day CSV underpins all reference-shaped benches: one day at
+    // the generator's real cadence (~617 ms/cycle, 8 rows/cycle ≈ 1.12 M
+    // rows). Generation is excluded from every timing.
+    def ensureMachineDayCsv(): java.io.File = {
+      val csv = new java.io.File("/tmp/graft_bench/machine_day.csv")
+      if (!csv.exists()) {
+        val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
+        val g = FixtureGen.generate(
+          Seq("DieBonder_01"), start, start + 24L * 3600 * 1000,
+          idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
+        // write-then-rename so a crashed run can't leave a truncated file
+        // that a later run would silently benchmark
+        val tmp = new java.io.File(csv.getPath + ".tmp")
+        FixtureGen.writeCsv(tmp.getPath, g.csvLines)
+        if (!tmp.renameTo(csv)) throw new java.io.IOException(s"rename failed: $tmp")
+      }
+      csv
     }
 
-    // Reference-shaped workload: one machine-day at the generator's real
-    // cadence (~617 ms/cycle, 8 rows/cycle ≈ 1.12 M rows), full pipeline
-    // (cleanse → cycles → rules → enriched events + hourly summary), both
-    // outputs forced. CSV generation itself is excluded from the timing.
-    results("machine_day_pipeline") =
+    // Reference-shaped workload: full pipeline (cleanse → cycles → rules
+    // → enriched events + hourly summary), both outputs forced.
+    if (wantMachineDay) results("machine_day_pipeline") =
       try {
-        val csv = new java.io.File("/tmp/graft_bench/machine_day.csv")
-        if (!csv.exists()) {
-          val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
-          val g = FixtureGen.generate(
-            Seq("DieBonder_01"), start, start + 24L * 3600 * 1000,
-            idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
-          // write-then-rename so a crashed run can't leave a truncated file
-          // that a later run would silently benchmark
-          val tmp = new java.io.File(csv.getPath + ".tmp")
-          FixtureGen.writeCsv(tmp.getPath, g.csvLines)
-          if (!tmp.renameTo(csv)) throw new java.io.IOException(s"rename failed: $tmp")
-        }
+        val csv = ensureMachineDayCsv()
         timeMedian {
           val out = DailyAggregatorJob.run(spark, csv.getPath, Rules.referenceDefaults)
           force(out.enrichedEvents)
@@ -192,12 +200,75 @@ object Bench {
         QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
       }
 
+    // Streaming north star: the same machine-day replayed as a file
+    // stream (24 contiguous time-ordered chunks, 2 files per trigger)
+    // through the FULL stateful pipeline — cleanse → flatMapGroupsWithState
+    // cycle state machine → rule flags → 19-column windowed hourly summary
+    // — one update-mode query into a noop sink. Median wall seconds lands
+    // in the per-query table; rows/sec and mean micro-batch latency (from
+    // the engine's own StreamingQueryProgress) land in the full JSON's
+    // "streaming" object. Stream ≡ batch equivalence is pinned separately
+    // in StreamingSpec ("streaming 19-column hourly summary equals the
+    // batch rollup on the fixture") — the bench measures, the spec proves.
+    if (wantStream) try {
+      val streamDir = new java.io.File("/tmp/graft_bench/machine_day_stream")
+      if (!streamDir.exists()) {
+        val src = scala.io.Source.fromFile(ensureMachineDayCsv())
+        val all = try src.getLines().toArray finally src.close()
+        val (header, data) = (all.head, all.tail)
+        val tmp = new java.io.File(streamDir.getPath + ".tmp")
+        tmp.mkdirs()
+        val chunks = 24
+        val per = math.max(1, (data.length + chunks - 1) / chunks)
+        // contiguous blocks: the generator emits in event-time order and
+        // the file source lists paths in name order, so arrival order ==
+        // event-time order (the unordered stateful variants' contract)
+        data.grouped(per).zipWithIndex.foreach { case (block, i) =>
+          val w = new java.io.PrintWriter(
+            new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
+          try { w.println(header); block.foreach(w.println) } finally w.close()
+        }
+        if (!tmp.renameTo(streamDir))
+          throw new java.io.IOException(s"rename failed: $tmp")
+      }
+      // 2 files/trigger = 12 micro-batches per day — small enough batches
+      // to exercise cross-batch state, large enough that per-trigger
+      // overhead (state-store commits × partitions) doesn't dominate.
+      // Env override is a dev probe, like BENCH_ONLY.
+      val filesPerTrigger =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "2").toInt
+      var telemetry = ""
+      results("stream_machine_day") = timeMedian {
+        val clean = graft.streaming.StreamingPipeline.cleanse(
+          graft.streaming.StreamingPipeline.readCsvStream(
+            spark, streamDir.getPath, maxFilesPerTrigger = filesPerTrigger))
+        val summary = graft.streaming.StreamingPipeline.hourlySummaryStream(
+          clean, Rules.referenceDefaults)
+        val q = summary.writeStream.outputMode("update").format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+        val progs = q.recentProgress.filter(_.numInputRows > 0)
+        val rows = progs.map(_.numInputRows).sum
+        val perBatch = progs.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        val ms = perBatch.sum
+        // batch_ms is chronological: a per-batch cost that GROWS with the
+        // batch index would be a state-store/lineage leak — the thing a
+        // long-running deployment cares about more than the mean
+        if (ms > 0) telemetry =
+          f"""{"input_rows":$rows,"rows_per_sec":${rows * 1000.0 / ms}%.0f,"mean_batch_ms":${ms.toDouble / progs.length}%.0f,"batches":${progs.length},"batch_ms":${perBatch.mkString("[", ",", "]")}}"""
+      }
+      streamingTelemetry = Option(telemetry).filter(_.nonEmpty)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream_machine_day failed: ${e.getMessage}")
+      results("stream_machine_day") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+    }
+
     // Head-to-head: reference-semantics single window vs the two-phase
     // distributed prefix sum on the same ~1.12 M-row single-machine stream
     // (the worst case for the window: ONE partition does all the work).
-    try {
+    if (wantW2) try {
       val clean = DailyAggregatorJob.cleanse(
-        DailyAggregatorJob.readRawCsv(spark, "/tmp/graft_bench/machine_day.csv"))
+        DailyAggregatorJob.readRawCsv(spark, ensureMachineDayCsv().getPath))
       import org.apache.spark.sql.functions._
       val oc = Seq(col("event_timestamp"), col("parameter_name"))
       val marker = col("event_name") === "Cycle_Start"
@@ -212,7 +283,12 @@ object Bench {
       System.err.println(s"[bench] w2 comparison failed: ${e.getMessage}")
     }
 
-    finalLine(spark, emit(results, sfDir, trials))
+    // dev runs must not clobber the committed full-catalog evidence:
+    // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
+    // the caller overrode the path explicitly
+    finalLine(spark, emit(results, sfDir, trials,
+      defaultFullPath =
+        if (only.isDefined) "bench_partial.json" else "bench_full.json"))
   }
 
   /** Round 8 lost 61/133 bench entries to the driver's truncating tail
@@ -264,13 +340,15 @@ object Bench {
           f""""loadavg_before":${v.loadAvgBefore}%.2f,"loadavg_after":${v.loadAvgAfter}%.2f,""" +
           f""""process_cpu":${v.processCpu}%.3f}"""
       }.mkString(",\n")
+      val streamingField =
+        streamingTelemetry.map(t => s"""  "streaming": $t,\n""").getOrElse("")
       val json =
         f"""{
            |  "sf": "$sfDir",
            |  "trials_per_query": $trials,
            |  "total_median_sec": $total%.3f,
            |  "loadavg_final": ${loadAvg()}%.2f,
-           |  "queries": {
+           |${streamingField}  "queries": {
            |$entries
            |  }
            |}
