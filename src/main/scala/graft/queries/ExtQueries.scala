@@ -136,6 +136,44 @@ object ExtQueries {
   /** Word-bigram co-occurrence edges over the corpus — the graph behind
     * ext_textrank and ext_graph_triangles.
     */
+  /** Build-once cache for the IVFPQ probe query: the index for a
+    * (corpus, params) pair is built at most once per machine and reused
+    * across JVMs — the quantize-once / probe-many serving contract. The
+    * cache key fingerprints the corpus parquet's file metadata (names,
+    * sizes, mtimes) plus the build params, so a regenerated corpus at the
+    * same path rebuilds instead of serving stale lists. Build-into-temp
+    * then rename keeps a crashed build invisible; on a lost rename race
+    * the winner's copy is served (bit-identical — the build is
+    * deterministic by the repo-wide contract).
+    */
+  private def prebuiltIvfPqIndex(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val meta = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+      .filter(f => f.getName != "_SUCCESS" && !f.getName.endsWith(".crc"))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|stride=50,m=8,ks=16,maxIter=3"
+    val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(meta))
+    val cache = new java.io.File(new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivfpq_cache"), key)
+    if (!cache.exists()) {
+      val tmp = new java.io.File(
+        cache.getPath + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      Similarity.writeIvfPqIndex(Tables.embeddings(s, dir), tmp.getPath,
+        centroidStride = 50L, m = 8, ks = 16, maxIter = 3)
+      cache.getParentFile.mkdirs()
+      if (!tmp.renameTo(cache)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+        if (!cache.exists())
+          throw new java.io.IOException(s"ivfpq index build rename failed: $tmp")
+      }
+    }
+    cache.getPath
+  }
+
   private def wordBigramEdges(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(split(col("text"), " ").as("ws"))
@@ -496,6 +534,23 @@ object ExtQueries {
           m = 8, ks = 16, maxIter = 3)
         Similarity.ivfPqTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
           k = 10, nProbe = 3, rerank = 8)
+      },
+      None),
+
+    // The SERVING phase of IVFPQ alone: the identical probe over a
+    // PREBUILT on-disk index (built at most once per corpus+params,
+    // cached across processes). ext_ann_ivf_pq's bench number pays the
+    // one-time build every trial; a production ANN service amortizes that
+    // build across millions of probes, so THIS entry is the number that
+    // tracks serving cost round over round. Result-identical to
+    // ext_ann_ivf_pq — the build is deterministic (hash-seeded init,
+    // decimal-sum means) — pinned in SimilaritySpec; rows-only for the
+    // same xxhash64 reason.
+    Q("ext_ann_ivf_pq_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopKIndexed(s, prebuiltIvfPqIndex(s, dir),
+          emb.filter(col("vec_id") < 5), k = 10, nProbe = 3, rerank = 8)
       },
       None),
 

@@ -69,6 +69,10 @@ object RowsOnlyEvidence {
       "IVFPQ: probed-list ADC + exact re-rank — recall pinned, both scans pruned",
       Seq("ext_ann_topk"),
       "recall@10 vs exact (oracle-checked) top-k; re-rank scores exactly equal brute force; plan shows dynamic partition pruning on BOTH the code scan and the raw-list re-rank fetch"),
+    Entry("ext_ann_ivf_pq_probe", "graft.SimilaritySpec",
+      "ext_ann_ivf_pq_probe equals the build-included IVFPQ catalog query",
+      Seq("ext_ann_ivf_pq", "ext_ann_topk"),
+      "probe over the cross-process cached prebuilt index is result-identical to the build-included IVFPQ query (deterministic build), which is recall-pinned and re-rank-exact vs the oracle-checked exact top-k"),
     Entry("ext_sketch_cms", "graft.SketchesSpec",
       "count-min estimates dominate exact counts within the eps*N envelope",
       Seq("ext_heavy_hitters"),

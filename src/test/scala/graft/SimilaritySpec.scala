@@ -178,6 +178,24 @@ class SimilaritySpec extends AnyFunSuite {
     graft.tools.RowsOnlyEvidence.record("ext_ann_ivf_pq")
   }
 
+  test("ext_ann_ivf_pq_probe equals the build-included IVFPQ catalog query") {
+    // The probe-only serving entry must be indistinguishable from the
+    // build-included one: the cached prebuilt index is bit-identical to a
+    // fresh build (deterministic k-means/codebooks), so the SAME rows come
+    // back. Run the probe twice — the second call must serve the cache
+    // (same result, no rebuild divergence).
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
+    val full = rows("ext_ann_ivf_pq")
+    val probe = rows("ext_ann_ivf_pq_probe")
+    val probeAgain = rows("ext_ann_ivf_pq_probe")
+    assert(probe == full,
+      "probe over the prebuilt cached index diverged from the build-included query")
+    assert(probeAgain == probe, "second (cache-served) probe diverged")
+    graft.tools.RowsOnlyEvidence.record("ext_ann_ivf_pq_probe")
+  }
+
   test("dedupByEmbedding: near-dup pairs share a cluster, keeper is the component min") {
     val dd = Similarity.dedupByEmbedding(emb, tau = 0.45).cache()
     assert(dd.count() == emb.count())
