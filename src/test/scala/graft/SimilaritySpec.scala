@@ -196,6 +196,90 @@ class SimilaritySpec extends AnyFunSuite {
     graft.tools.RowsOnlyEvidence.record("ext_ann_ivf_pq_probe")
   }
 
+  test("IVFPQ property: recall floor and exact re-rank hold on adversarial geometry") {
+    // The fixture-corpus pins above measure ONE geometry. This property
+    // samples adversarial ones — tight clusters (thin Voronoi margins),
+    // far outliers (quantizer range abuse), and EXACT duplicate vectors
+    // (cosine ties; the case where id-based recall is ill-defined) — and
+    // asserts the two invariants that must hold on every corpus:
+    //  1. re-rank exactness: every returned cosine equals the brute-force
+    //     cosine for that (q, n) pair — ADC error can cost recall, never
+    //     score fidelity;
+    //  2. with ALL lists probed (isolating PQ+re-rank from IVF misses),
+    //     tie-tolerant recall@10 >= 0.6: a returned neighbor counts if its
+    //     true cosine reaches the exact k-th-best cosine (duplicates make
+    //     id-set recall ill-posed, so recall is defined on scores).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val dim = 16
+    def vecGen(lo: Double, hi: Double): Gen[Array[Float]] =
+      Gen.listOfN(dim, Gen.choose(lo, hi)).map(_.map(_.toFloat).toArray)
+    val corpusGen: Gen[Seq[Array[Float]]] = for {
+      nClusters <- Gen.choose(2, 4)
+      centers <- Gen.listOfN(nClusters, vecGen(-1.0, 1.0)
+        .retryUntil(v => math.sqrt(v.map(x => x * x.toDouble).sum) > 0.5))
+      sizes <- Gen.listOfN(nClusters, Gen.choose(25, 40))
+      jitters <- Gen.listOfN(sizes.sum, vecGen(-0.05, 0.05))
+      outliers <- Gen.listOfN(5, vecGen(-100.0, 100.0)
+        .retryUntil(v => math.sqrt(v.map(x => x * x.toDouble).sum) > 1.0))
+      nDups <- Gen.choose(5, 10)
+    } yield {
+      val members = centers.zip(sizes).flatMap { case (c, n) =>
+        (0 until n).map(i => c) // jitter applied below, index-aligned
+      }.zip(jitters).map { case (c, j) =>
+        c.zip(j).map { case (a, b) => a + b }
+      }
+      val base = members ++ outliers
+      // exact duplicates of evenly-spaced base members: float-identical
+      val dups = (0 until nDups).map(i => base((i * 13) % base.size).clone())
+      base ++ dups
+    }
+
+    for (seed <- Seq(11L, 42L, 2026L)) {
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = corpus.toDF("vec_id", "embedding").cache()
+      val n = corpus.size
+      val stride = 40L
+      val nLists = ((n + stride - 1) / stride).toInt
+      val idx = java.nio.file.Files.createTempDirectory(s"ivfpq_prop_$seed").toString
+      Similarity.writeIvfPqIndex(df, idx, centroidStride = stride,
+        m = 4, ks = 8, maxIter = 2)
+      // queries: a cluster member, a duplicate (last id), an outlier-ish
+      // tail member — ids are stable under the generator's layout
+      val qIds = Set(0L, (n - 1).toLong, (n / 2).toLong)
+      val queries = df.filter(col("vec_id").isin(qIds.toSeq: _*))
+      val out = Similarity.ivfPqTopKIndexed(spark, idx, queries,
+        k = 10, nProbe = nLists, rerank = 8)
+        .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
+      withClue(s"seed $seed: ") {
+        assert(out.nonEmpty)
+        // 1. exactness: genuine cosines for every returned pair
+        val brute = Similarity.topK(df, queries, k = n - 1)
+          .select("q_id", "n_id", "cosine").as[(Long, Long, Double)].collect()
+        val bruteScore = brute.map { case (q, nn, c) => (q, nn) -> c }.toMap
+        out.foreach { case (q, nn, c) =>
+          assert(math.abs(bruteScore((q, nn)) - c) < 1e-12,
+            s"($q,$nn) re-rank score drift")
+        }
+        // 2. tie-tolerant recall with all lists probed
+        val kthBest = brute.groupBy(_._1).map { case (q, rows) =>
+          q -> rows.map(_._3).sorted(Ordering[Double].reverse)
+            .take(10).lastOption.getOrElse(Double.MinValue)
+        }
+        qIds.foreach { q =>
+          val returned = out.filter(_._1 == q)
+          val hits = returned.count(_._3 >= kthBest(q) - 1e-9)
+          val recall = hits.toDouble / math.min(10, returned.length.max(1))
+          assert(recall >= 0.6,
+            s"query $q recall $recall (${returned.length} returned)")
+        }
+      }
+      df.unpersist()
+    }
+  }
+
   test("dedupByEmbedding: near-dup pairs share a cluster, keeper is the component min") {
     val dd = Similarity.dedupByEmbedding(emb, tau = 0.45).cache()
     assert(dd.count() == emb.count())
