@@ -37,6 +37,32 @@ class DedupSpec extends AnyFunSuite {
     graft.tools.RowsOnlyEvidence.record("ext_dedup_minhash")
   }
 
+  test("MinHash/LSH stays lossless under heavy replication (no df-cap recall trade)") {
+    // The adversarial dedup input is a corpus where every doc is
+    // replicated: every shingle's df multiplies, so jaccardPairs' df cap
+    // (its bucket-size bound) trades recall exactly when dedup matters
+    // most — DedupScaleBench measured 5% pair recall at 10× replication
+    // under the default cap. MinHash/LSH has no df cap: identical docs
+    // get identical signatures and land in the same band buckets, so the
+    // pair set must equal the UNCAPPED exact Jaccard pairs on the
+    // replicated corpus. This pins the design claim that LSH banding is
+    // the near-dup plan for replication-heavy corpora (exact-dedup-first
+    // being the cheaper complement, measured in the same bench).
+    val reps = 3
+    val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val replicated = (0 until reps).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * idSpan)))
+      .reduce(_.unionAll(_))
+    val exact = pairSet(TextDedup.jaccardPairs(replicated, k = 2, tau = 0.8,
+      maxShingleDf = Long.MaxValue))
+    val lsh = pairSet(TextDedup.minHashPairs(replicated, k = 2,
+      numHashes = 128, rowsPerBand = 4, tau = 0.8))
+    val n = docs.count()
+    // every doc now sits in a >=reps-way exact-dup group
+    assert(exact.size >= (n * reps * (reps - 1) / 2).toInt)
+    assert(lsh == exact)
+  }
+
   test("SimHash(64) within hamming<=7 recalls the high-Jaccard pairs") {
     val exact = pairSet(TextDedup.jaccardPairs(docs, k = 2, tau = 0.9))
     val sim = pairSet(TextDedup.simHashPairs(docs, maxHamming = 7, numBlocks = 8))
