@@ -133,19 +133,41 @@ object CycleDetection {
 
   /** Reference-parity cycle detection.
     *
+    * `scalable = true` (the default) runs the two-phase distributed
+    * prefix sum over 10-minute buckets; `false` keeps the reference's
+    * literal single-window plan. The two produce row-identical output
+    * (CycleDetectionSpec equivalence, PropertySpec replay; marker rows
+    * are never timestamp-tied, so the partition-dependent tie-breaker id
+    * cannot move a marker across the bucket boundary either). The default
+    * is measurement-driven, per the repo rule that measurements, not fear
+    * of the cliff, pick the plan: the round-9 scale curve (PLANS.md)
+    * measured the crossover already passed at one machine-day (1.48 s vs
+    * 1.72 s) and widening at 10× (5.48 s vs 12.16 s — one task owns a
+    * single-machine key's entire sort in the window form).
+    *
     * @return (events with `cycle_seq`, cycle_times with
     *         `machine_id, cycle_seq, cycle_start_ts, cycle_time_seconds`)
     */
-  def detect(events: DataFrame): (DataFrame, DataFrame) = {
+  def detect(events: DataFrame, scalable: Boolean = true): (DataFrame, DataFrame) = {
     // Tie-breaker id; ties never involve Cycle_Start (SURVEY §7.4) so the
     // cycle assignment itself is deterministic.
     val withId = events.withColumn("graft_uid", monotonically_increasing_id())
 
-    val withSeq = sessionizeByMarker(
-      withId,
-      partitionKeys = Seq("machine_id"),
-      orderCols = Seq(col("event_timestamp"), col("graft_uid")),
-      isMarker = col("event_name") === Schemas.cycleStartEvent)
+    val order = Seq(col("event_timestamp"), col("graft_uid"))
+    val marker = col("event_name") === Schemas.cycleStartEvent
+    val withSeq =
+      if (scalable)
+        sessionizeByMarkerScalable(
+          withId,
+          partitionKeys = Seq("machine_id"),
+          orderCols = order,
+          isMarker = marker,
+          bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000)))
+      else sessionizeByMarker(
+        withId,
+        partitionKeys = Seq("machine_id"),
+        orderCols = order,
+        isMarker = marker)
 
     val boundaries = withSeq
       .filter(col("cycle_seq") > 0)
