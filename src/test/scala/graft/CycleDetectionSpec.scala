@@ -89,6 +89,24 @@ class CycleDetectionSpec extends AnyFunSuite {
     assert(scalable.exceptAll(single).count() == 0)
     assert(single.count() == clean.count())
   }
+
+  test("detect(scalable = true) ≡ detect(scalable = false), events and cycle times") {
+    // The round-9 default switch rides on this: detect() adds a
+    // partition-dependent tie-breaker uid BEFORE sessionizing, so the pin
+    // must hold at the detect() level too — the uid orders only
+    // same-timestamp non-marker rows, whose cycle_seq is tie-independent,
+    // and a marker can never change buckets (bucket is a pure function of
+    // its timestamp). Both outputs compared as multisets of full rows.
+    Fxt.ensure(spark)
+    val clean = spark.read.parquet(graft.fixtures.Fixtures.cleanParquet)
+    val (evScalable, ctScalable) = CycleDetection.detect(clean, scalable = true)
+    val (evSingle, ctSingle) = CycleDetection.detect(clean, scalable = false)
+    assert(evSingle.exceptAll(evScalable).count() == 0)
+    assert(evScalable.exceptAll(evSingle).count() == 0)
+    assert(ctSingle.exceptAll(ctScalable).count() == 0)
+    assert(ctScalable.exceptAll(ctSingle).count() == 0)
+    assert(evScalable.count() == clean.count())
+  }
 }
 
 /** Fixture bootstrap shared by suites. */
