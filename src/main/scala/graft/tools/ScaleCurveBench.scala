@@ -21,7 +21,8 @@ import graft.pipeline.DailyAggregatorJob
   *
   * Prints one JSON line; findings are committed to PLANS.md per round.
   *
-  * Usage: runMain graft.tools.ScaleCurveBench [trials]
+  * Usage: runMain graft.tools.ScaleCurveBench [trials] [daysList]
+  * e.g. `ScaleCurveBench 1 1,100` for a 1×/100× pair at one trial each.
   */
 object ScaleCurveBench {
 
@@ -83,9 +84,14 @@ object ScaleCurveBench {
       ts(ts.length / 2)
     }
 
-    val fixtures = Seq(
-      "1x" -> ensureDays("/tmp/graft_bench/machine_day.csv", 1),
-      "10x" -> ensureDays("/tmp/graft_bench/machine_10day.csv", 10))
+    val daysList = args.lift(1)
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    val fixtures = daysList.map { d =>
+      val path =
+        if (d == 1) "/tmp/graft_bench/machine_day.csv"
+        else s"/tmp/graft_bench/machine_${d}day.csv"
+      s"${d}x" -> ensureDays(path, d)
+    }
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     fixtures.foreach { case (label, csv) =>
