@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.fixtures.FixtureGen
 import graft.model.Rules
 import graft.pipeline.DailyAggregatorJob
 
@@ -168,21 +167,7 @@ object Bench {
     // Machine-day CSV underpins all reference-shaped benches: one day at
     // the generator's real cadence (~617 ms/cycle, 8 rows/cycle ≈ 1.12 M
     // rows). Generation is excluded from every timing.
-    def ensureMachineDayCsv(): java.io.File = {
-      val csv = new java.io.File("/tmp/graft_bench/machine_day.csv")
-      if (!csv.exists()) {
-        val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
-        val g = FixtureGen.generate(
-          Seq("DieBonder_01"), start, start + 24L * 3600 * 1000,
-          idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
-        // write-then-rename so a crashed run can't leave a truncated file
-        // that a later run would silently benchmark
-        val tmp = new java.io.File(csv.getPath + ".tmp")
-        FixtureGen.writeCsv(tmp.getPath, g.csvLines)
-        if (!tmp.renameTo(csv)) throw new java.io.IOException(s"rename failed: $tmp")
-      }
-      csv
-    }
+    def ensureMachineDayCsv(): java.io.File = graft.tools.MachineDayFixture.csv()
 
     // Reference-shaped workload: full pipeline (cleanse → cycles → rules
     // → enriched events + hourly summary), both outputs forced.
@@ -211,52 +196,50 @@ object Bench {
     // in StreamingSpec ("streaming 19-column hourly summary equals the
     // batch rollup on the fixture") — the bench measures, the spec proves.
     if (wantStream) try {
-      val streamDir = new java.io.File("/tmp/graft_bench/machine_day_stream")
-      if (!streamDir.exists()) {
-        val src = scala.io.Source.fromFile(ensureMachineDayCsv())
-        val all = try src.getLines().toArray finally src.close()
-        val (header, data) = (all.head, all.tail)
-        val tmp = new java.io.File(streamDir.getPath + ".tmp")
-        tmp.mkdirs()
-        val chunks = 24
-        val per = math.max(1, (data.length + chunks - 1) / chunks)
-        // contiguous blocks: the generator emits in event-time order and
-        // the file source lists paths in name order, so arrival order ==
-        // event-time order (the unordered stateful variants' contract)
-        data.grouped(per).zipWithIndex.foreach { case (block, i) =>
-          val w = new java.io.PrintWriter(
-            new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
-          try { w.println(header); block.foreach(w.println) } finally w.close()
-        }
-        if (!tmp.renameTo(streamDir))
-          throw new java.io.IOException(s"rename failed: $tmp")
-      }
+      val streamDir = graft.tools.MachineDayFixture.streamDir(chunks = 24)
       // 2 files/trigger = 12 micro-batches per day — small enough batches
       // to exercise cross-batch state, large enough that per-trigger
       // overhead (state-store commits × partitions) doesn't dominate.
       // Env override is a dev probe, like BENCH_ONLY.
       val filesPerTrigger =
         sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "2").toInt
+      // State partitions are sized to the query's KEY geometry (one
+      // machine + a few hourly windows), not the batch shuffle default:
+      // every state-store instance pays a durable commit (delta file +
+      // fsync) on EVERY micro-batch regardless of how little state it
+      // holds, so an over-partitioned stateful query is commit-bound —
+      // measured with StreamProfileBench on this exact replay: trigger
+      // sum 83.8 s at 32 partitions vs 26.5 s at 8 (state-store
+      // commitTimeMs collapses from ~41 s/batch summed to ~1.4 s). The
+      // deployment rule this encodes for 100 TB: shuffle partitions for
+      // a STATEFUL streaming query scale with active keys and commit
+      // budget, never inherited from batch sizing. Sweep table: PLANS.md.
+      val statePartitions =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8").toInt
+      val shuffleRestore = spark.conf.get("spark.sql.shuffle.partitions")
       var telemetry = ""
-      results("stream_machine_day") = timeMedian {
-        val clean = graft.streaming.StreamingPipeline.cleanse(
-          graft.streaming.StreamingPipeline.readCsvStream(
-            spark, streamDir.getPath, maxFilesPerTrigger = filesPerTrigger))
-        val summary = graft.streaming.StreamingPipeline.hourlySummaryStream(
-          clean, Rules.referenceDefaults)
-        val q = summary.writeStream.outputMode("update").format("noop").start()
-        try q.processAllAvailable() finally q.stop()
-        val progs = q.recentProgress.filter(_.numInputRows > 0)
-        val rows = progs.map(_.numInputRows).sum
-        val perBatch = progs.map(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
-        val ms = perBatch.sum
-        // batch_ms is chronological: a per-batch cost that GROWS with the
-        // batch index would be a state-store/lineage leak — the thing a
-        // long-running deployment cares about more than the mean
-        if (ms > 0) telemetry =
-          f"""{"input_rows":$rows,"rows_per_sec":${rows * 1000.0 / ms}%.0f,"mean_batch_ms":${ms.toDouble / progs.length}%.0f,"batches":${progs.length},"batch_ms":${perBatch.mkString("[", ",", "]")}}"""
-      }
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        results("stream_machine_day") = timeMedian {
+          val clean = graft.streaming.StreamingPipeline.cleanse(
+            graft.streaming.StreamingPipeline.readCsvStream(
+              spark, streamDir.getPath, maxFilesPerTrigger = filesPerTrigger))
+          val summary = graft.streaming.StreamingPipeline.hourlySummaryStream(
+            clean, Rules.referenceDefaults)
+          val q = summary.writeStream.outputMode("update").format("noop").start()
+          try q.processAllAvailable() finally q.stop()
+          val progs = q.recentProgress.filter(_.numInputRows > 0)
+          val rows = progs.map(_.numInputRows).sum
+          val perBatch = progs.map(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+          val ms = perBatch.sum
+          // batch_ms is chronological: a per-batch cost that GROWS with the
+          // batch index would be a state-store/lineage leak — the thing a
+          // long-running deployment cares about more than the mean
+          if (ms > 0) telemetry =
+            f"""{"input_rows":$rows,"rows_per_sec":${rows * 1000.0 / ms}%.0f,"mean_batch_ms":${ms.toDouble / progs.length}%.0f,"batches":${progs.length},"state_partitions":$statePartitions,"batch_ms":${perBatch.mkString("[", ",", "]")}}"""
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", shuffleRestore)
       streamingTelemetry = Option(telemetry).filter(_.nonEmpty)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream_machine_day failed: ${e.getMessage}")

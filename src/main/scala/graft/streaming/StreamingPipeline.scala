@@ -497,6 +497,15 @@ object StreamingPipeline {
     * the zero-fill falls out of `coalesce` over the conditional aggs.
     * Late events beyond the watermark are dropped — the streaming
     * trade-off the batch job doesn't make.
+    *
+    * Deployment sizing: every state-store instance commits durably on
+    * every micro-batch, so `spark.sql.shuffle.partitions` for this (or
+    * any) stateful query must be sized to ACTIVE KEYS and the per-batch
+    * commit budget, not inherited from batch defaults — on the
+    * machine-day replay (one machine, 64 store instances at the 32
+    * default) commit overhead was 3× the useful work; 8 partitions cut
+    * end-to-end time 2.5× (measured: `tools/StreamProfileBench`,
+    * PLANS.md sweep table).
     */
   def hourlySummaryStream(
       clean: Dataset[CleanedEvent],

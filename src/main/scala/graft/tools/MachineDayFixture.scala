@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.fixtures.FixtureGen
+
+/** Shared machine-day fixture builders for the reference-shaped benches:
+  * one simulated day of one machine at the generator's real cadence
+  * (~617 ms/cycle, 8 rows/cycle ≈ 1.12 M rows — `generate_data.py:48-52`),
+  * as a single CSV and as a 24-chunk streaming replay directory. Files are
+  * built once under /tmp and reused across runs; generation is excluded
+  * from every timing by construction (callers time only the reads).
+  */
+object MachineDayFixture {
+
+  /** The one-day CSV (write-then-rename so a crashed run can't leave a
+    * truncated file a later run would silently benchmark). */
+  def csv(): java.io.File = {
+    val csv = new java.io.File("/tmp/graft_bench/machine_day.csv")
+    if (!csv.exists()) {
+      val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
+      val g = FixtureGen.generate(
+        Seq("DieBonder_01"), start, start + 24L * 3600 * 1000,
+        idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
+      val tmp = new java.io.File(csv.getPath + ".tmp")
+      FixtureGen.writeCsv(tmp.getPath, g.csvLines)
+      if (!tmp.renameTo(csv)) throw new java.io.IOException(s"rename failed: $tmp")
+    }
+    csv
+  }
+
+  /** The same day split into `chunks` contiguous time-ordered CSV files
+    * for file-stream replay: the generator emits in event-time order and
+    * the file source lists paths in name order, so arrival order ==
+    * event-time order (the unordered stateful variants' contract).
+    */
+  def streamDir(chunks: Int = 24): java.io.File = {
+    val streamDir = new java.io.File(s"/tmp/graft_bench/machine_day_stream_$chunks")
+    if (!streamDir.exists()) {
+      val src = scala.io.Source.fromFile(csv())
+      val all = try src.getLines().toArray finally src.close()
+      val (header, data) = (all.head, all.tail)
+      val tmp = new java.io.File(streamDir.getPath + ".tmp")
+      tmp.mkdirs()
+      val per = math.max(1, (data.length + chunks - 1) / chunks)
+      data.grouped(per).zipWithIndex.foreach { case (block, i) =>
+        val w = new java.io.PrintWriter(
+          new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
+        try { w.println(header); block.foreach(w.println) } finally w.close()
+      }
+      if (!tmp.renameTo(streamDir))
+        throw new java.io.IOException(s"rename failed: $tmp")
+    }
+    streamDir
+  }
+}
