@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Live-Postgres integration (PostgresIntegrationSpec, guarded on PG_URL)
+// additionally needs the public PostgreSQL JDBC driver on the test
+// classpath; point PG_DRIVER_JAR at a local copy of the jar. Inert when
+// unset — no dependency is resolved, keeping the build zero-egress.
+Test / unmanagedJars ++=
+  sys.env.get("PG_DRIVER_JAR").map(p => Attributed.blank(file(p))).toSeq
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
