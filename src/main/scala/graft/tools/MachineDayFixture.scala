@@ -27,6 +27,46 @@ object MachineDayFixture {
     csv
   }
 
+  /** Multi-machine variant for key-geometry streaming experiments: N
+    * machines over `hours` hours, globally time-ordered, split into
+    * `chunks` replay files. With `machines = 8, hours = 3` the corpus
+    * holds the single-machine day's row count (~1.12 M) AND its window-
+    * state key count (8 machines × 3 hourly windows = 1 × 24) constant
+    * while multiplying the per-batch FMGWS group parallelism 8× — the
+    * controlled comparison behind the "state partitions scale with
+    * active keys" deployment rule.
+    *
+    * The generator emits machine-by-machine, so the merged stream is
+    * re-sorted by the fixed-width ISO timestamp prefix (lexicographic ==
+    * chronological; Scala's sortBy is stable, so same-millisecond rows
+    * keep their per-machine emit order — the tie contract the stateful
+    * path relies on).
+    */
+  def multiStreamDir(machines: Int, hours: Int, chunks: Int = 24): java.io.File = {
+    val dir = new java.io.File(
+      s"/tmp/graft_bench/machine_multi_${machines}x${hours}h_stream_$chunks")
+    if (!dir.exists()) {
+      val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
+      val names = (1 to machines).map(i => f"DieBonder_$i%02d")
+      val g = FixtureGen.generate(
+        names, start, start + hours.toLong * 3600 * 1000,
+        idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
+      val (header, data) = (g.csvLines.head, g.csvLines.tail)
+      val sorted = data.sortBy(_.take(24))
+      val tmp = new java.io.File(dir.getPath + ".tmp")
+      tmp.mkdirs()
+      val per = math.max(1, (sorted.length + chunks - 1) / chunks)
+      sorted.grouped(per).zipWithIndex.foreach { case (block, i) =>
+        val w = new java.io.PrintWriter(
+          new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
+        try { w.println(header); block.foreach(w.println) } finally w.close()
+      }
+      if (!tmp.renameTo(dir))
+        throw new java.io.IOException(s"rename failed: $tmp")
+    }
+    dir
+  }
+
   /** The same day split into `chunks` contiguous time-ordered CSV files
     * for file-stream replay: the generator emits in event-time order and
     * the file source lists paths in name order, so arrival order ==

@@ -17,6 +17,11 @@ import graft.model.Rules
   *   STREAM_FILES_PER_TRIGGER   micro-batch size in files (default 2 of 24)
   *   STREAM_STATE_PROVIDER      "rocksdb" to swap the state store
   *   STREAM_CHUNKS              replay granularity (default 24 files/day)
+  *   STREAM_MACHINES            key geometry: machines in the corpus (default 1)
+  *   STREAM_HOURS               corpus span in hours (default 24; 8 machines
+  *                              x 3 h holds rows AND window keys equal to
+  *                              the 1-machine day while multiplying FMGWS
+  *                              group parallelism 8x)
   *
   * This is the measurement tool behind any stream-perf change: the rule
   * (PLANS.md) is that plan/conf switches cite a measured breakdown, not a
@@ -44,7 +49,11 @@ object StreamProfileBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = MachineDayFixture.streamDir(chunks)
+    val machines = sys.env.getOrElse("STREAM_MACHINES", "1").toInt
+    val hours = sys.env.getOrElse("STREAM_HOURS", "24").toInt
+    val dir =
+      if (machines == 1 && hours == 24) MachineDayFixture.streamDir(chunks)
+      else MachineDayFixture.multiStreamDir(machines, hours, chunks)
     val t0 = System.nanoTime()
     val clean = graft.streaming.StreamingPipeline.cleanse(
       graft.streaming.StreamingPipeline.readCsvStream(
@@ -57,7 +66,8 @@ object StreamProfileBench {
 
     val progs = q.recentProgress.filter(_.numInputRows > 0)
     println(s"== conf: shuffle=$shuffle filesPerTrigger=$filesPerTrigger " +
-      s"chunks=$chunks provider=${sys.env.getOrElse("STREAM_STATE_PROVIDER", "hdfs")}")
+      s"chunks=$chunks machines=$machines hours=$hours " +
+      s"provider=${sys.env.getOrElse("STREAM_STATE_PROVIDER", "hdfs")}")
     println(f"== wall $wall%.2f s, batches ${progs.length}, rows ${progs.map(_.numInputRows).sum}")
     progs.foreach(p => println(p.json))
     spark.stop()
