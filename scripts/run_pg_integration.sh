@@ -31,8 +31,10 @@ fi
 psql -h localhost -p "$PORT" -U graft -d graft -c "SELECT 1" >/dev/null 2>&1 \
   || psql -h localhost -p "$PORT" -U graft -d postgres -c "CREATE DATABASE graft"
 
+# Teardown must survive a failing test run (set -e would otherwise skip
+# a trailing stop line and leave a root-spawned postmaster running).
+trap "su pguser -c \"pg_ctl -D '$DATA' stop\" >/dev/null 2>&1 || true" EXIT
+
 PG_URL="jdbc:postgresql://localhost:$PORT/graft?user=graft" \
 PG_DRIVER_JAR="$JAR" \
   sbt -batch "testOnly graft.PostgresIntegrationSpec"
-
-su pguser -c "pg_ctl -D '$DATA' stop" >/dev/null 2>&1 || true

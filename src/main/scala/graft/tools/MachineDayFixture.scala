@@ -52,19 +52,28 @@ object MachineDayFixture {
         names, start, start + hours.toLong * 3600 * 1000,
         idleGapMs = (0, 0), errorRate = 0.02, seed = 7L, withEdgeCases = false)
       val (header, data) = (g.csvLines.head, g.csvLines.tail)
-      val sorted = data.sortBy(_.take(24))
-      val tmp = new java.io.File(dir.getPath + ".tmp")
-      tmp.mkdirs()
-      val per = math.max(1, (sorted.length + chunks - 1) / chunks)
-      sorted.grouped(per).zipWithIndex.foreach { case (block, i) =>
-        val w = new java.io.PrintWriter(
-          new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
-        try { w.println(header); block.foreach(w.println) } finally w.close()
-      }
-      if (!tmp.renameTo(dir))
-        throw new java.io.IOException(s"rename failed: $tmp")
+      writeChunks(dir, header, data.sortBy(_.take(24)), chunks)
     }
     dir
+  }
+
+  /** Split `lines` into `chunks` name-ordered CSV files under `dir`, each
+    * with `header` prepended; written to a sibling tmp dir and renamed so
+    * a crashed run can't leave a partial directory a later run would
+    * silently replay.
+    */
+  private def writeChunks(dir: java.io.File, header: String,
+      lines: Seq[String], chunks: Int): Unit = {
+    val tmp = new java.io.File(dir.getPath + ".tmp")
+    tmp.mkdirs()
+    val per = math.max(1, (lines.length + chunks - 1) / chunks)
+    lines.grouped(per).zipWithIndex.foreach { case (block, i) =>
+      val w = new java.io.PrintWriter(
+        new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
+      try { w.println(header); block.foreach(w.println) } finally w.close()
+    }
+    if (!tmp.renameTo(dir))
+      throw new java.io.IOException(s"rename failed: $tmp")
   }
 
   /** The same day split into `chunks` contiguous time-ordered CSV files
@@ -77,17 +86,7 @@ object MachineDayFixture {
     if (!streamDir.exists()) {
       val src = scala.io.Source.fromFile(csv())
       val all = try src.getLines().toArray finally src.close()
-      val (header, data) = (all.head, all.tail)
-      val tmp = new java.io.File(streamDir.getPath + ".tmp")
-      tmp.mkdirs()
-      val per = math.max(1, (data.length + chunks - 1) / chunks)
-      data.grouped(per).zipWithIndex.foreach { case (block, i) =>
-        val w = new java.io.PrintWriter(
-          new java.io.File(tmp, f"part_$i%03d.csv"), "UTF-8")
-        try { w.println(header); block.foreach(w.println) } finally w.close()
-      }
-      if (!tmp.renameTo(streamDir))
-        throw new java.io.IOException(s"rename failed: $tmp")
+      writeChunks(streamDir, all.head, all.tail.toSeq, chunks)
     }
     streamDir
   }

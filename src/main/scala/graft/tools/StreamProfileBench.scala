@@ -40,10 +40,17 @@ object StreamProfileBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // recentProgress keeps only the last N updates (default 100); a
+      // fine-grained sweep (STREAM_CHUNKS > 100 with 1 file/trigger)
+      // would silently truncate the per-batch table this tool exists
+      // to print, so size the buffer to the worst-case batch count.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, chunks + 8).toString)
     sys.env.get("STREAM_STATE_PROVIDER").foreach {
       case "rocksdb" => builder.config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "hdfs" => () // the default store, accepted so sweeps can name it
       case other => sys.error(s"unknown STREAM_STATE_PROVIDER: $other")
     }
     val spark = builder.getOrCreate()
