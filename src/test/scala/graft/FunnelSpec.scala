@@ -12,7 +12,14 @@ class FunnelSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  // Parse as a UTC instant, not Timestamp.valueOf's JVM-default-zone wall
+  // clock: the engine buckets in the session timezone (pinned UTC), so the
+  // spec's inputs must mean the same instant under ANY host TZ — caught by
+  // the round-9 TZ=America/New_York full-suite run, where valueOf shifted
+  // a Sunday-23:59 event into the next UTC Monday.
+  private def ts(s: String) = Timestamp.from(
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
 
   private val steps = Seq("view", "click", "purchase")
 
@@ -97,7 +104,7 @@ class FunnelSpec extends AnyFunSuite {
       (3L, "view", ts("2024-01-14 23:59:59")))
     val got = Cohort.weeklyRetention(rows.toDF("user_id", "event_type", "t"), "user_id", "t")
       .collect()
-      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+      .map(r => (r.getTimestamp(0).toInstant.toString.take(10), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4)))
       .toMap
     assert(got(("2024-01-01", 0L)) == (2L, 2L, 0.5 * 2))

@@ -274,8 +274,11 @@ class PropertySpec extends AnyFunSuite {
       val got = graft.ops.Cohort.rollingActiveUsers(
         rows.toDF("user_id", "t"), "user_id", "t", windowDays = win)
         .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // toInstant, not toLocalDateTime: the latter is the JVM-default-TZ
+      // wall clock, which under a non-UTC host disagrees with the
+      // engine's session-TZ (UTC) day bucketing
       val dayOf = (ts: Timestamp) =>
-        ts.toLocalDateTime.atZone(java.time.ZoneOffset.UTC).toLocalDate
+        ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
       val byDay = rows.map { case (u, ts) => (dayOf(ts), u) }.distinct
       val days = byDay.map(_._1).distinct
       val expected = days.map { d =>

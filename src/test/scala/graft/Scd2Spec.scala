@@ -12,7 +12,11 @@ class Scd2Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  // UTC-instant parse (not Timestamp.valueOf's JVM-default-zone wall
+  // clock) so the spec means the same instants under any host TZ.
+  private def ts(s: String) = Timestamp.from(
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
 
   private def log(rows: (Long, Long, String, String)*) =
     rows.toSeq.map { case (eid, uid, st, t) => (eid, uid, st, ts(t)) }
@@ -72,10 +76,14 @@ class Scd2Spec extends AnyFunSuite {
     val merged = Scd2.applyBatch(
       Scd2.fromEvents(prefix),
       Seq((change._2, change._3, ts(change._4))).toDF("user_id", "event_type", "ts"))
-    val direct = Scd2.fromEvents(log((prefix.select($"event_id", $"user_id", $"event_type",
-      date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"))
-      .as[(Long, Long, String, String)].collect().toSeq :+
-      (change._1, change._2, change._3, change._4)): _*))
+    // collect the Timestamps directly — a date_format/re-parse round trip
+    // renders in the session TZ (UTC) but Timestamp.valueOf re-reads in
+    // the JVM default TZ, shifting every instant on a non-UTC host
+    val direct = Scd2.fromEvents(
+      (prefix.select($"event_id", $"user_id", $"event_type", $"ts")
+        .as[(Long, Long, String, Timestamp)].collect().toSeq :+
+        (change._1, change._2, change._3, ts(change._4)))
+        .toDF("event_id", "user_id", "event_type", "ts"))
     // n_events excluded: the merge path can't know how many raw events
     // back an interval it didn't derive (inserted rows carry 0)
     val cols = Seq("user_id", "event_type", "valid_from", "valid_to", "is_current")
