@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared timing/forcing helpers for the standalone bench mains
+  * (ReferenceShapeBench, ScaleCurveBench, DedupScaleBench). One copy so a
+  * methodology fix lands everywhere at once; `graft.Bench` keeps its own
+  * richer `timeMedian` (cache clearing + GC/load telemetry) because its
+  * numbers feed the per-round BENCH artifact.
+  */
+private[tools] object BenchUtil {
+
+  /** Force full evaluation through the noop sink — unlike `count()`,
+    * Catalyst cannot prune projections or skip expression work. */
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Locale-independent fixed-point rendering: `f"%.3f"` is
+    * default-locale-sensitive and emits a comma decimal separator (=
+    * invalid JSON) under e.g. de_DE. */
+  def fmt3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+}

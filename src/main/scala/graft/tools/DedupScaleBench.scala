@@ -20,15 +20,7 @@ import graft.ops.TextDedup
   * Usage: runMain graft.tools.DedupScaleBench <sfDir> [reps] [trials]
   */
 object DedupScaleBench {
-
-  private def force(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-
-  private def time(body: => Unit): Double = {
-    val t0 = System.nanoTime()
-    body
-    (System.nanoTime() - t0) / 1e9
-  }
+  import BenchUtil.{force, time, fmt3}
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -83,7 +75,7 @@ object DedupScaleBench {
       System.err.println(s"[dedup-scale] $label done")
     }
 
-    val qs = (out.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" } ++
+    val qs = (out.map { case (k, v) => "\"" + k + "\":" + fmt3(v) } ++
       counts.map { case (k, v) => "\"" + k + s"""\":$v""" })
       .mkString("{", ",", "}")
     spark.stop()

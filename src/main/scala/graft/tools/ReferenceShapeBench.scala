@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.DataFrame
-
 import graft.model.Rules
 import graft.ops.{CycleDetection, ErrorRules, HourlyRollup}
 import graft.pipeline.DailyAggregatorJob
@@ -18,20 +16,15 @@ import graft.pipeline.DailyAggregatorJob
   * ratio the judge reads is measured on the SAME machine state as the
   * engine's own bench, never scaled across hosts.
   *
+  * Fairness: one DISCARDED warm-up round of each shape absorbs
+  * whole-JVM warm-up (codegen, CSV parser JIT, page cache), then the
+  * timed trials INTERLEAVE ref/engine so neither side systematically
+  * benefits from running later in a warm JVM.
+  *
   * Usage: runMain graft.tools.ReferenceShapeBench [trials]
   */
 object ReferenceShapeBench {
-
-  private def force(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-
-  private def time(body: => Unit): Double = {
-    val t0 = System.nanoTime()
-    body
-    (System.nanoTime() - t0) / 1e9
-  }
-
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  import BenchUtil.{force, time, median, fmt3}
 
   def main(args: Array[String]): Unit = {
     val trials = if (args.nonEmpty) args(0).toInt else 3
@@ -68,14 +61,20 @@ object ReferenceShapeBench {
       finally out.unpersist()
     }
 
-    val ref = (1 to trials).map(_ => time(referenceShape()))
-    val eng = (1 to trials).map(_ => time(engineShape()))
+    referenceShape(); engineShape() // warm-up round, discarded
+
+    val ref = collection.mutable.ArrayBuffer[Double]()
+    val eng = collection.mutable.ArrayBuffer[Double]()
+    (1 to trials).foreach { _ =>
+      ref += time(referenceShape())
+      eng += time(engineShape())
+    }
     println(
       s"""{"metric":"reference_shape_vs_engine","trials":$trials,""" +
-        s""""reference_shape_sec":${f"${median(ref)}%.3f"},""" +
-        s""""reference_trials":[${ref.map(t => f"$t%.3f").mkString(",")}],""" +
-        s""""engine_sec":${f"${median(eng)}%.3f"},""" +
-        s""""engine_trials":[${eng.map(t => f"$t%.3f").mkString(",")}]}""")
+        s""""reference_shape_sec":${fmt3(median(ref.toSeq))},""" +
+        s""""reference_trials":[${ref.map(fmt3).mkString(",")}],""" +
+        s""""engine_sec":${fmt3(median(eng.toSeq))},""" +
+        s""""engine_trials":[${eng.map(fmt3).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -25,15 +25,7 @@ import graft.pipeline.DailyAggregatorJob
   * e.g. `ScaleCurveBench 1 1,100` for a 1×/100× pair at one trial each.
   */
 object ScaleCurveBench {
-
-  private def force(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-
-  private def time(body: => Unit): Double = {
-    val t0 = System.nanoTime()
-    body
-    (System.nanoTime() - t0) / 1e9
-  }
+  import BenchUtil.{force, time, fmt3}
 
   private val dayMs = 24L * 3600 * 1000
 
@@ -115,7 +107,7 @@ object ScaleCurveBench {
       System.err.println(s"[scale] $label done")
     }
 
-    val qs = out.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = out.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_curve","trials":$trials,"points":$qs}""")
