@@ -22,18 +22,23 @@ DATA="$PGROOT/data"
 id pguser >/dev/null 2>&1 || useradd -m pguser
 mkdir -p "$PGROOT" && chown pguser "$PGROOT"
 
+# Teardown must survive a failing test run (set -e would otherwise skip
+# a trailing stop line and leave a root-spawned postmaster running).
+# Registered BEFORE the start block so a failure inside initdb/pg_ctl/psql
+# still triggers it, and gated on STARTED so a cluster this invocation did
+# NOT start (already running from a previous run) is left alone.
+STARTED=0
+trap '[ "$STARTED" = 1 ] && su pguser -c "pg_ctl -D '\''$DATA'\'' stop" >/dev/null 2>&1 || true' EXIT
+
 if ! su pguser -c "pg_ctl -D '$DATA' status" >/dev/null 2>&1; then
   [ -d "$DATA" ] || su pguser -c "initdb -D '$DATA' -A trust -U graft" >/dev/null
+  STARTED=1
   su pguser -c "pg_ctl -D '$DATA' -l '$PGROOT/log' \
     -o '-p $PORT -k $PGROOT -c listen_addresses=localhost' start"
   sleep 1
 fi
 psql -h localhost -p "$PORT" -U graft -d graft -c "SELECT 1" >/dev/null 2>&1 \
   || psql -h localhost -p "$PORT" -U graft -d postgres -c "CREATE DATABASE graft"
-
-# Teardown must survive a failing test run (set -e would otherwise skip
-# a trailing stop line and leave a root-spawned postmaster running).
-trap "su pguser -c \"pg_ctl -D '$DATA' stop\" >/dev/null 2>&1 || true" EXIT
 
 PG_URL="jdbc:postgresql://localhost:$PORT/graft?user=graft" \
 PG_DRIVER_JAR="$JAR" \

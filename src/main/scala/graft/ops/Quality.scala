@@ -1,0 +1,297 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates and distribution-drift monitors — the validation
+  * surface a 100 TB ingest pipeline runs BEFORE data is allowed to join
+  * a training corpus (expectation checks, Deequ-style) and BETWEEN
+  * snapshots to catch upstream shifts (PSI / KS drift).
+  *
+  * Scale shapes:
+  *  - [[expectations]] compiles every declared check into ONE
+  *    map-side-combinable aggregation pass over the table (referential-
+  *    integrity checks pre-join their bounded dimension broadcast-left
+  *    so the fact side is still scanned once). The only non-combinable
+  *    aggregate is the exact `countDistinct` behind `Unique` — the
+  *    100 TB form swaps it for `approx_count_distinct` exactly like the
+  *    A2 summary column (same opt-in pattern as `Profile.table`).
+  *  - [[psiDrift]] derives exact reference-quantile bin edges from the
+  *    per-VALUE count table (cumulative window over DISTINCT values
+  *    only — the buildVocab/spearman bounded-domain pattern, never a
+  *    global row sort), collects the ≤ bins-1 edge scalars (bounded
+  *    artifact, like the BPE argmax row), and buckets both snapshots
+  *    with a codegen'd comparison fold — map-only over the data, one
+  *    aggregate per side.
+  *  - [[ksDrift]] computes the exact two-sample Kolmogorov–Smirnov
+  *    statistic from the merged DISTINCT-value CDF table — one
+  *    aggregate to the value domain, one bounded cumulative window,
+  *    one max. No sampling, no approximation.
+  *  - [[winsorize]] clips at exact per-group percentiles (the
+  *    a8/percentile_disc rank formulation — windows are PARTITIONED by
+  *    the group key, never global) and reports bounds + clip counts per
+  *    group.
+  */
+object Quality {
+
+  /** One declared expectation over a table. `threshold` semantics: the
+    * check passes when the violation metric is <= threshold (RowCount:
+    * metric is the row count itself, passing inside [lo, hi]).
+    */
+  sealed trait Check
+  object Check {
+    /** Null fraction of `column` must be <= maxNullFrac. */
+    final case class NotNull(column: String, maxNullFrac: Double = 0.0) extends Check
+    /** Duplicate fraction (non-null rows beyond the first per value) / n
+      * must be <= maxDupFrac. */
+    final case class Unique(column: String, maxDupFrac: Double = 0.0) extends Check
+    /** Fraction of non-null values outside [lo, hi] must be <= maxViolFrac. */
+    final case class InRange(column: String, lo: Double, hi: Double,
+        maxViolFrac: Double = 0.0) extends Check
+    /** Fraction of non-null values not in `values` must be <= maxViolFrac. */
+    final case class InSet(column: String, values: Seq[String],
+        maxViolFrac: Double = 0.0) extends Check
+    /** Fraction of non-null values NOT fully matching `regex` must be
+      * <= maxViolFrac. Keep patterns in the Java∩RE2 common subset if an
+      * external oracle must agree. */
+    final case class Matches(column: String, regex: String,
+        maxViolFrac: Double = 0.0) extends Check
+    /** Total row count must lie in [lo, hi]. */
+    final case class RowCountBetween(lo: Long, hi: Long) extends Check
+    /** Fraction of non-null `column` values with no match in
+      * `dim.dimColumn` (orphan keys) must be <= maxOrphanFrac. The
+      * dimension is deduplicated and broadcast — it must be the bounded
+      * side. */
+    final case class RefIntegrity(column: String, dim: DataFrame,
+        dimColumn: String, maxOrphanFrac: Double = 0.0) extends Check
+  }
+  import Check._
+
+  /** Run every check in ONE aggregation pass; returns one row per check:
+    * (check_type, col_name, metric, threshold, passed 0/1). All metrics
+    * are exact ratios of exact longs (bit-identical across engines).
+    */
+  def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+
+    // RefIntegrity: mark orphans via a broadcast LEFT join per distinct
+    // dimension before the single aggregation pass.
+    val riChecks = checks.collect { case c: RefIntegrity => c }
+    val joined = riChecks.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val dim = c.dim.select(col(c.dimColumn).as(s"__dim_$i")).distinct()
+        .withColumn(s"__hit_$i", lit(1))
+      acc.join(broadcast(dim), acc(c.column) === col(s"__dim_$i"), "left")
+        .drop(s"__dim_$i")
+    }
+
+    val n = count(lit(1)).cast("double")
+    def viol(cond: Column): Column =
+      sum(when(cond, 1L).otherwise(0L)).cast("double")
+
+    // RefIntegrity metrics read their per-check hit marker (joined above,
+    // in declaration order — riIdx walks the same order).
+    var riIdx = -1
+    val aggCols: Seq[(String, String, Column, Column)] = checks.map {
+      case NotNull(c, t) =>
+        ("not_null", c, (n - count(col(c)).cast("double")) / n, lit(t))
+      case Unique(c, t) =>
+        ("unique", c,
+          (count(col(c)).cast("double") - countDistinct(col(c)).cast("double")) / n,
+          lit(t))
+      case InRange(c, lo, hi, t) =>
+        ("in_range", c,
+          viol(col(c).isNotNull && (col(c) < lo || col(c) > hi)) / n, lit(t))
+      case InSet(c, vs, t) =>
+        ("in_set", c, viol(col(c).isNotNull && !col(c).isInCollection(vs)) / n, lit(t))
+      case Matches(c, re, t) =>
+        ("matches", c, viol(col(c).isNotNull && !col(c).rlike(re)) / n, lit(t))
+      case RowCountBetween(lo, hi) =>
+        ("row_count", "*", n, lit(hi.toDouble))
+      case RefIntegrity(c, _, _, t) =>
+        riIdx += 1
+        ("ref_integrity", c,
+          viol(col(c).isNotNull && col(s"__hit_$riIdx").isNull) / n, lit(t))
+    }
+
+    val passExpr: Seq[Column] = checks.zip(aggCols).map {
+      case (RowCountBetween(lo, hi), (_, _, m, _)) =>
+        (m >= lo.toDouble && m <= hi.toDouble).cast("int")
+      case (_, (_, _, m, t)) => (m <= t).cast("int")
+    }
+
+    val structs = aggCols.zip(passExpr).map { case ((ct, c, m, t), p) =>
+      struct(lit(ct).as("check_type"), lit(c).as("col_name"),
+        m.as("metric"), t.as("threshold"), p.as("passed"))
+    }
+    val wide = joined.agg(structs.head.as("c0"),
+      structs.tail.zipWithIndex.map { case (s, i) => s.as(s"c${i + 1}") }: _*)
+    wide.select(explode(array(structs.indices.map(i => col(s"c$i")): _*)).as("s"))
+      .select("s.*")
+  }
+
+  /** Exact `percentile_disc`-style edges of `column` over `df` at
+    * p = i/bins (i = 1..bins-1): the smallest value whose cumulative
+    * count reaches ceil(p·n). Derived from the per-value count table
+    * with a cumulative window over DISTINCT values only, then collected
+    * — a bounded (≤ bins-1 doubles) driver artifact.
+    */
+  def quantileEdges(df: DataFrame, column: String, bins: Int): Seq[Double] = {
+    val vc = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy()))
+    val targets = (1 until bins).map(i => i.toDouble / bins)
+    val edgeCols = targets.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(s"e$i")
+    }
+    val row = cum.agg(edgeCols.head, edgeCols.tail: _*).head()
+    targets.indices.map { i =>
+      require(!row.isNullAt(i), s"reference snapshot has no non-null '$column'")
+      row.getDouble(i)
+    }
+  }
+
+  /** Population Stability Index between a reference snapshot and a
+    * current snapshot of `column`: exact reference-decile bins, both
+    * sides bucketed by "number of edges <= v", Laplace-smoothed
+    * proportions p = (cnt + 0.5) / (n + 0.5·bins), per-bucket
+    * contribution (p_cur − p_ref)·ln(p_cur/p_ref) rounded 6 dp (the
+    * bigram-LM ln-ulp rule). Every bucket 0..bins-1 appears, empty or
+    * not. Σ psi_term is the PSI (alert ≥ 0.2 by convention).
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, column: String, bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val edges = quantileEdges(ref, column, bins)
+    val bucket: Column =
+      edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(col(column).cast("double") >= e, 1).otherwise(0)
+      }
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(column).isNotNull)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val spark = ref.sparkSession
+    val spine = spark.range(0, bins).select(col("id").cast("int").as("bucket"))
+    val r = counts(ref, "ref_n")
+    val c = counts(cur, "cur_n")
+    val j = spine.join(r, Seq("bucket"), "left").join(c, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val nr = sum("ref_n").over(Window.partitionBy())
+    val nc = sum("cur_n").over(Window.partitionBy())
+    val pr = (col("ref_n").cast("double") + 0.5) /
+      (nr.cast("double") + lit(0.5) * bins)
+    val pc = (col("cur_n").cast("double") + 0.5) /
+      (nc.cast("double") + lit(0.5) * bins)
+    j.select(col("bucket"), col("ref_n"), col("cur_n"),
+      round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+  }
+
+  /** Categorical PSI: frequency drift of a discrete column between two
+    * snapshots. The top-K reference categories (count desc, value asc —
+    * deterministic) each get a bucket; everything else collapses to
+    * "(other)", so the output is bounded at K+1 rows no matter the
+    * category cardinality (the Zipf-tail guard). Same Laplace smoothing
+    * and 6-dp ln rounding as [[psiDrift]], with bins = K+1. Labeling is
+    * a broadcast-left-join marker — the snapshots are scanned once each,
+    * map-side only.
+    */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, column: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "need at least one top category")
+    val refCounts = ref.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    val top = refCounts
+      .orderBy(col("__c").desc, col("__cat").asc)
+      .limit(topK)
+      .select(col("__cat"), lit(1).as("__hit"))
+    def label(df: DataFrame): DataFrame =
+      df.filter(col(column).isNotNull)
+        .select(col(column).cast("string").as("__v"))
+        .join(broadcast(top), col("__v") === col("__cat"), "left")
+        .select(when(col("__hit").isNotNull, col("__v"))
+          .otherwise(lit("(other)")).as("category"))
+    def counts(df: DataFrame, out: String): DataFrame =
+      label(df).groupBy("category").agg(count(lit(1)).as(out))
+    val spine = top.select(col("__cat").as("category"))
+      .unionAll(ref.sparkSession.range(1).select(lit("(other)").as("category")))
+    val j = spine
+      .join(counts(ref, "ref_n"), Seq("category"), "left")
+      .join(counts(cur, "cur_n"), Seq("category"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val bins = Window.partitionBy()
+    val nBuckets = count(lit(1)).over(bins).cast("double")
+    val nr = sum("ref_n").over(bins).cast("double")
+    val nc = sum("cur_n").over(bins).cast("double")
+    val pr = (col("ref_n").cast("double") + 0.5) / (nr + lit(0.5) * nBuckets)
+    val pc = (col("cur_n").cast("double") + 0.5) / (nc + lit(0.5) * nBuckets)
+    j.select(col("category"), col("ref_n"), col("cur_n"),
+      round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between `ref[column]`
+    * and `cur[column]`: D = max over the merged DISTINCT value domain of
+    * |F_ref(v) − F_cur(v)|. Pure counts and divisions — bit-identical
+    * across engines, no rounding needed. Returns one row
+    * (ref_n, cur_n, ks).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, column: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.filter(col(column).isNotNull)
+        .select(col(column).cast("double").as("__v"), lit(tag).as("__s"))
+    val merged = side(ref, 1).unionAll(side(cur, 0))
+      .groupBy("__v")
+      .agg(
+        sum(col("__s")).as("__cr"),
+        sum(lit(1) - col("__s")).as("__cc"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val cum = merged
+      .withColumn("__fr", sum("__cr").over(w))
+      .withColumn("__fc", sum("__cc").over(w))
+      .withColumn("__nr", sum("__cr").over(tot))
+      .withColumn("__nc", sum("__cc").over(tot))
+    cum.agg(
+      max("__nr").cast("long").as("ref_n"),
+      max("__nc").cast("long").as("cur_n"),
+      max(abs(
+        col("__fr").cast("double") / col("__nr").cast("double") -
+        col("__fc").cast("double") / col("__nc").cast("double"))).as("ks"))
+  }
+
+  /** Winsorization summary: exact per-group percentile bounds at pLo/pHi
+    * (percentile_disc rank formulation, windows PARTITIONED by the group
+    * key), clip counts on each side, and the 2-dp-grid-safe sum of the
+    * clipped column. Returns one row per group:
+    * (group, n, lo, hi, n_clip_lo, n_clip_hi, sum_winsorized).
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi <= 1, "need 0 < pLo < pHi <= 1")
+    val grpW = Window.partitionBy(groupCol)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rk", row_number().over(grpW.orderBy(col("__v").asc)))
+      .withColumn("__n", count(lit(1)).over(grpW))
+    val bounds = base.groupBy(groupCol).agg(
+      max(when(col("__rk") === greatest(lit(1L), ceil(lit(pLo) * col("__n"))),
+        col("__v"))).as("lo"),
+      max(when(col("__rk") === greatest(lit(1L), ceil(lit(pHi) * col("__n"))),
+        col("__v"))).as("hi"))
+    base.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        max("lo").as("lo"),
+        max("hi").as("hi"),
+        sum(when(col("__v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(greatest(col("lo"), least(col("hi"), col("__v")))), 2)
+          .as("sum_winsorized"))
+  }
+}

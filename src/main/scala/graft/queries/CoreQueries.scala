@@ -116,6 +116,24 @@ object CoreQueries {
       },
       Some(s"SELECT event_id, strftime(ts, '$tsFmtDuck') AS event_ts, event_type, value FROM events")),
 
+    // XML source: Spark 4's built-in XML datasource (rowTag records),
+    // roundtripped and verified against the parquet-side oracle — the
+    // fourth file format the engine serves. Explicit read schema (like
+    // the JSON leg) so inference quirks can't shift types.
+    Q("s1_xml_scan",
+      (s, dir) => {
+        val tmp = graft.core.TmpDirs.scoped("s1_xml")
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            date_format(col("ts"), tsFmtSpark).as("event_ts"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").option("rowTag", "event").format("xml").save(tmp)
+        s.read
+          .schema("event_id BIGINT, event_ts STRING, event_type STRING, value DOUBLE")
+          .option("rowTag", "event").format("xml").load(tmp)
+      },
+      Some(s"SELECT event_id, strftime(ts, '$tsFmtDuck') AS event_ts, event_type, value FROM events")),
+
     // P2/P7: cast to float + not-null/comparison filter.
     Q("p2_p7_cast_filter",
       (s, dir) => Tables.events(s, dir)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, Profile, RangeJoin, Resample}
+import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, Profile, Quality, RangeJoin, Resample}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -668,7 +668,185 @@ object OlapQueries {
            |    ${corrTypes.map(t =>
                 s"rank() OVER (ORDER BY $t) + (count(*) OVER (PARTITION BY $t) - 1) / 2.0 AS $t")
                 .mkString(",\n    ")}
-           |  FROM c)""".stripMargin)))
+           |  FROM c)""".stripMargin))),
+
+    // Data-quality expectation gate (ops/Quality.expectations): every
+    // declared check compiled into ONE aggregation pass (RI checks
+    // broadcast-left-join their bounded dimension first). Metrics are
+    // exact ratios of exact longs — bit-identical across engines. The
+    // check set is deliberately non-vacuous on this corpus: the
+    // user_id-Unique, value-InRange, event_type-InSet/Matches metrics
+    // are all non-zero, and two checks FAIL (passed = 0).
+    Q("ext_expectations",
+      (s, dir) => Quality.expectations(Tables.events(s, dir), Seq(
+        Quality.Check.NotNull("user_id"),
+        Quality.Check.Unique("event_id"),
+        Quality.Check.Unique("user_id", maxDupFrac = 0.5),
+        Quality.Check.InRange("value", 0.0, 100.0, maxViolFrac = 0.5),
+        Quality.Check.InSet("event_type",
+          Seq("click", "view", "purchase", "signup"), maxViolFrac = 0.25),
+        Quality.Check.Matches("event_type", "^[a-z]{4,6}$"),
+        Quality.Check.RowCountBetween(1L, 1000000L),
+        Quality.Check.RefIntegrity("user_id", Tables.customer(s, dir), "c_custkey"))),
+      Some("""WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(user_id) AS nnu, count(DISTINCT user_id) AS ndu,
+        |    count(event_id) AS nne, count(DISTINCT event_id) AS nde,
+        |    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+        |        THEN 1 ELSE 0 END) AS vr,
+        |    sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |        ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS vs,
+        |    sum(CASE WHEN event_type IS NOT NULL AND NOT
+        |        regexp_matches(event_type, '^[a-z]{4,6}$') THEN 1 ELSE 0 END) AS vm,
+        |    sum(CASE WHEN user_id IS NOT NULL AND user_id NOT IN
+        |        (SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) AS vi
+        |  FROM events)
+        |SELECT 'not_null' AS check_type, 'user_id' AS col_name,
+        |  CAST(n - nnu AS DOUBLE)/n AS metric, 0.0 AS threshold,
+        |  CAST(CAST(n - nnu AS DOUBLE)/n <= 0.0 AS INT) AS passed FROM a
+        |UNION ALL SELECT 'unique', 'event_id', CAST(nne - nde AS DOUBLE)/n, 0.0,
+        |  CAST(CAST(nne - nde AS DOUBLE)/n <= 0.0 AS INT) FROM a
+        |UNION ALL SELECT 'unique', 'user_id', CAST(nnu - ndu AS DOUBLE)/n, 0.5,
+        |  CAST(CAST(nnu - ndu AS DOUBLE)/n <= 0.5 AS INT) FROM a
+        |UNION ALL SELECT 'in_range', 'value', CAST(vr AS DOUBLE)/n, 0.5,
+        |  CAST(CAST(vr AS DOUBLE)/n <= 0.5 AS INT) FROM a
+        |UNION ALL SELECT 'in_set', 'event_type', CAST(vs AS DOUBLE)/n, 0.25,
+        |  CAST(CAST(vs AS DOUBLE)/n <= 0.25 AS INT) FROM a
+        |UNION ALL SELECT 'matches', 'event_type', CAST(vm AS DOUBLE)/n, 0.0,
+        |  CAST(CAST(vm AS DOUBLE)/n <= 0.0 AS INT) FROM a
+        |UNION ALL SELECT 'row_count', '*', CAST(n AS DOUBLE), 1000000.0,
+        |  CAST(n >= 1 AND n <= 1000000 AS INT) FROM a
+        |UNION ALL SELECT 'ref_integrity', 'user_id', CAST(vi AS DOUBLE)/n, 0.0,
+        |  CAST(CAST(vi AS DOUBLE)/n <= 0.0 AS INT) FROM a""".stripMargin)),
+
+    // PSI distribution drift (ops/Quality.psiDrift): exact reference-
+    // decile edges from the DISTINCT-value cumulative table, both
+    // snapshots bucketed by a codegen'd edge-comparison fold, Laplace-
+    // smoothed proportions, ln term rounded 6 dp on both sides (the
+    // bigram-LM ulp rule). view vs purchase value distributions.
+    Q("ext_drift_psi",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Quality.psiDrift(
+          ev.filter(col("event_type") === "view").select("value"),
+          ev.filter(col("event_type") === "purchase").select("value"),
+          "value", bins = 10)
+      },
+      Some("""WITH ref AS (SELECT value AS v FROM events
+        |         WHERE event_type = 'view' AND value IS NOT NULL),
+        |cur AS (SELECT value AS v FROM events
+        |        WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |vc AS (SELECT v, count(*) AS c FROM ref GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+        |        FROM vc),
+        |edges AS (
+        |  SELECT i, min(CASE WHEN cum >= ceil((i / 10.0) * n) THEN v END) AS e
+        |  FROM cum CROSS JOIN range(1, 10) t(i) GROUP BY i),
+        |bref AS (SELECT (SELECT count(*) FROM edges WHERE r.v >= e) AS b
+        |         FROM ref r),
+        |bcur AS (SELECT (SELECT count(*) FROM edges WHERE c2.v >= e) AS b
+        |         FROM cur c2),
+        |rcnt AS (SELECT b, count(*) AS rn FROM bref GROUP BY b),
+        |ccnt AS (SELECT b, count(*) AS cn FROM bcur GROUP BY b),
+        |spine AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 10) t(i)),
+        |tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
+        |               (SELECT count(*) FROM cur) AS nc)
+        |SELECT bucket, COALESCE(rn, 0) AS ref_n, COALESCE(cn, 0) AS cur_n,
+        |  round(((COALESCE(cn, 0) + 0.5) / (nc + 5.0)
+        |         - (COALESCE(rn, 0) + 0.5) / (nr + 5.0))
+        |        * ln(((COALESCE(cn, 0) + 0.5) / (nc + 5.0))
+        |             / ((COALESCE(rn, 0) + 0.5) / (nr + 5.0))), 6) AS psi_term
+        |FROM spine
+        |LEFT JOIN rcnt ON spine.bucket = CAST(rcnt.b AS INT)
+        |LEFT JOIN ccnt ON spine.bucket = CAST(ccnt.b AS INT)
+        |CROSS JOIN tot""".stripMargin)),
+
+    // Categorical PSI drift (ops/Quality.psiCategorical): top-K reference
+    // categories + "(other)" Zipf-tail bucket, bounded K+1-row output,
+    // broadcast-marker labeling (one map-side scan per snapshot). Same
+    // smoothing/rounding as ext_drift_psi with bins = K+1.
+    Q("ext_drift_psi_cat",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Quality.psiCategorical(
+          ev.filter(col("user_id") < 75).select("event_type"),
+          ev.filter(col("user_id") >= 75).select("event_type"),
+          "event_type", topK = 3)
+      },
+      Some("""WITH refv AS (SELECT event_type AS v FROM events
+        |         WHERE user_id < 75 AND event_type IS NOT NULL),
+        |curv AS (SELECT event_type AS v FROM events
+        |         WHERE user_id >= 75 AND event_type IS NOT NULL),
+        |rc AS (SELECT v, count(*) AS c FROM refv GROUP BY v),
+        |top AS (SELECT v FROM rc ORDER BY c DESC, v LIMIT 3),
+        |spine AS (SELECT v AS category FROM top
+        |          UNION ALL SELECT '(other)'),
+        |rl AS (SELECT CASE WHEN v IN (SELECT v FROM top) THEN v
+        |              ELSE '(other)' END AS category FROM refv),
+        |cl AS (SELECT CASE WHEN v IN (SELECT v FROM top) THEN v
+        |              ELSE '(other)' END AS category FROM curv),
+        |rn AS (SELECT category, count(*) AS rn FROM rl GROUP BY category),
+        |cn AS (SELECT category, count(*) AS cn FROM cl GROUP BY category),
+        |j AS (SELECT s.category, COALESCE(rn, 0) AS ref_n,
+        |             COALESCE(cn, 0) AS cur_n
+        |      FROM spine s
+        |      LEFT JOIN rn ON s.category = rn.category
+        |      LEFT JOIN cn ON s.category = cn.category),
+        |t AS (SELECT count(*) AS nb, sum(ref_n) AS tr, sum(cur_n) AS tc FROM j)
+        |SELECT category, ref_n, cur_n,
+        |  round(((cur_n + 0.5) / (tc + 0.5 * nb)
+        |         - (ref_n + 0.5) / (tr + 0.5 * nb))
+        |        * ln(((cur_n + 0.5) / (tc + 0.5 * nb))
+        |             / ((ref_n + 0.5) / (tr + 0.5 * nb))), 6) AS psi_term
+        |FROM j CROSS JOIN t""".stripMargin)),
+
+    // Exact two-sample Kolmogorov–Smirnov drift (ops/Quality.ksDrift):
+    // D = max |F_ref − F_cur| over the merged DISTINCT value domain —
+    // pure counts and IEEE divisions, bit-identical with no rounding.
+    Q("ext_drift_ks",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Quality.ksDrift(
+          ev.filter(col("event_type") === "view").select("value"),
+          ev.filter(col("event_type") === "purchase").select("value"),
+          "value")
+      },
+      Some("""WITH ref AS (SELECT value AS v FROM events
+        |         WHERE event_type = 'view' AND value IS NOT NULL),
+        |cur AS (SELECT value AS v FROM events
+        |        WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |u AS (SELECT v, 1 AS s FROM ref UNION ALL SELECT v, 0 AS s FROM cur),
+        |g AS (SELECT v, sum(s) AS cr, sum(1 - s) AS cc FROM u GROUP BY v),
+        |cum AS (SELECT
+        |    sum(cr) OVER (ORDER BY v) AS fr, sum(cc) OVER (ORDER BY v) AS fc,
+        |    sum(cr) OVER () AS nr, sum(cc) OVER () AS nc FROM g)
+        |SELECT CAST(max(nr) AS BIGINT) AS ref_n, CAST(max(nc) AS BIGINT) AS cur_n,
+        |  max(abs(CAST(fr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |          - CAST(fc AS DOUBLE) / CAST(nc AS DOUBLE))) AS ks
+        |FROM cum""".stripMargin)),
+
+    // Winsorization summary (ops/Quality.winsorize): exact per-group
+    // p01/p99 bounds (percentile_disc rank form, group-partitioned
+    // windows), clip counts, and the 2-dp-grid-safe winsorized sum.
+    Q("ext_winsorize",
+      (s, dir) => Quality.winsorize(
+        Tables.events(s, dir), "value", "event_type", pLo = 0.01, pHi = 0.99),
+      Some("""WITH b AS (
+        |  SELECT event_type, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |bounds AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rk = greatest(1, ceil(0.01 * n)) THEN v END) AS lo,
+        |    max(CASE WHEN rk = greatest(1, ceil(0.99 * n)) THEN v END) AS hi
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
+        |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  round(sum(greatest(lo, least(hi, v))), 2) AS sum_winsorized
+        |FROM b JOIN bounds USING (event_type)
+        |GROUP BY event_type""".stripMargin))
   )
 
   /** The event types whose per-user counts feed the correlation

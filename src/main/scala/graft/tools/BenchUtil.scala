@@ -21,7 +21,13 @@ private[tools] object BenchUtil {
     (System.nanoTime() - t0) / 1e9
   }
 
-  def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** True midpoint median: even-length inputs average the two middle
+    * elements (picking the upper-middle alone biases the stat upward). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 
   /** Locale-independent fixed-point rendering: `f"%.3f"` is
     * default-locale-sensitive and emits a comma decimal separator (=

@@ -65,6 +65,12 @@ object MachineDayFixture {
   private def writeChunks(dir: java.io.File, header: String,
       lines: Seq[String], chunks: Int): Unit = {
     val tmp = new java.io.File(dir.getPath + ".tmp")
+    // A leftover tmp dir from an interrupted run may hold part files from
+    // older chunk math; clear it so stale parts can't be renamed into the
+    // live dir and silently replayed alongside the fresh ones.
+    if (tmp.exists()) {
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    }
     tmp.mkdirs()
     val per = math.max(1, (lines.length + chunks - 1) / chunks)
     lines.grouped(per).zipWithIndex.foreach { case (block, i) =>
