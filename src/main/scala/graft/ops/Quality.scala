@@ -195,42 +195,88 @@ object Quality {
     * deterministic) each get a bucket; everything else collapses to
     * "(other)", so the output is bounded at K+1 rows no matter the
     * category cardinality (the Zipf-tail guard). Same Laplace smoothing
-    * and 6-dp ln rounding as [[psiDrift]], with bins = K+1. Labeling is
-    * a broadcast-left-join marker — the snapshots are scanned once each,
-    * map-side only.
+    * and 6-dp ln rounding as [[psiDrift]], with bins = K+1.
+    *
+    * Shape: the spine is collected once (bounded, like psiDrift's edge
+    * scalars) and compiled into codegen'd literals, so the current
+    * snapshot is scanned ONCE — its whole histogram rides as
+    * conditional sums in a single map-side-combinable aggregate (no
+    * joins at all in the main query), and the reference is touched only
+    * by the two bounded-output spine jobs. [[histogramAggs]] /
+    * [[psiTermsFromHistogram]] are shared verbatim with the streaming
+    * twin (`graft.streaming.DriftStream`) — the stream≡batch pins rest
+    * on that sharing.
     */
   def psiCategorical(ref: DataFrame, cur: DataFrame, column: String,
       topK: Int): DataFrame = {
+    val spine = categorySpine(ref, column, topK)
+    val aggs = histogramAggs(column, spine)
+    val agg = cur.filter(col(column).isNotNull).agg(aggs.head, aggs.tail: _*)
+    psiTermsFromHistogram(agg, spine, keyCols = Nil)
+  }
+
+  /** One conditional-sum column per spine category — the full histogram
+    * of `column` in a single aggregation (streaming-legal: used under a
+    * windowed groupBy by DriftStream, under a global agg here).
+    */
+  private[graft] def histogramAggs(column: String,
+      spine: Seq[(String, Long)]): Seq[Column] = {
+    require(spine.nonEmpty && spine.last._1 == "(other)",
+      "spine must come from categorySpine (tail bucket last)")
+    val topSet = spine.init.map(_._1)
+    val label: Column =
+      when(col(column).isInCollection(topSet), col(column).cast("string"))
+        .otherwise(lit("(other)"))
+    spine.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(label === c, 1L).otherwise(0L)).as(s"__n_$i")
+    }
+  }
+
+  /** Stateless PSI projection over a histogram row (reference side baked
+    * in as literals from the bounded spine): Laplace-smoothed
+    * proportions, ln term rounded 6 dp. `keyCols` (e.g. window bounds)
+    * are carried through in front of the per-category rows.
+    */
+  private[graft] def psiTermsFromHistogram(agg: DataFrame,
+      spine: Seq[(String, Long)], keyCols: Seq[String]): DataFrame = {
+    val bins = spine.size
+    val refTotal = spine.map(_._2).sum
+    val curTotal = spine.indices.map(i => col(s"__n_$i")).reduce(_ + _)
+    val rows = spine.zipWithIndex.map { case ((c, refN), i) =>
+      val pr = (lit(refN.toDouble) + 0.5) /
+        (lit(refTotal.toDouble) + lit(0.5) * bins)
+      val pc = (col(s"__n_$i").cast("double") + 0.5) /
+        (curTotal.cast("double") + lit(0.5) * bins)
+      struct(lit(c).as("category"), lit(refN).as("ref_n"),
+        col(s"__n_$i").as("cur_n"),
+        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+    }
+    agg.select(keyCols.map(col) :+ explode(array(rows: _*)).as("__s"): _*)
+      .select(keyCols.map(col) ++ Seq(col("__s.category"), col("__s.ref_n"),
+        col("__s.cur_n"), col("__s.psi_term")): _*)
+  }
+
+  /** Bounded reference spine for continuous drift monitoring
+    * (`graft.streaming.DriftStream`): the top-K categories of `column`
+    * by deterministic (count desc, value asc) order plus the "(other)"
+    * tail with its aggregate count — K+1 (category, refCount) pairs
+    * collected to the driver. Only the LIMITed top-K rows and one total
+    * ever leave the cluster (bounded artifact, like the PSI edge
+    * scalars), regardless of category cardinality.
+    */
+  def categorySpine(ref: DataFrame, column: String, topK: Int): Seq[(String, Long)] = {
     require(topK >= 1, "need at least one top category")
-    val refCounts = ref.filter(col(column).isNotNull)
+    val nn = ref.filter(col(column).isNotNull)
+    val top = nn
       .groupBy(col(column).cast("string").as("__cat"))
       .agg(count(lit(1)).as("__c"))
-    val top = refCounts
       .orderBy(col("__c").desc, col("__cat").asc)
       .limit(topK)
-      .select(col("__cat"), lit(1).as("__hit"))
-    def label(df: DataFrame): DataFrame =
-      df.filter(col(column).isNotNull)
-        .select(col(column).cast("string").as("__v"))
-        .join(broadcast(top), col("__v") === col("__cat"), "left")
-        .select(when(col("__hit").isNotNull, col("__v"))
-          .otherwise(lit("(other)")).as("category"))
-    def counts(df: DataFrame, out: String): DataFrame =
-      label(df).groupBy("category").agg(count(lit(1)).as(out))
-    val spine = top.select(col("__cat").as("category"))
-      .unionAll(ref.sparkSession.range(1).select(lit("(other)").as("category")))
-    val j = spine
-      .join(counts(ref, "ref_n"), Seq("category"), "left")
-      .join(counts(cur, "cur_n"), Seq("category"), "left")
-      .na.fill(0L, Seq("ref_n", "cur_n"))
-    val bins = Window.partitionBy()
-    val nBuckets = count(lit(1)).over(bins).cast("double")
-    val nr = sum("ref_n").over(bins).cast("double")
-    val nc = sum("cur_n").over(bins).cast("double")
-    val pr = (col("ref_n").cast("double") + 0.5) / (nr + lit(0.5) * nBuckets)
-    val pc = (col("cur_n").cast("double") + 0.5) / (nc + lit(0.5) * nBuckets)
-    j.select(col("category"), col("ref_n"), col("cur_n"),
-      round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val total = nn.count()
+    top :+ ("(other)", total - top.map(_._2).sum)
   }
 
   /** Exact two-sample Kolmogorov–Smirnov statistic between `ref[column]`

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Quality
+import graft.streaming.DriftStream
+
+/** Continuous categorical-PSI drift monitoring (streaming/DriftStream):
+  * the streamed per-window terms must equal the batch twin on identical
+  * data, across micro-batch boundaries, with append-mode windows
+  * finalized by the watermark.
+  */
+class DriftStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Three hourly windows of (ts, cat) rows as one CSV file per hour —
+    * hour 0 matches the reference mix, hour 1 drifts hard, hour 2 is a
+    * sentinel that pushes the watermark past hour 1's end so append
+    * mode finalizes the first two windows. mtimes are pinned strictly
+    * increasing so the file source replays hours in order (the
+    * StreamingSpec tie-break rule).
+    */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_drift_stream").toString
+    def write(name: String, rows: Seq[(String, String)], mtime: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try rows.foreach { case (ts, cat) => w.println(s"$ts,$cat") }
+      finally w.close()
+      f.setLastModified(mtime): Unit
+    }
+    def rows(hour: Int, counts: Seq[(String, Int)]): Seq[(String, String)] =
+      counts.flatMap { case (c, n) =>
+        (0 until n).map(i => (f"2024-10-16 1$hour%d:${i % 60}%02d:00", c))
+      }
+    val base = System.currentTimeMillis()
+    write("h0.csv", rows(0, Seq("a" -> 5, "b" -> 3, "c" -> 2)), base)
+    write("h1.csv", rows(1, Seq("a" -> 1, "b" -> 1, "c" -> 4, "d" -> 4)), base + 60000)
+    // sentinel strictly past hour 1's end, so the watermark closes it
+    // regardless of <= vs < emission semantics at the boundary
+    write("h2.csv", Seq(("2024-10-16 12:30:00", "a")), base + 120000)
+    dir
+  }
+
+  private val schema = "ts TIMESTAMP, cat STRING"
+
+  // reference mix: a-heavy, like hour 0
+  private lazy val spine = Quality.categorySpine(
+    Seq.fill(50)("a").++(Seq.fill(30)("b")).++(Seq.fill(20)("c")).toDF("cat"),
+    "cat", topK = 2)
+
+  test("categorySpine: bounded top-K + (other) with deterministic ties") {
+    assert(spine == Seq(("a", 50L), ("b", 30L), ("(other)", 20L)))
+    // tie at count 2 between x and y -> value order; z falls in the tail
+    val tied = Quality.categorySpine(
+      Seq("x", "x", "y", "y", "z").toDF("cat"), "cat", topK = 1)
+    assert(tied == Seq(("x", 2L), ("(other)", 3L)))
+  }
+
+  test("streamed per-window PSI equals the batch twin on closed windows") {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).csv(streamDir)
+    val out = DriftStream.categoricalPsi(
+      stream, "ts", "cat", spine, windowDur = "1 hour", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("drift_out")
+    // watermark reached 12:00 -> exactly hours 0 and 1 are final
+    assert(streamed.select("window_start").distinct().count() == 2)
+    // the state crossed micro-batch boundaries (one file per trigger)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+
+    val batch = DriftStream.categoricalPsiBatch(
+        spark.read.schema(schema).csv(streamDir), "ts", "cat", spine, "1 hour")
+      .filter(col("window_end") <= lit("2024-10-16 12:00:01").cast("timestamp"))
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("the drifted window trips the 0.2 alert, the matching one does not") {
+    val batch = DriftStream.categoricalPsiBatch(
+      spark.read.schema(schema).csv(streamDir), "ts", "cat", spine, "1 hour")
+    val psiByWindow = batch
+      .groupBy("window_start").agg(sum("psi_term").as("psi"))
+      .select(date_format(col("window_start"), "HH").cast("int").as("h"), col("psi"))
+      .as[(Int, Double)].collect().toMap
+    assert(psiByWindow(10) < 0.2, s"hour 0 matches the reference: $psiByWindow")
+    assert(psiByWindow(11) > 0.2, s"hour 1 drifted hard: $psiByWindow")
+  }
+
+  test("per-window terms match Quality.psiCategorical run on that window alone") {
+    // the streaming arithmetic must be the batch operator's arithmetic:
+    // same window slice, same reference spine -> identical psi terms
+    val h1 = spark.read.schema(schema).csv(streamDir)
+      .filter(hour(col("ts")) === 11).select("cat")
+    val ref = Seq.fill(50)("a").++(Seq.fill(30)("b")).++(Seq.fill(20)("c")).toDF("cat")
+    val fromOp = Quality.psiCategorical(ref, h1, "cat", topK = 2)
+      .select("category", "ref_n", "cur_n", "psi_term")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val fromStreamTwin = DriftStream.categoricalPsiBatch(
+        spark.read.schema(schema).csv(streamDir), "ts", "cat", spine, "1 hour")
+      .filter(hour(col("window_start")) === 11)
+      .select("category", "ref_n", "cur_n", "psi_term")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(fromOp == fromStreamTwin)
+  }
+}
