@@ -75,30 +75,53 @@ object Quality {
   def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks declared")
 
-    // RefIntegrity: mark orphans via a broadcast LEFT join per distinct
-    // dimension before the single aggregation pass.
+    val joined = joinRiDims(df, checks)
+    val structs = checkStructs(checks, exactDistinct = true)
+    val wide = joined.agg(structs.head.as("c0"),
+      structs.tail.zipWithIndex.map { case (s, i) => s.as(s"c${i + 1}") }: _*)
+    explodeChecks(wide, structs.size, keyCols = Nil)
+  }
+
+  /** RefIntegrity pre-pass: mark orphans via a broadcast LEFT join per
+    * distinct dimension, so the single aggregation pass can count them.
+    * Stream-legal (stream-static broadcast joins are stateless).
+    */
+  private[graft] def joinRiDims(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val riChecks = checks.collect { case c: RefIntegrity => c }
-    val joined = riChecks.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+    riChecks.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
       val dim = c.dim.select(col(c.dimColumn).as(s"__dim_$i")).distinct()
         .withColumn(s"__hit_$i", lit(1))
       acc.join(broadcast(dim), acc(c.column) === col(s"__dim_$i"), "left")
         .drop(s"__dim_$i")
     }
+  }
 
+  /** Compile each declared check into one
+    * (check_type, col_name, metric, threshold, passed) struct of
+    * aggregate expressions — the shared core of the batch gate and the
+    * windowed streaming gate. With `exactDistinct = false` the `Unique`
+    * metric uses `approx_count_distinct` (HLL++) instead of the exact
+    * distinct: streaming aggregations cannot carry distinct aggregates,
+    * and it is also the documented 100 TB batch swap.
+    */
+  private[graft] def checkStructs(checks: Seq[Check],
+      exactDistinct: Boolean): Seq[Column] = {
     val n = count(lit(1)).cast("double")
     def viol(cond: Column): Column =
       sum(when(cond, 1L).otherwise(0L)).cast("double")
+    def nDistinct(c: String): Column =
+      (if (exactDistinct) countDistinct(col(c))
+       else approx_count_distinct(c)).cast("double")
 
-    // RefIntegrity metrics read their per-check hit marker (joined above,
-    // in declaration order — riIdx walks the same order).
+    // RefIntegrity metrics read their per-check hit marker (joined by
+    // joinRiDims in declaration order — riIdx walks the same order).
     var riIdx = -1
     val aggCols: Seq[(String, String, Column, Column)] = checks.map {
       case NotNull(c, t) =>
         ("not_null", c, (n - count(col(c)).cast("double")) / n, lit(t))
       case Unique(c, t) =>
         ("unique", c,
-          (count(col(c)).cast("double") - countDistinct(col(c)).cast("double")) / n,
-          lit(t))
+          (count(col(c)).cast("double") - nDistinct(c)) / n, lit(t))
       case InRange(c, lo, hi, t) =>
         ("in_range", c,
           viol(col(c).isNotNull && (col(c) < lo || col(c) > hi)) / n, lit(t))
@@ -120,15 +143,22 @@ object Quality {
       case (_, (_, _, m, t)) => (m <= t).cast("int")
     }
 
-    val structs = aggCols.zip(passExpr).map { case ((ct, c, m, t), p) =>
+    aggCols.zip(passExpr).map { case ((ct, c, m, t), p) =>
       struct(lit(ct).as("check_type"), lit(c).as("col_name"),
         m.as("metric"), t.as("threshold"), p.as("passed"))
     }
-    val wide = joined.agg(structs.head.as("c0"),
-      structs.tail.zipWithIndex.map { case (s, i) => s.as(s"c${i + 1}") }: _*)
-    wide.select(explode(array(structs.indices.map(i => col(s"c$i")): _*)).as("s"))
-      .select("s.*")
   }
+
+  /** Reshape the wide one-row-per-group check frame (c0..cN struct
+    * columns) into tall rows, carrying `keyCols` (e.g. window bounds)
+    * in front. A Generate over ≤ one row per group — shuffle-free.
+    */
+  private[graft] def explodeChecks(wide: DataFrame, nChecks: Int,
+      keyCols: Seq[String]): DataFrame =
+    wide.select(keyCols.map(col) :+
+        explode(array((0 until nChecks).map(i => col(s"c$i")): _*)).as("s"): _*)
+      .select(keyCols.map(col) ++ Seq(col("s.check_type"), col("s.col_name"),
+        col("s.metric"), col("s.threshold"), col("s.passed")): _*)
 
   /** Exact `percentile_disc`-style edges of `column` over `df` at
     * p = i/bins (i = 1..bins-1): the smallest value whose cumulative
