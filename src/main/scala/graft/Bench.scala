@@ -246,6 +246,39 @@ object Bench {
       results("stream_machine_day") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
     }
 
+    // Streaming drift monitor on the same machine-day replay: per-hour
+    // numeric PSI of the telemetry value column against the day's own
+    // batch distribution (the "yesterday is the reference" deployment
+    // shape). ONE streaming aggregation + stateless projection — the
+    // number is the monitor's overhead over ~1.12 M rows; spine
+    // derivation (bounded, reference-side) is timed inside too, as a
+    // deployment would re-derive it per day.
+    if (only.forall(_.contains("stream_drift"))) try {
+      val csv = ensureMachineDayCsv()
+      val streamDir = graft.tools.MachineDayFixture.streamDir(chunks = 24)
+      val shuffleRestore = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        results("stream_drift") = timeMedian {
+          val refClean = DailyAggregatorJob.cleanse(
+            DailyAggregatorJob.readRawCsv(spark, csv.getPath))
+          val spine = graft.ops.Quality.numericSpine(
+            refClean.select("value"), "value", bins = 10)
+          val clean = graft.streaming.StreamingPipeline.cleanse(
+            graft.streaming.StreamingPipeline.readCsvStream(
+              spark, streamDir.getPath, maxFilesPerTrigger = 2))
+          val psi = graft.streaming.DriftStream.numericPsi(
+            clean.toDF(), "event_timestamp", "value", spine,
+            windowDur = "1 hour", watermarkDelay = "2 hours")
+          val q = psi.writeStream.outputMode("append").format("noop").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", shuffleRestore)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream_drift failed: ${e.getMessage}")
+      results("stream_drift") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+    }
+
     // Head-to-head: reference-semantics single window vs the two-phase
     // distributed prefix sum on the same ~1.12 M-row single-machine stream
     // (the worst case for the window: ONE partition does all the work).

@@ -196,10 +196,7 @@ object Quality {
   def psiDrift(ref: DataFrame, cur: DataFrame, column: String, bins: Int): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val edges = quantileEdges(ref, column, bins)
-    val bucket: Column =
-      edges.foldLeft(lit(0)) { (acc, e) =>
-        acc + when(col(column).cast("double") >= e, 1).otherwise(0)
-      }
+    val bucket = bucketExpr(column, edges)
     def counts(df: DataFrame, out: String): DataFrame =
       df.filter(col(column).isNotNull)
         .groupBy(bucket.as("bucket"))
@@ -242,7 +239,8 @@ object Quality {
     val spine = categorySpine(ref, column, topK)
     val aggs = histogramAggs(column, spine)
     val agg = cur.filter(col(column).isNotNull).agg(aggs.head, aggs.tail: _*)
-    psiTermsFromHistogram(agg, spine, keyCols = Nil)
+    psiTermsFromHistogram(agg,
+      spine.map { case (c, n) => (lit(c), n) }, "category", keyCols = Nil)
   }
 
   /** One conditional-sum column per spine category — the full histogram
@@ -264,26 +262,62 @@ object Quality {
 
   /** Stateless PSI projection over a histogram row (reference side baked
     * in as literals from the bounded spine): Laplace-smoothed
-    * proportions, ln term rounded 6 dp. `keyCols` (e.g. window bounds)
-    * are carried through in front of the per-category rows.
+    * proportions, ln term rounded 6 dp. `spine` carries each bucket's
+    * label expression (string category, int bucket index, …) emitted
+    * under `labelName`; `keyCols` (e.g. window bounds) are carried
+    * through in front of the per-bucket rows.
     */
   private[graft] def psiTermsFromHistogram(agg: DataFrame,
-      spine: Seq[(String, Long)], keyCols: Seq[String]): DataFrame = {
+      spine: Seq[(Column, Long)], labelName: String,
+      keyCols: Seq[String]): DataFrame = {
     val bins = spine.size
     val refTotal = spine.map(_._2).sum
     val curTotal = spine.indices.map(i => col(s"__n_$i")).reduce(_ + _)
-    val rows = spine.zipWithIndex.map { case ((c, refN), i) =>
+    val rows = spine.zipWithIndex.map { case ((label, refN), i) =>
       val pr = (lit(refN.toDouble) + 0.5) /
         (lit(refTotal.toDouble) + lit(0.5) * bins)
       val pc = (col(s"__n_$i").cast("double") + 0.5) /
         (curTotal.cast("double") + lit(0.5) * bins)
-      struct(lit(c).as("category"), lit(refN).as("ref_n"),
+      struct(label.as(labelName), lit(refN).as("ref_n"),
         col(s"__n_$i").as("cur_n"),
         round((pc - pr) * log(pc / pr), 6).as("psi_term"))
     }
     agg.select(keyCols.map(col) :+ explode(array(rows: _*)).as("__s"): _*)
-      .select(keyCols.map(col) ++ Seq(col("__s.category"), col("__s.ref_n"),
+      .select(keyCols.map(col) ++ Seq(col(s"__s.$labelName"), col("__s.ref_n"),
         col("__s.cur_n"), col("__s.psi_term")): _*)
+  }
+
+  /** Bucket index of `column` against sorted quantile `edges`: the
+    * number of edges <= v (a codegen'd comparison fold, map-only). */
+  private[graft] def bucketExpr(column: String, edges: Seq[Double]): Column =
+    edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(column).cast("double") >= e, 1).otherwise(0)
+    }
+
+  /** One conditional-sum column per bucket — the numeric histogram of
+    * `column` against `edges` in a single (streaming-legal) aggregation,
+    * the numeric twin of [[histogramAggs]]. */
+  private[graft] def bucketHistogramAggs(column: String,
+      edges: Seq[Double], bins: Int): Seq[Column] = {
+    val b = bucketExpr(column, edges)
+    (0 until bins).map(i => sum(when(b === i, 1L).otherwise(0L)).as(s"__n_$i"))
+  }
+
+  /** Bounded numeric reference spine for continuous drift monitoring
+    * (`graft.streaming.DriftStream.numericPsi`): the exact quantile
+    * edges of the reference plus its per-bucket counts — (≤ bins-1
+    * doubles, bins longs) collected to the driver, the numeric twin of
+    * [[categorySpine]].
+    */
+  def numericSpine(ref: DataFrame, column: String,
+      bins: Int): (Seq[Double], Seq[Long]) = {
+    require(bins >= 2, "need at least 2 bins")
+    val edges = quantileEdges(ref, column, bins)
+    val byBucket = ref.filter(col(column).isNotNull)
+      .groupBy(bucketExpr(column, edges).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (edges, (0 until bins).map(i => byBucket.getOrElse(i, 0L)))
   }
 
   /** Bounded reference spine for continuous drift monitoring

@@ -48,14 +48,50 @@ object DriftStream {
     windowed(df, tsCol, column, spine, windowDur)
 
   private def windowed(df: DataFrame, tsCol: String, column: String,
-      spine: Seq[(String, Long)], windowDur: String): DataFrame = {
-    val aggs = Quality.histogramAggs(column, spine)
-    val agg = df.filter(col(column).isNotNull)
+      spine: Seq[(String, Long)], windowDur: String): DataFrame =
+    project(
+      windowedAgg(df, tsCol, column, Quality.histogramAggs(column, spine),
+        windowDur),
+      spine.map { case (c, n) => (lit(c), n) }, "category")
+
+  /** Streaming per-window NUMERIC PSI against a static reference's exact
+    * quantile bins. `spine` is `Quality.numericSpine(ref, column, bins)`
+    * — the edge doubles plus per-bucket reference counts, both bounded
+    * plan-time artifacts compiled into the codegen'd bucket fold. Same
+    * single-aggregation shape as [[categoricalPsi]]; output buckets are
+    * ints, mirroring the batch `Quality.psiDrift` schema.
+    */
+  def numericPsi(stream: DataFrame, tsCol: String, column: String,
+      spine: (Seq[Double], Seq[Long]), windowDur: String,
+      watermarkDelay: String): DataFrame =
+    numericWindowed(stream.withWatermark(tsCol, watermarkDelay),
+      tsCol, column, spine, windowDur)
+
+  /** Batch twin on the identical code path — the stream≡batch oracle. */
+  def numericPsiBatch(df: DataFrame, tsCol: String, column: String,
+      spine: (Seq[Double], Seq[Long]), windowDur: String): DataFrame =
+    numericWindowed(df, tsCol, column, spine, windowDur)
+
+  private def numericWindowed(df: DataFrame, tsCol: String, column: String,
+      spine: (Seq[Double], Seq[Long]), windowDur: String): DataFrame = {
+    val (edges, refCounts) = spine
+    project(
+      windowedAgg(df, tsCol, column,
+        Quality.bucketHistogramAggs(column, edges, refCounts.size), windowDur),
+      refCounts.zipWithIndex.map { case (n, i) => (lit(i), n) }, "bucket")
+  }
+
+  private def windowedAgg(df: DataFrame, tsCol: String, column: String,
+      aggs: Seq[org.apache.spark.sql.Column], windowDur: String): DataFrame =
+    df.filter(col(column).isNotNull)
       .groupBy(window(col(tsCol), windowDur))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))
       .withColumn("window_end", col("window.end"))
-    Quality.psiTermsFromHistogram(agg, spine,
+
+  private def project(agg: DataFrame,
+      spine: Seq[(org.apache.spark.sql.Column, Long)],
+      labelName: String): DataFrame =
+    Quality.psiTermsFromHistogram(agg, spine, labelName,
       keyCols = Seq("window_start", "window_end"))
-  }
 }

@@ -96,6 +96,67 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(psiByWindow(11) > 0.2, s"hour 1 drifted hard: $psiByWindow")
   }
 
+  /** Numeric twin fixture: (ts, v) rows — hour 0 spans the reference
+    * range evenly, hour 1 collapses into the top quartile, hour 2 is the
+    * watermark sentinel.
+    */
+  private lazy val numStreamDir: String = {
+    val dir = Files.createTempDirectory("graft_drift_num_stream").toString
+    def write(name: String, rows: Seq[(String, Int)], mtime: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try rows.foreach { case (ts, v) => w.println(s"$ts,$v") }
+      finally w.close()
+      f.setLastModified(mtime): Unit
+    }
+    def at(hour: Int, vs: Seq[Int]): Seq[(String, Int)] =
+      vs.zipWithIndex.map { case (v, i) => (f"2024-10-16 1$hour%d:${i % 60}%02d:00", v) }
+    val base = System.currentTimeMillis()
+    write("h0.csv", at(0, Seq(10, 30, 40, 55, 60, 80, 90, 20)), base)
+    write("h1.csv", at(1, Seq(80, 85, 90, 95, 99, 76, 88, 91)), base + 60000)
+    write("h2.csv", Seq(("2024-10-16 12:30:00", 1)), base + 120000)
+    dir
+  }
+
+  test("numericPsi: streamed per-window terms equal the batch twin and psiDrift") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val spine = Quality.numericSpine(ref, "v", bins = 4)
+    assert(spine._1 == Seq(25.0, 50.0, 75.0))
+    assert(spine._2 == Seq(24L, 25L, 25L, 26L))
+
+    val numSchema = "ts TIMESTAMP, v DOUBLE"
+    val stream = spark.readStream.schema(numSchema)
+      .option("maxFilesPerTrigger", 1).csv(numStreamDir)
+    val out = DriftStream.numericPsi(
+      stream, "ts", "v", spine, windowDur = "1 hour", watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("num_drift_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("num_drift_out")
+    assert(streamed.select("window_start").distinct().count() == 2)
+    val batch = DriftStream.numericPsiBatch(
+        spark.read.schema(numSchema).csv(numStreamDir), "ts", "v", spine, "1 hour")
+      .filter(col("window_end") <= lit("2024-10-16 12:00:01").cast("timestamp"))
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+
+    // the streaming arithmetic IS the batch operator's: hour-1 slice
+    // through Quality.psiDrift (which re-derives the same edges from ref)
+    val h1 = spark.read.schema(numSchema).csv(numStreamDir)
+      .filter(hour(col("ts")) === 11).select("v")
+    val fromOp = Quality.psiDrift(ref, h1, "v", bins = 4)
+      .select("bucket", "ref_n", "cur_n", "psi_term")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    val fromStream = streamed.filter(hour(col("window_start")) === 11)
+      .select("bucket", "ref_n", "cur_n", "psi_term")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(fromOp == fromStream)
+    // and the collapsed hour trips the alert
+    assert(fromStream.toSeq.map(_._4).sum > 0.2)
+  }
+
   test("windowed expectations: stream equals the batch twin, alerts fire per window") {
     val checks = Seq(
       InSet("cat", Seq("a", "b", "c")),        // hour 1's d rows violate
