@@ -166,6 +166,16 @@ object Quality {
     * with a cumulative window over DISTINCT values only, then collected
     * — a bounded (≤ bins-1 doubles) driver artifact.
     */
+  /** Scale caveat (the honest 100 TB audit): the cumulative window here
+    * runs over the DISTINCT value domain — bounded and cheap for gridded
+    * data (2-dp telemetry, counts, categorical codes), but a CONTINUOUS
+    * double column has ~n distinct values, so the single-partition
+    * window degenerates to an O(n) scan through one task. For that shape
+    * use [[approxQuantileEdges]] (mergeable one-pass sketch, no window at
+    * all) — PSI only needs ref and cur to share a fixed bucketing, not
+    * exact deciles, so the swap changes bucket boundaries slightly but
+    * keeps the monitor's semantics.
+    */
   def quantileEdges(df: DataFrame, column: String, bins: Int): Seq[Double] = {
     val vc = df.filter(col(column).isNotNull)
       .groupBy(col(column).cast("double").as("__v"))
@@ -193,9 +203,12 @@ object Quality {
     * bigram-LM ln-ulp rule). Every bucket 0..bins-1 appears, empty or
     * not. Σ psi_term is the PSI (alert ≥ 0.2 by convention).
     */
-  def psiDrift(ref: DataFrame, cur: DataFrame, column: String, bins: Int): DataFrame = {
+  def psiDrift(ref: DataFrame, cur: DataFrame, column: String, bins: Int,
+      exactEdges: Boolean = true): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
-    val edges = quantileEdges(ref, column, bins)
+    val edges =
+      if (exactEdges) quantileEdges(ref, column, bins)
+      else approxQuantileEdges(ref, column, bins)
     val bucket = bucketExpr(column, edges)
     def counts(df: DataFrame, out: String): DataFrame =
       df.filter(col(column).isNotNull)
@@ -287,6 +300,27 @@ object Quality {
         col("__s.cur_n"), col("__s.psi_term")): _*)
   }
 
+  /** Approximate quantile edges for the continuous-column 100 TB path:
+    * `approx_percentile` (Greenwald–Khanna summaries — one
+    * map-side-combinable pass, mergeable across partitions, NO window
+    * over the value domain). `accuracy` bounds the rank error at
+    * n/accuracy; at the default 10⁴ the edges are exact for inputs
+    * under 10⁴ rows and within 0.01 % of rank beyond. Deterministic for
+    * a fixed partitioning; across REpartitionings the merge tree can
+    * shift an edge by up to the rank-error bound (unlike
+    * [[quantileEdges]] — the price of the one-pass sketch).
+    */
+  def approxQuantileEdges(df: DataFrame, column: String, bins: Int,
+      accuracy: Int = 10000): Seq[Double] = {
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val row = df.filter(col(column).isNotNull)
+      .agg(percentile_approx(col(column).cast("double"),
+        array(ps.map(lit): _*), lit(accuracy)).as("qs"))
+      .head()
+    require(!row.isNullAt(0), s"reference snapshot has no non-null '$column'")
+    row.getSeq[Double](0).toSeq
+  }
+
   /** Bucket index of `column` against sorted quantile `edges`: the
     * number of edges <= v (a codegen'd comparison fold, map-only). */
   private[graft] def bucketExpr(column: String, edges: Seq[Double]): Column =
@@ -348,6 +382,12 @@ object Quality {
     * |F_ref(v) − F_cur(v)|. Pure counts and divisions — bit-identical
     * across engines, no rounding needed. Returns one row
     * (ref_n, cur_n, ks).
+    *
+    * Scale caveat: like [[quantileEdges]], the cumulative window runs
+    * over the merged DISTINCT value domain — bounded for gridded data,
+    * O(n)-through-one-task for a continuous column. The 100 TB swap is
+    * [[ksDriftBinned]]: evaluate the CDF gap at a fixed set of edges
+    * instead of every distinct value.
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, column: String): DataFrame = {
     def side(df: DataFrame, tag: Int): DataFrame =
@@ -362,6 +402,47 @@ object Quality {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
     val cum = merged
+      .withColumn("__fr", sum("__cr").over(w))
+      .withColumn("__fc", sum("__cc").over(w))
+      .withColumn("__nr", sum("__cr").over(tot))
+      .withColumn("__nc", sum("__cc").over(tot))
+    cum.agg(
+      max("__nr").cast("long").as("ref_n"),
+      max("__nc").cast("long").as("cur_n"),
+      max(abs(
+        col("__fr").cast("double") / col("__nr").cast("double") -
+        col("__fc").cast("double") / col("__nc").cast("double"))).as("ks"))
+  }
+
+  /** Binned two-sample KS for the continuous-column 100 TB path:
+    * |F_ref − F_cur| evaluated at the bucket boundaries of `edges`
+    * (e.g. [[approxQuantileEdges]] of the reference, or a fixed grid)
+    * instead of at every distinct value. Each side collapses to ≤
+    * edges.size+1 bucket counts with one map-side-combinable aggregate;
+    * the cumulative window then runs over that BOUNDED bucket spine.
+    * The statistic is a lower bound on the exact D (the CDF gap between
+    * boundaries is invisible) and EQUALS it when every distinct value is
+    * its own edge — both pinned in QualitySpec. Returns one row
+    * (ref_n, cur_n, ks).
+    */
+  def ksDriftBinned(ref: DataFrame, cur: DataFrame, column: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "need at least one bucket edge")
+    val bins = edges.size + 1
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(column).isNotNull)
+        .groupBy(bucketExpr(column, edges).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val spark = ref.sparkSession
+    val spine = spark.range(0, bins).select(col("id").cast("int").as("bucket"))
+    val j = spine
+      .join(counts(ref, "__cr"), Seq("bucket"), "left")
+      .join(counts(cur, "__cc"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("__cr", "__cc"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val cum = j
       .withColumn("__fr", sum("__cr").over(w))
       .withColumn("__fc", sum("__cc").over(w))
       .withColumn("__nr", sum("__cr").over(tot))

@@ -192,6 +192,40 @@ class QualitySpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single fact scan, got $scans:\n$plan")
   }
 
+  test("approxQuantileEdges: exact below the accuracy bound, psi swap agrees") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("value")
+    // n < accuracy -> GK summaries are exact -> identical edges
+    assert(Quality.approxQuantileEdges(ref, "value", 10) ==
+      Quality.quantileEdges(ref, "value", 10))
+    // and therefore the whole PSI output is identical on this data
+    val cur = (501 to 1500).map(_.toDouble).toDF("value")
+    val exact = Quality.psiDrift(ref, cur, "value", 10)
+      .collect().map(_.toSeq).toSet
+    val approx = Quality.psiDrift(ref, cur, "value", 10, exactEdges = false)
+      .collect().map(_.toSeq).toSet
+    assert(exact == approx)
+  }
+
+  test("ksDriftBinned: lower bound on exact D, equal when edges = distinct values") {
+    val r = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val c = Seq(3.0, 4.0, 5.0, 6.0).toDF("value")
+    def ks(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("ks").as[Double].head()
+    val exact = ks(Quality.ksDrift(r, c, "value"))
+    // every distinct value its own edge -> binned == exact
+    assert(ks(Quality.ksDriftBinned(r, c, "value", (1 to 6).map(_.toDouble))) == exact)
+    // coarse edges -> a valid lower bound (gap between boundaries hidden)
+    val coarse = ks(Quality.ksDriftBinned(r, c, "value", Seq(4.0)))
+    assert(coarse <= exact && coarse > 0.0)
+    // a larger random-ish case: binned at ref deciles stays <= exact
+    val ref = (1 to 500).map(v => ((v * 7919) % 1000).toDouble).toDF("value")
+    val cur = (1 to 400).map(v => ((v * 6271) % 1300).toDouble).toDF("value")
+    val d = ks(Quality.ksDrift(ref, cur, "value"))
+    val b = ks(Quality.ksDriftBinned(ref, cur, "value",
+      Quality.quantileEdges(ref, "value", 10)))
+    assert(b <= d + 1e-12 && b > 0.0)
+  }
+
   test("drift metrics are repartition-deterministic") {
     val ref = (1 to 1000).map(v => (v % 37).toDouble).toDF("value")
     val cur = (1 to 800).map(v => (v % 41).toDouble).toDF("value")
