@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, Profile, Quality, RangeJoin, Resample}
+import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJoin, Profile, Quality, RangeJoin, Resample, SnapshotDiff}
 
 /** Beyond-reference OLAP/analytics operators: gap sessionization, exact
   * discrete percentiles, cube/grouping sets, pivot-to-wide, and
@@ -824,6 +824,48 @@ object OlapQueries {
         |  max(abs(CAST(fr AS DOUBLE) / CAST(nr AS DOUBLE)
         |          - CAST(fc AS DOUBLE) / CAST(nc AS DOUBLE))) AS ks
         |FROM cum""".stripMargin)),
+
+    // Dataset version diff (ops/SnapshotDiff): change-data view between
+    // two snapshots of a keyed table — one sort-merge full-outer join on
+    // the key, marker-based presence (null-key safe), codegen'd
+    // null-safe comparison folds. The "new" snapshot is derived
+    // deterministically from events (window shift + value/type edits) so
+    // all four change classes are non-empty.
+    Q("ext_snapshot_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+        val old = ev.filter(col("event_id") < 8000)
+        val neu = ev.filter(col("event_id") >= 2000)
+          .withColumn("event_type",
+            when(col("event_id") % 13 === 0 && col("event_type") === "click",
+              lit("tap")).otherwise(col("event_type")))
+          .withColumn("value",
+            when(col("event_id") % 7 === 0, col("value") * 2)
+              .otherwise(col("value")))
+        SnapshotDiff.diff(old, neu,
+          keyCols = Seq("event_id"), compareCols = Seq("event_type", "value"))
+      },
+      Some("""WITH o AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id < 8000),
+        |n AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 AND event_type = 'click'
+        |         THEN 'tap' ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+        |  FROM events WHERE event_id >= 2000)
+        |SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+        |  CASE WHEN o.event_id IS NULL THEN 'added'
+        |       WHEN n.event_id IS NULL THEN 'removed'
+        |       WHEN (o.event_type IS DISTINCT FROM n.event_type)
+        |         OR (o.value IS DISTINCT FROM n.value) THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  CASE WHEN o.event_id IS NOT NULL AND n.event_id IS NOT NULL THEN
+        |    concat_ws(',',
+        |      CASE WHEN o.event_type IS DISTINCT FROM n.event_type
+        |           THEN 'event_type' END,
+        |      CASE WHEN o.value IS DISTINCT FROM n.value THEN 'value' END)
+        |  END AS changed_cols
+        |FROM o FULL OUTER JOIN n ON o.event_id = n.event_id""".stripMargin)),
 
     // Winsorization summary (ops/Quality.winsorize): exact per-group
     // p01/p99 bounds (percentile_disc rank form, group-partitioned

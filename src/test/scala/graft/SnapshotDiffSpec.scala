@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SnapshotDiff
+
+/** Dataset version diff (ops/SnapshotDiff): closed-form classification
+  * on hand data, null-key and null-value safety, summary roll-up, and
+  * the one-shuffle-per-side join shape. The catalog entry
+  * (`ext_snapshot_diff`) carries the DuckDB-oracle identity over a
+  * derived 10 k-row refresh.
+  */
+class SnapshotDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def old = Seq(
+    (1L, Some("a"), Some(1.0)),   // unchanged
+    (2L, Some("b"), Some(2.0)),   // value changes
+    (3L, Some("c"), Some(3.0)),   // both change
+    (4L, Some("d"), Some(4.0)),   // removed
+    (5L, None, Some(5.0)),        // null -> value appears: changed(event col)
+    (6L, Some("f"), None)         // null value unchanged (null-safe eq)
+  ).toDF("id", "t", "v")
+
+  private def neu = Seq(
+    (1L, Some("a"), Some(1.0)),
+    (2L, Some("b"), Some(20.0)),
+    (3L, Some("cc"), Some(30.0)),
+    (5L, Some("e"), Some(5.0)),
+    (6L, Some("f"), None),
+    (7L, Some("g"), Some(7.0))    // added
+  ).toDF("id", "t", "v")
+
+  test("diff: closed-form classification incl. null-safe comparisons") {
+    val out = SnapshotDiff.diff(old, neu, Seq("id"), Seq("t", "v"))
+      .select("id", "change_type", "changed_cols")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toList
+    assert(out == List(
+      (1L, "unchanged", Some("")),
+      (2L, "changed", Some("v")),
+      (3L, "changed", Some("t,v")),
+      (4L, "removed", None),
+      (5L, "changed", Some("t")),
+      (6L, "unchanged", Some("")),
+      (7L, "added", None)))
+  }
+
+  test("diff: null KEYS classify via markers, never by key sniffing") {
+    val o = Seq((Option(1L), "x"), (Option.empty[Long], "y")).toDF("id", "t")
+    val n = Seq((Option(1L), "x"), (Option.empty[Long], "z")).toDF("id", "t")
+    val out = SnapshotDiff.diff(o, n, Seq("id"), Seq("t"))
+      .select("id", "change_type")
+      .as[(Option[Long], String)].collect().toSet
+    // full-outer on a null key never matches (SQL join semantics): the
+    // null-keyed rows surface as one removed + one added, NOT as a
+    // misclassified pair — and neither is silently dropped
+    assert(out == Set(
+      (Some(1L), "unchanged"),
+      (None, "removed"),
+      (None, "added")))
+  }
+
+  test("summary: bounded per-class counts") {
+    val s = SnapshotDiff.summary(old, neu, Seq("id"), Seq("t", "v"))
+      .as[(String, Long)].collect().toMap
+    assert(s == Map(
+      "unchanged" -> 2L, "changed" -> 3L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("diff plan: one shuffle per side, comparison map-side after the join") {
+    val dir = graft.core.TmpDirs.scoped("snapdiff_plan")
+    old.write.mode("overwrite").parquet(s"$dir/old")
+    neu.write.mode("overwrite").parquet(s"$dir/new")
+    val plan = SnapshotDiff.diff(
+        spark.read.parquet(s"$dir/old"), spark.read.parquet(s"$dir/new"),
+        Seq("id"), Seq("t", "v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected at most one shuffle per side:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"))
+  }
+}
