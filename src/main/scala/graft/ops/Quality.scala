@@ -321,6 +321,86 @@ object Quality {
     row.getSeq[Double](0).toSeq
   }
 
+  /** Multi-column drift report: PSI of EVERY listed numeric column in a
+    * fixed number of passes, instead of 3 scans per column via repeated
+    * [[psiDrift]] calls — the deployment shape where a corpus monitor
+    * watches all its feature columns nightly.
+    *
+    * Pass structure (k columns, any k):
+    *  1. ONE melted pass over the reference — explode each row to
+    *     (col_name, value), aggregate to the per-column DISTINCT value
+    *     domain, cumulative window PARTITIONED BY col_name (columns rank
+    *     in parallel — better than psiDrift's unpartitioned window), one
+    *     conditional-min aggregate → all k×(bins−1) exact edges,
+    *     collected (bounded scalars).
+    *  2. ONE aggregation pass per snapshot — every column's whole
+    *     histogram rides as k×bins null-guarded conditional sums.
+    *  3. A stateless cross of the two 1-row histogram frames projects
+    *     the k×bins psi terms (same smoothing/rounding as [[psiDrift]]).
+    *
+    * Output: (col_name, bucket, ref_n, cur_n, psi_term), k×bins rows;
+    * Σ psi_term per col_name is that column's PSI. Per-column results
+    * are identical to `psiDrift(ref.select(c), cur.select(c), c, bins)`
+    * — pinned in QualitySpec.
+    */
+  def driftReport(ref: DataFrame, cur: DataFrame, columns: Seq[String],
+      bins: Int): DataFrame = {
+    require(columns.nonEmpty, "no columns to monitor")
+    require(bins >= 2, "need at least 2 bins")
+
+    // 1) all columns' exact edges from one melted pass
+    val melted = ref.select(explode(array(columns.map(c =>
+        struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("s"))
+      .select(col("s.c").as("__c"), col("s.v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val vc = melted.groupBy("__c", "__v").agg(count(lit(1)).as("__cnt"))
+    val byCol = Window.partitionBy(col("__c")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("__cum", sum("__cnt").over(byCol))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(col("__c"))))
+    val targets = (1 until bins).map(i => i.toDouble / bins)
+    val edgeAggs = targets.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(s"e$i")
+    }
+    val edgeRows = cum.groupBy("__c").agg(edgeAggs.head, edgeAggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> targets.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    columns.foreach { c =>
+      require(edgeRows.contains(c), s"reference snapshot has no non-null '$c'")
+    }
+
+    // 2) one histogram aggregate per snapshot: k×bins null-guarded sums
+    def histogram(df: DataFrame, tag: String): DataFrame = {
+      val aggs = for {
+        c <- columns; b <- 0 until bins
+      } yield sum(when(col(c).isNotNull &&
+          bucketExpr(c, edgeRows(c)) === b, 1L).otherwise(0L))
+        .as(s"__${tag}_${columns.indexOf(c)}_$b")
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val r = histogram(ref, "r")
+    val c2 = histogram(cur, "c")
+
+    // 3) stateless projection over the crossed 1-row frames
+    val joined = r.crossJoin(c2)
+    val rows = for {
+      (cName, ci) <- columns.zipWithIndex; b <- 0 until bins
+    } yield {
+      val refN = col(s"__r_${ci}_$b")
+      val curN = col(s"__c_${ci}_$b")
+      val nr = (0 until bins).map(i => col(s"__r_${ci}_$i")).reduce(_ + _)
+      val nc = (0 until bins).map(i => col(s"__c_${ci}_$i")).reduce(_ + _)
+      val pr = (refN.cast("double") + 0.5) / (nr.cast("double") + lit(0.5) * bins)
+      val pc = (curN.cast("double") + 0.5) / (nc.cast("double") + lit(0.5) * bins)
+      struct(lit(cName).as("col_name"), lit(b).as("bucket"),
+        refN.as("ref_n"), curN.as("cur_n"),
+        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+    }
+    joined.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
   /** Bucket index of `column` against sorted quantile `edges`: the
     * number of edges <= v (a codegen'd comparison fold, map-only). */
   private[graft] def bucketExpr(column: String, edges: Seq[Double]): Column =

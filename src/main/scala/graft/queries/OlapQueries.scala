@@ -800,6 +800,21 @@ object OlapQueries {
         |             / ((ref_n + 0.5) / (tr + 0.5 * nb))), 6) AS psi_term
         |FROM j CROSS JOIN t""".stripMargin)),
 
+    // Multi-column drift report (ops/Quality.driftReport): PSI of every
+    // monitored column in a fixed number of passes (melted edge pass +
+    // one histogram aggregate per snapshot), never 3 scans per column.
+    // Oracle: the ext_drift_psi chain generated per column, UNION ALL.
+    Q("ext_drift_report",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Quality.driftReport(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          columns = Seq("user_id", "value"), bins = 10)
+      },
+      Some(driftReportOracle(Seq("user_id", "value"), bins = 10,
+        refWhere = "event_id % 2 = 0", curWhere = "event_id % 2 = 1"))),
+
     // Exact two-sample Kolmogorov–Smirnov drift (ops/Quality.ksDrift):
     // D = max |F_ref − F_cur| over the merged DISTINCT value domain —
     // pure counts and IEEE divisions, bit-identical with no rounding.
@@ -932,5 +947,51 @@ object OlapQueries {
        |    $moments
        |  FROM src)
        |""".stripMargin + legs.mkString("\nUNION ALL\n")
+  }
+
+  /** SQL mirror of `Quality.driftReport`: the ext_drift_psi CTE chain
+    * (exact decile edges via the cumulative distinct-value table, bucket
+    * = count of edges <= v, Laplace smoothing, 6-dp ln rounding)
+    * generated once per monitored column, UNION ALL'd with the column
+    * name as `col_name`. */
+  private def driftReportOracle(cols: Seq[String], bins: Int,
+      refWhere: String, curWhere: String): String = {
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
+      s"""ref_$i AS (SELECT CAST($c AS DOUBLE) AS v FROM events
+         |         WHERE $refWhere AND $c IS NOT NULL),
+         |cur_$i AS (SELECT CAST($c AS DOUBLE) AS v FROM events
+         |        WHERE $curWhere AND $c IS NOT NULL),
+         |vc_$i AS (SELECT v, count(*) AS c FROM ref_$i GROUP BY v),
+         |cum_$i AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+         |                  sum(c) OVER () AS n FROM vc_$i),
+         |edges_$i AS (
+         |  SELECT t.i, min(CASE WHEN cum >= ceil((t.i / CAST($bins AS DOUBLE)) * n)
+         |                THEN v END) AS e
+         |  FROM cum_$i CROSS JOIN range(1, $bins) t(i) GROUP BY t.i),
+         |bref_$i AS (SELECT (SELECT count(*) FROM edges_$i WHERE r.v >= e) AS b
+         |         FROM ref_$i r),
+         |bcur_$i AS (SELECT (SELECT count(*) FROM edges_$i WHERE c2.v >= e) AS b
+         |         FROM cur_$i c2),
+         |rcnt_$i AS (SELECT b, count(*) AS rn FROM bref_$i GROUP BY b),
+         |ccnt_$i AS (SELECT b, count(*) AS cn FROM bcur_$i GROUP BY b),
+         |tot_$i AS (SELECT (SELECT count(*) FROM ref_$i) AS nr,
+         |               (SELECT count(*) FROM cur_$i) AS nc),
+         |leg_$i AS (
+         |  SELECT '$c' AS col_name, bucket,
+         |    COALESCE(rn, 0) AS ref_n, COALESCE(cn, 0) AS cur_n,
+         |    round(((COALESCE(cn, 0) + 0.5) / (nc + 0.5 * $bins)
+         |           - (COALESCE(rn, 0) + 0.5) / (nr + 0.5 * $bins))
+         |          * ln(((COALESCE(cn, 0) + 0.5) / (nc + 0.5 * $bins))
+         |               / ((COALESCE(rn, 0) + 0.5) / (nr + 0.5 * $bins))), 6)
+         |      AS psi_term
+         |  FROM spine
+         |  LEFT JOIN rcnt_$i ON spine.bucket = CAST(rcnt_$i.b AS INT)
+         |  LEFT JOIN ccnt_$i ON spine.bucket = CAST(ccnt_$i.b AS INT)
+         |  CROSS JOIN tot_$i)""".stripMargin
+    }
+    s"""WITH spine AS (SELECT CAST(i AS INT) AS bucket FROM range(0, $bins) t(i)),
+       |${perCol.mkString(",\n")}
+       |${cols.indices.map(i => s"SELECT * FROM leg_$i").mkString("\nUNION ALL\n")}"""
+      .stripMargin
   }
 }

@@ -226,6 +226,28 @@ class QualitySpec extends AnyFunSuite {
     assert(b <= d + 1e-12 && b > 0.0)
   }
 
+  test("driftReport: per-column results identical to psiDrift, one melted edge pass") {
+    val ref = (1 to 300).map(i => (i.toDouble, (i % 17).toDouble)).toDF("a", "b")
+    val cur = (150 to 500).map(i => (i.toDouble, (i % 23).toDouble)).toDF("a", "b")
+    val report = Quality.driftReport(ref, cur, Seq("a", "b"), bins = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val perCol = Seq("a", "b").flatMap { c =>
+      Quality.psiDrift(ref.select(c), cur.select(c), c, bins = 8)
+        .collect().map(r =>
+          (c, r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.toSet
+    assert(report == perCol)
+    // null values in one column must not leak into another column's
+    // bucket 0 (the null-guarded conditional sums)
+    val withNulls = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Some(5.0)), (Some(3.0), Some(6.0))).toDF("a", "b")
+    val rep = Quality.driftReport(withNulls, withNulls, Seq("a", "b"), bins = 2)
+    val counts = rep.filter(col("col_name") === "b")
+      .agg(sum("ref_n")).head().getLong(0)
+    assert(counts == 2L, "only b's non-null rows count in b's histogram")
+  }
+
   test("drift metrics are repartition-deterministic") {
     val ref = (1 to 1000).map(v => (v % 37).toDouble).toDF("value")
     val cur = (1 to 800).map(v => (v % 41).toDouble).toDF("value")
