@@ -41,26 +41,37 @@ object Quality {
     */
   sealed trait Check
   object Check {
-    /** Null fraction of `column` must be <= maxNullFrac. */
+    /** Null fraction of `column` (nulls / ALL rows) must be <= maxNullFrac. */
     final case class NotNull(column: String, maxNullFrac: Double = 0.0) extends Check
-    /** Duplicate fraction (non-null rows beyond the first per value) / n
-      * must be <= maxDupFrac. */
+    /** Duplicate fraction (non-null rows beyond the first per value,
+      * over ALL rows) must be <= maxDupFrac. */
     final case class Unique(column: String, maxDupFrac: Double = 0.0) extends Check
-    /** Fraction of non-null values outside [lo, hi] must be <= maxViolFrac. */
+    /** Violating-row fraction (non-null values outside [lo, hi], over
+      * ALL rows — nulls are NotNull's job, and a null never counts as a
+      * violation here) must be <= maxViolFrac. */
     final case class InRange(column: String, lo: Double, hi: Double,
         maxViolFrac: Double = 0.0) extends Check
-    /** Fraction of non-null values not in `values` must be <= maxViolFrac. */
+    /** Violating-row fraction (non-null values not in `values`, over ALL
+      * rows) must be <= maxViolFrac. */
     final case class InSet(column: String, values: Seq[String],
         maxViolFrac: Double = 0.0) extends Check
-    /** Fraction of non-null values NOT fully matching `regex` must be
-      * <= maxViolFrac. Keep patterns in the Java∩RE2 common subset if an
-      * external oracle must agree. */
+    /** Violating-row fraction (non-null values with NO match of `regex`,
+      * over ALL rows) must be <= maxViolFrac. Java-regex FIND semantics —
+      * an unanchored pattern matches anywhere in the value; anchor with
+      * ^…$ for full-string matching. Keep patterns in the Java∩RE2
+      * common subset if an external oracle must agree. */
     final case class Matches(column: String, regex: String,
         maxViolFrac: Double = 0.0) extends Check
-    /** Total row count must lie in [lo, hi]. */
+    /** Total row count must lie in [lo, hi]. The emitted threshold
+      * column shows `hi` (the schema has one threshold slot); `passed`
+      * encodes the full two-sided test, and `lo` lives in the check
+      * declaration. This is also the check that gates EMPTY tables —
+      * declare `RowCountBetween(1, …)` if zero rows must fail the gate,
+      * because all fraction metrics define an empty table as violation-
+      * free (0.0). */
     final case class RowCountBetween(lo: Long, hi: Long) extends Check
-    /** Fraction of non-null `column` values with no match in
-      * `dim.dimColumn` (orphan keys) must be <= maxOrphanFrac. The
+    /** Orphan-row fraction (non-null `column` values with no match in
+      * `dim.dimColumn`, over ALL rows) must be <= maxOrphanFrac. The
       * dimension is deduplicated and broadcast — it must be the bounded
       * side. */
     final case class RefIntegrity(column: String, dim: DataFrame,
@@ -137,13 +148,21 @@ object Quality {
           viol(col(c).isNotNull && col(s"__hit_$riIdx").isNull) / n, lit(t))
     }
 
-    val passExpr: Seq[Column] = checks.zip(aggCols).map {
+    // On a ZERO-row input every fraction is 0/0 = null and every viol
+    // sum is null; a gate that emits null metrics and null pass flags
+    // neither passes nor fails (and breaks typed consumers), so fraction
+    // metrics coalesce to 0.0 — "no violations among zero rows" — and
+    // emptiness itself is RowCountBetween's job (see its scaladoc).
+    val metrics = aggCols.map { case (ct, c, m, t) =>
+      (ct, c, coalesce(m, lit(0.0)), t)
+    }
+    val passExpr: Seq[Column] = checks.zip(metrics).map {
       case (RowCountBetween(lo, hi), (_, _, m, _)) =>
         (m >= lo.toDouble && m <= hi.toDouble).cast("int")
       case (_, (_, _, m, t)) => (m <= t).cast("int")
     }
 
-    aggCols.zip(passExpr).map { case ((ct, c, m, t), p) =>
+    metrics.zip(passExpr).map { case ((ct, c, m, t), p) =>
       struct(lit(ct).as("check_type"), lit(c).as("col_name"),
         m.as("metric"), t.as("threshold"), p.as("passed"))
     }
@@ -177,7 +196,9 @@ object Quality {
     * keeps the monitor's semantics.
     */
   def quantileEdges(df: DataFrame, column: String, bins: Int): Seq[Double] = {
-    val vc = df.filter(col(column).isNotNull)
+    // filter on the CAST value: a value that fails the numeric cast is a
+    // null for ranking purposes, never a nulls-first rank shifter
+    val vc = df.filter(col(column).cast("double").isNotNull)
       .groupBy(col(column).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
     val w = Window.orderBy(col("__v"))
@@ -206,28 +227,19 @@ object Quality {
   def psiDrift(ref: DataFrame, cur: DataFrame, column: String, bins: Int,
       exactEdges: Boolean = true): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
+    // ONE code path for the PSI arithmetic across psiDrift, the
+    // categorical variant, and both streaming twins: spine (edges + ref
+    // bucket counts, bounded collected artifacts) → single-aggregate
+    // histogram of the current snapshot → shared smoothed projection.
     val edges =
       if (exactEdges) quantileEdges(ref, column, bins)
       else approxQuantileEdges(ref, column, bins)
-    val bucket = bucketExpr(column, edges)
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.filter(col(column).isNotNull)
-        .groupBy(bucket.as("bucket"))
-        .agg(count(lit(1)).as(out))
-    val spark = ref.sparkSession
-    val spine = spark.range(0, bins).select(col("id").cast("int").as("bucket"))
-    val r = counts(ref, "ref_n")
-    val c = counts(cur, "cur_n")
-    val j = spine.join(r, Seq("bucket"), "left").join(c, Seq("bucket"), "left")
-      .na.fill(0L, Seq("ref_n", "cur_n"))
-    val nr = sum("ref_n").over(Window.partitionBy())
-    val nc = sum("cur_n").over(Window.partitionBy())
-    val pr = (col("ref_n").cast("double") + 0.5) /
-      (nr.cast("double") + lit(0.5) * bins)
-    val pc = (col("cur_n").cast("double") + 0.5) /
-      (nc.cast("double") + lit(0.5) * bins)
-    j.select(col("bucket"), col("ref_n"), col("cur_n"),
-      round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+    val refCounts = bucketCounts(ref, column, edges, bins)
+    val aggs = bucketHistogramAggs(column, edges, bins)
+    val agg = cur.agg(aggs.head, aggs.tail: _*)
+    psiTermsFromHistogram(agg,
+      refCounts.zipWithIndex.map { case (n, i) => (lit(i), n) }, "bucket",
+      keyCols = Nil)
   }
 
   /** Categorical PSI: frequency drift of a discrete column between two
@@ -268,8 +280,11 @@ object Quality {
     val label: Column =
       when(col(column).isInCollection(topSet), col(column).cast("string"))
         .otherwise(lit("(other)"))
+    // null guard inside the sums: a null value must not land in the
+    // "(other)" tail even when a caller forgets its own null filter
     spine.zipWithIndex.map { case ((c, _), i) =>
-      sum(when(label === c, 1L).otherwise(0L)).as(s"__n_$i")
+      sum(when(col(column).isNotNull && label === c, 1L).otherwise(0L))
+        .as(s"__n_$i")
     }
   }
 
@@ -313,7 +328,7 @@ object Quality {
   def approxQuantileEdges(df: DataFrame, column: String, bins: Int,
       accuracy: Int = 10000): Seq[Double] = {
     val ps = (1 until bins).map(_.toDouble / bins)
-    val row = df.filter(col(column).isNotNull)
+    val row = df.filter(col(column).cast("double").isNotNull)
       .agg(percentile_approx(col(column).cast("double"),
         array(ps.map(lit): _*), lit(accuracy)).as("qs"))
       .head()
@@ -346,6 +361,8 @@ object Quality {
   def driftReport(ref: DataFrame, cur: DataFrame, columns: Seq[String],
       bins: Int): DataFrame = {
     require(columns.nonEmpty, "no columns to monitor")
+    require(columns.distinct.size == columns.size,
+      s"duplicate monitored columns: ${columns.diff(columns.distinct).mkString(", ")}")
     require(bins >= 2, "need at least 2 bins")
 
     // 1) all columns' exact edges from one melted pass
@@ -372,12 +389,14 @@ object Quality {
     }
 
     // 2) one histogram aggregate per snapshot: k×bins null-guarded sums
+    // (guard on the CAST value — a cast-failing value is a null here,
+    // matching the melted edge pass above)
     def histogram(df: DataFrame, tag: String): DataFrame = {
       val aggs = for {
-        c <- columns; b <- 0 until bins
-      } yield sum(when(col(c).isNotNull &&
+        (c, ci) <- columns.zipWithIndex; b <- 0 until bins
+      } yield sum(when(col(c).cast("double").isNotNull &&
           bucketExpr(c, edgeRows(c)) === b, 1L).otherwise(0L))
-        .as(s"__${tag}_${columns.indexOf(c)}_$b")
+        .as(s"__${tag}_${ci}_$b")
       df.agg(aggs.head, aggs.tail: _*)
     }
     val r = histogram(ref, "r")
@@ -410,11 +429,27 @@ object Quality {
 
   /** One conditional-sum column per bucket — the numeric histogram of
     * `column` against `edges` in a single (streaming-legal) aggregation,
-    * the numeric twin of [[histogramAggs]]. */
+    * the numeric twin of [[histogramAggs]]. Null-guarded on the CAST
+    * value: null and cast-failing values count in NO bucket (bucketExpr
+    * alone would put them in bucket 0). */
   private[graft] def bucketHistogramAggs(column: String,
       edges: Seq[Double], bins: Int): Seq[Column] = {
     val b = bucketExpr(column, edges)
-    (0 until bins).map(i => sum(when(b === i, 1L).otherwise(0L)).as(s"__n_$i"))
+    (0 until bins).map(i =>
+      sum(when(col(column).cast("double").isNotNull && b === i, 1L)
+        .otherwise(0L)).as(s"__n_$i"))
+  }
+
+  /** Per-bucket counts of `column` against `edges` as a collected
+    * bins-length vector (missing buckets zero-filled) — the reference
+    * side of the shared PSI path. */
+  private[graft] def bucketCounts(df: DataFrame, column: String,
+      edges: Seq[Double], bins: Int): Seq[Long] = {
+    val byBucket = df.filter(col(column).cast("double").isNotNull)
+      .groupBy(bucketExpr(column, edges).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until bins).map(i => byBucket.getOrElse(i, 0L))
   }
 
   /** Bounded numeric reference spine for continuous drift monitoring
@@ -427,11 +462,7 @@ object Quality {
       bins: Int): (Seq[Double], Seq[Long]) = {
     require(bins >= 2, "need at least 2 bins")
     val edges = quantileEdges(ref, column, bins)
-    val byBucket = ref.filter(col(column).isNotNull)
-      .groupBy(bucketExpr(column, edges).as("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (edges, (0 until bins).map(i => byBucket.getOrElse(i, 0L)))
+    (edges, bucketCounts(ref, column, edges, bins))
   }
 
   /** Bounded reference spine for continuous drift monitoring
@@ -471,27 +502,39 @@ object Quality {
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, column: String): DataFrame = {
     def side(df: DataFrame, tag: Int): DataFrame =
-      df.filter(col(column).isNotNull)
+      df.filter(col(column).cast("double").isNotNull)
         .select(col(column).cast("double").as("__v"), lit(tag).as("__s"))
     val merged = side(ref, 1).unionAll(side(cur, 0))
       .groupBy("__v")
       .agg(
         sum(col("__s")).as("__cr"),
         sum(lit(1) - col("__s")).as("__cc"))
-    val w = Window.orderBy(col("__v"))
+    ksEpilogue(merged, orderCol = "__v")
+  }
+
+  /** Shared KS epilogue over a (orderCol, __cr, __cc) per-point count
+    * frame: bounded cumulative window → one max. An EMPTY side's CDF is
+    * identically 0 (guarded division), so ref-vs-nothing correctly
+    * reports D = 1 and alerts instead of a null that every `ks >= x`
+    * monitor check silently swallows; with NO points at all (both sides
+    * empty) counts are 0 and ks is null — genuinely undefined.
+    */
+  private def ksEpilogue(perPoint: DataFrame, orderCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
-    val cum = merged
+    val cum = perPoint
       .withColumn("__fr", sum("__cr").over(w))
       .withColumn("__fc", sum("__cc").over(w))
       .withColumn("__nr", sum("__cr").over(tot))
       .withColumn("__nc", sum("__cc").over(tot))
+    def cdf(f: String, nTot: String): Column =
+      when(col(nTot) === 0, lit(0.0))
+        .otherwise(col(f).cast("double") / col(nTot).cast("double"))
     cum.agg(
-      max("__nr").cast("long").as("ref_n"),
-      max("__nc").cast("long").as("cur_n"),
-      max(abs(
-        col("__fr").cast("double") / col("__nr").cast("double") -
-        col("__fc").cast("double") / col("__nc").cast("double"))).as("ks"))
+      coalesce(max("__nr"), lit(0L)).cast("long").as("ref_n"),
+      coalesce(max("__nc"), lit(0L)).cast("long").as("cur_n"),
+      max(abs(cdf("__fr", "__nr") - cdf("__fc", "__nc"))).as("ks"))
   }
 
   /** Binned two-sample KS for the continuous-column 100 TB path:
@@ -510,7 +553,7 @@ object Quality {
     require(edges.nonEmpty, "need at least one bucket edge")
     val bins = edges.size + 1
     def counts(df: DataFrame, out: String): DataFrame =
-      df.filter(col(column).isNotNull)
+      df.filter(col(column).cast("double").isNotNull)
         .groupBy(bucketExpr(column, edges).as("bucket"))
         .agg(count(lit(1)).as(out))
     val spark = ref.sparkSession
@@ -519,20 +562,7 @@ object Quality {
       .join(counts(ref, "__cr"), Seq("bucket"), "left")
       .join(counts(cur, "__cc"), Seq("bucket"), "left")
       .na.fill(0L, Seq("__cr", "__cc"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val cum = j
-      .withColumn("__fr", sum("__cr").over(w))
-      .withColumn("__fc", sum("__cc").over(w))
-      .withColumn("__nr", sum("__cr").over(tot))
-      .withColumn("__nc", sum("__cc").over(tot))
-    cum.agg(
-      max("__nr").cast("long").as("ref_n"),
-      max("__nc").cast("long").as("cur_n"),
-      max(abs(
-        col("__fr").cast("double") / col("__nr").cast("double") -
-        col("__fc").cast("double") / col("__nc").cast("double"))).as("ks"))
+    ksEpilogue(j, orderCol = "bucket")
   }
 
   /** Winsorization summary: exact per-group percentile bounds at pLo/pHi
@@ -545,7 +575,7 @@ object Quality {
       pLo: Double, pHi: Double): DataFrame = {
     require(0 < pLo && pLo < pHi && pHi <= 1, "need 0 < pLo < pHi <= 1")
     val grpW = Window.partitionBy(groupCol)
-    val base = df.filter(col(valueCol).isNotNull)
+    val base = df.filter(col(valueCol).cast("double").isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .withColumn("__rk", row_number().over(grpW.orderBy(col("__v").asc)))
       .withColumn("__n", count(lit(1)).over(grpW))
@@ -554,7 +584,11 @@ object Quality {
         col("__v"))).as("lo"),
       max(when(col("__rk") === greatest(lit(1L), ceil(lit(pHi) * col("__n"))),
         col("__v"))).as("hi"))
-    base.join(broadcast(bounds), Seq(groupCol))
+    // null-safe join back: windows/groupBy treat null as a real group,
+    // and an equality join would silently drop that whole group
+    base.join(broadcast(bounds.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"))
+      .drop("__g")
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),

@@ -67,6 +67,49 @@ class QualitySpec extends AnyFunSuite {
     assert(m.toSeq == Seq(0.0, 0.0))
   }
 
+  test("expectations: a zero-row table yields 0.0 metrics, RowCount gates emptiness") {
+    val empty = handTable.filter(lit(false))
+    val out = Quality.expectations(empty, Seq(
+      NotNull("name"), Unique("id"), InRange("score", 0, 100),
+      RowCountBetween(1L, 10L)))
+      .select("check_type", "metric", "passed")
+      .as[(String, Double, Int)].collect().toList
+    // fraction checks: no violations among zero rows -> 0.0 / pass (never
+    // null, which a `passed = 0` alert feed would silently swallow);
+    // emptiness itself is RowCountBetween's job -> 0 rows fails [1, 10]
+    assert(out == List(
+      ("not_null", 0.0, 1), ("unique", 0.0, 1),
+      ("in_range", 0.0, 1), ("row_count", 0.0, 0)))
+  }
+
+  test("ksDrift: an empty side is CDF 0 -> D = 1 and the alert fires") {
+    val ref = Seq(1.0, 2.0, 3.0).toDF("value")
+    val none = ref.filter(lit(false))
+    val (rn, cn, d) = Quality.ksDrift(ref, none, "value")
+      .as[(Long, Long, Double)].head()
+    assert((rn, cn, d) == ((3L, 0L, 1.0)), "ref vs nothing is maximal drift, not null")
+    val (rn2, cn2, d2) = Quality.ksDrift(none, ref, "value")
+      .as[(Long, Long, Double)].head()
+    assert((rn2, cn2, d2) == ((0L, 3L, 1.0)))
+    // binned variant: same guard through the shared epilogue
+    val (rb, cb, db) = Quality.ksDriftBinned(ref, none, "value", Seq(2.0))
+      .as[(Long, Long, Double)].head()
+    assert((rb, cb, db) == ((3L, 0L, 1.0)))
+  }
+
+  test("winsorize: a null group key is a real group, not silently dropped") {
+    val df = Seq((Option("a"), 1.0), (Option("a"), 2.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Option.empty[String], 30.0)).toDF("g", "value")
+    val out = Quality.winsorize(df, "value", "g", 0.25, 0.75)
+      .select("g", "n", "lo", "hi")
+      .as[(Option[String], Long, Double, Double)].collect()
+      .sortBy(_._1.getOrElse("")).toList
+    assert(out == List(
+      (None, 3L, 10.0, 30.0),
+      (Some("a"), 2L, 1.0, 2.0)))
+  }
+
   test("quantileEdges: percentile_disc rank semantics") {
     val df = (1 to 10).map(_.toDouble).toDF("v")
     // quartile edges over 1..10: ceil(0.25*10)=3, ceil(0.5*10)=5, ceil(0.75*10)=8
