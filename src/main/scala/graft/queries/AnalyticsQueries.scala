@@ -97,6 +97,73 @@ object AnalyticsQueries {
         |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Q10-style returned-item reporting: which customers returned the
+    // most revenue in a quarter. Fact-side filters (returnflag, date
+    // window) push to the scans; customer/nation broadcast; ONE shuffle
+    // for the group-by; the top-20 runs as TakeOrderedAndProject (no
+    // global sort materialization). Ordering is on the ROUNDED revenue +
+    // c_custkey, so the selected set is engine-deterministic even under
+    // exact revenue ties.
+    Q("q10_returned_items",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val nation = Tables.nation(s, dir)
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q18-style large-volume orders: the classic having-over-aggregate
+    // semi-join shape. lineitem aggregates ONCE per order (map-side
+    // combine), the having cut shrinks it to the big-order keys, and
+    // that SMALL survivor set joins orders/customer — the survivors are
+    // the broadcast side, never the fact table.
+    Q("q18_large_orders",
+      (s, dir) => {
+        val bigOrders = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+          .filter(col("sum_qty") > 150.0)
+        val cust = Tables.customer(s, dir)
+        Tables.orders(s, dir)
+          .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            col("sum_qty"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING round(sum(l_quantity), 2) > 150.0) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
     // Q5-style local-supplier revenue: 5-way join; every dimension
     // broadcast, single shuffle on the grouping key.
     Q("q5_region_revenue",
