@@ -209,6 +209,55 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(rows == List((10, 0.0, 1), (11, 0.4, 0)))
   }
 
+  test("drift monitor window state survives a checkpoint restart") {
+    // hour-0 rows arrive, the query runs and STOPS with hour 0's window
+    // still open; hours 1-2 arrive and a NEW query on the same
+    // checkpoint resumes — hour 0 must finalize from restored state, so
+    // the union of both runs equals the batch twin.
+    val dir = Files.createTempDirectory("graft_drift_restart").toString
+    val ckpt = Files.createTempDirectory("graft_drift_restart_ckpt").toString
+    val src = new java.io.File(streamDir).listFiles().map(_.getPath).sorted
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src(0)),
+      java.nio.file.Paths.get(s"$dir/h0.csv"))
+
+    DriftStreamSpec.restartRows.clear()
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).csv(dir)
+      val out = DriftStream.categoricalPsi(
+        stream, "ts", "cat", spine, windowDur = "1 hour",
+        watermarkDelay = "0 seconds")
+      val q = out.writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          DriftStreamSpec.restartRows.synchronized {
+            DriftStreamSpec.restartRows ++= df.collect()
+          }: Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()                                  // hour 0 ingested, window open
+    val afterRun1 = DriftStreamSpec.restartRows.size
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src(1)),
+      java.nio.file.Paths.get(s"$dir/h1.csv"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src(2)),
+      java.nio.file.Paths.get(s"$dir/h2.csv"))
+    run()                                  // resumes from the checkpoint
+
+    assert(afterRun1 == 0, "hour 0's window must still be open at the stop")
+    val streamedRows = DriftStreamSpec.restartRows.toList.map(r =>
+      (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val batch = DriftStream.categoricalPsiBatch(
+        spark.read.schema(schema).csv(streamDir), "ts", "cat", spine, "1 hour")
+      .filter(col("window_end") <= lit("2024-10-16 12:00:01").cast("timestamp"))
+      .select("window_start", "category", "ref_n", "cur_n", "psi_term")
+      .as[(java.sql.Timestamp, String, Long, Long, Double)].collect().toList
+    assert(streamedRows.toSet == batch.toSet,
+      "restored window state must finalize hour 0 exactly as batch")
+    assert(streamedRows.size == batch.size)
+  }
+
   test("per-window terms match Quality.psiCategorical run on that window alone") {
     // the streaming arithmetic must be the batch operator's arithmetic:
     // same window slice, same reference spine -> identical psi terms
@@ -225,4 +274,10 @@ class DriftStreamSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(fromOp == fromStreamTwin)
   }
+}
+
+object DriftStreamSpec {
+  /** Shared across the restart test's two query incarnations (foreachBatch
+    * closures run on the driver; the buffer outlives each query). */
+  val restartRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
 }
