@@ -882,6 +882,48 @@ object OlapQueries {
         |  END AS changed_cols
         |FROM o FULL OUTER JOIN n ON o.event_id = n.event_id""".stripMargin)),
 
+    // Binned KS drift (ops/Quality.ksDriftBinned): the continuous-column
+    // 100 TB swap for ksDrift — CDF gap evaluated at the reference's
+    // exact decile edges over a BOUNDED bucket spine instead of the full
+    // distinct-value domain. Oracle mirrors the edge/bucket arithmetic.
+    Q("ext_drift_ks_binned",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val ref = ev.filter(col("event_type") === "view").select("value")
+        val cur = ev.filter(col("event_type") === "purchase").select("value")
+        Quality.ksDriftBinned(ref, cur, "value",
+          Quality.quantileEdges(ref, "value", bins = 10))
+      },
+      Some("""WITH ref AS (SELECT value AS v FROM events
+        |         WHERE event_type = 'view' AND value IS NOT NULL),
+        |cur AS (SELECT value AS v FROM events
+        |        WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |vc AS (SELECT v, count(*) AS c FROM ref GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+        |        FROM vc),
+        |edges AS (
+        |  SELECT i, min(CASE WHEN cum >= ceil((i / 10.0) * n) THEN v END) AS e
+        |  FROM cum CROSS JOIN range(1, 10) t(i) GROUP BY i),
+        |bref AS (SELECT (SELECT count(*) FROM edges WHERE r.v >= e) AS b
+        |         FROM ref r),
+        |bcur AS (SELECT (SELECT count(*) FROM edges WHERE c2.v >= e) AS b
+        |         FROM cur c2),
+        |rcnt AS (SELECT b, count(*) AS rn FROM bref GROUP BY b),
+        |ccnt AS (SELECT b, count(*) AS cn FROM bcur GROUP BY b),
+        |spine AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 10) t(i)),
+        |j AS (SELECT bucket, COALESCE(rn, 0) AS cr, COALESCE(cn, 0) AS cc
+        |      FROM spine
+        |      LEFT JOIN rcnt ON spine.bucket = CAST(rcnt.b AS INT)
+        |      LEFT JOIN ccnt ON spine.bucket = CAST(ccnt.b AS INT)),
+        |k AS (SELECT sum(cr) OVER (ORDER BY bucket) AS fr,
+        |             sum(cc) OVER (ORDER BY bucket) AS fc,
+        |             sum(cr) OVER () AS nr, sum(cc) OVER () AS nc FROM j)
+        |SELECT CAST(max(nr) AS BIGINT) AS ref_n,
+        |  CAST(max(nc) AS BIGINT) AS cur_n,
+        |  max(abs(CAST(fr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |          - CAST(fc AS DOUBLE) / CAST(nc AS DOUBLE))) AS ks
+        |FROM k""".stripMargin)),
+
     // Winsorization summary (ops/Quality.winsorize): exact per-group
     // p01/p99 bounds (percentile_disc rank form, group-partitioned
     // windows), clip counts, and the 2-dp-grid-safe winsorized sum.
