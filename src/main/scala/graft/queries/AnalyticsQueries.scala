@@ -97,6 +97,55 @@ object AnalyticsQueries {
         |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Q4-style priority check: orders in a window having at least one
+    // returned line item, counted by priority — EXISTS compiled to a
+    // LEFT SEMI join (probe side never duplicates, no distinct needed),
+    // both scan filters pushed.
+    Q("q4_priority_semi",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Q22-style churned high-balance customers: above-average balance
+    // AND no orders in the recent window — NOT EXISTS as a LEFT ANTI
+    // join against the date-filtered orders; the corpus-wide average is
+    // a broadcast 1-row aggregate (rounded to the 2-dp acctbal grid so
+    // the threshold compare is engine-deterministic).
+    Q("q22_churned_customers",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "2000-01-01")
+        val avgBal = cust.agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_custs"),
+            round(sum("c_acctbal"), 2).as("total_bal"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer,
+        |  (SELECT round(avg(c_acctbal), 2) AS avg_bal FROM customer) t
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin)),
+
     // Q10-style returned-item reporting: which customers returned the
     // most revenue in a quarter. Fact-side filters (returnflag, date
     // window) push to the scans; customer/nation broadcast; ONE shuffle
