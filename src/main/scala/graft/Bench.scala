@@ -237,7 +237,7 @@ object Bench {
           // batch index would be a state-store/lineage leak — the thing a
           // long-running deployment cares about more than the mean
           if (ms > 0) telemetry =
-            f"""{"input_rows":$rows,"rows_per_sec":${rows * 1000.0 / ms}%.0f,"mean_batch_ms":${ms.toDouble / progs.length}%.0f,"batches":${progs.length},"state_partitions":$statePartitions,"batch_ms":${perBatch.mkString("[", ",", "]")}}"""
+            s"""{"input_rows":$rows,"rows_per_sec":${fm(rows * 1000.0 / ms, 0)},"mean_batch_ms":${fm(ms.toDouble / progs.length, 0)},"batches":${progs.length},"state_partitions":$statePartitions,"batch_ms":${perBatch.mkString("[", ",", "]")}}"""
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", shuffleRestore)
       streamingTelemetry = Option(telemetry).filter(_.nonEmpty)
@@ -288,13 +288,17 @@ object Bench {
       import org.apache.spark.sql.functions._
       val oc = Seq(col("event_timestamp"), col("parameter_name"))
       val marker = col("event_name") === "Cycle_Start"
-      results("w2_single_window") = timeMedian(force(
-        graft.ops.CycleDetection.sessionizeByMarker(
-          clean, Seq("machine_id"), oc, marker)))
-      results("w2_two_phase_prefix_sum") = timeMedian(force(
-        graft.ops.CycleDetection.sessionizeByMarkerScalable(
-          clean, Seq("machine_id"), oc, marker,
-          bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000)))))
+      // gated individually (like the skew triple): a BENCH_ONLY naming
+      // one variant must not pay — or record — the other
+      if (only.forall(_.contains("w2_single_window")))
+        results("w2_single_window") = timeMedian(force(
+          graft.ops.CycleDetection.sessionizeByMarker(
+            clean, Seq("machine_id"), oc, marker)))
+      if (only.forall(_.contains("w2_two_phase_prefix_sum")))
+        results("w2_two_phase_prefix_sum") = timeMedian(force(
+          graft.ops.CycleDetection.sessionizeByMarkerScalable(
+            clean, Seq("machine_id"), oc, marker,
+            bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000)))))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] w2 comparison failed: ${e.getMessage}")
     }
@@ -386,38 +390,44 @@ object Bench {
     * directory, i.e. the repo, so it is committed and survives the
     * driver's truncating `tail` capture of stdout).
     */
+  /** Locale-independent fixed-point rendering: the `f` interpolator is
+    * default-locale-sensitive and emits comma decimal separators (=
+    * invalid JSON) under e.g. de_DE — same rule as BenchUtil.fmt3. */
+  private def fm(x: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
+
   private def emit(
       results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
       sfDir: String,
       trials: Int,
       defaultFullPath: String = "bench_full.json"): String = {
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":${v.median}%.3f""" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fm(v.median, 3) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fm(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
 
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultFullPath)
     try {
       val entries = results.map { case (k, v) =>
-        val trialArr = v.trials.map(t => f"$t%.3f").mkString("[", ",", "]")
+        val trialArr = v.trials.map(t => fm(t, 3)).mkString("[", ",", "]")
         val gcArr = v.gcMsPerTrial.mkString("[", ",", "]")
         val skewArr = v.skewJoinsPerTrial.mkString("[", ",", "]")
         "    \"" + k + "\": {" +
-          f""""median":${v.median}%.3f,"trials":$trialArr,""" +
-          f""""gc_ms":$gcArr,"skew_joins":$skewArr,""" +
-          f""""loadavg_before":${v.loadAvgBefore}%.2f,"loadavg_after":${v.loadAvgAfter}%.2f,""" +
-          f""""process_cpu":${v.processCpu}%.3f}"""
+          s""""median":${fm(v.median, 3)},"trials":$trialArr,""" +
+          s""""gc_ms":$gcArr,"skew_joins":$skewArr,""" +
+          s""""loadavg_before":${fm(v.loadAvgBefore, 2)},"loadavg_after":${fm(v.loadAvgAfter, 2)},""" +
+          s""""process_cpu":${fm(v.processCpu, 3)}}"""
       }.mkString(",\n")
       val streamingField =
         streamingTelemetry.map(t => s"""  "streaming": $t,\n""").getOrElse("")
       val json =
-        f"""{
+        s"""{
            |  "sf": "$sfDir",
            |  "trials_per_query": $trials,
-           |  "total_median_sec": $total%.3f,
-           |  "loadavg_final": ${loadAvg()}%.2f,
+           |  "total_median_sec": ${fm(total, 3)},
+           |  "loadavg_final": ${fm(loadAvg(), 2)},
            |${streamingField}  "queries": {
            |$entries
            |  }

@@ -121,14 +121,17 @@ object AnalyticsQueries {
     // Q22-style churned high-balance customers: above-average balance
     // AND no orders in the recent window — NOT EXISTS as a LEFT ANTI
     // join against the date-filtered orders; the corpus-wide average is
-    // a broadcast 1-row aggregate (rounded to the 2-dp acctbal grid so
-    // the threshold compare is engine-deterministic).
+    // a broadcast 1-row aggregate expressed round(sum, 2)/count (the
+    // catalog's average-parity rule: the 2-dp-grid sum is engine-exact,
+    // so both engines divide bit-identical doubles — rounding avg()
+    // itself would NOT be deterministic near a rounding boundary).
     Q("q22_churned_customers",
       (s, dir) => {
         val cust = Tables.customer(s, dir)
         val recent = Tables.orders(s, dir)
           .filter(col("o_orderdate") >= "2000-01-01")
-        val avgBal = cust.agg(round(avg("c_acctbal"), 2).as("avg_bal"))
+        val avgBal = cust.agg(
+          (round(sum("c_acctbal"), 2) / count(col("c_acctbal"))).as("avg_bal"))
         cust.crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("avg_bal"))
           .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
@@ -139,7 +142,8 @@ object AnalyticsQueries {
       Some("""SELECT c_mktsegment, count(*) AS n_custs,
         |  round(sum(c_acctbal), 2) AS total_bal
         |FROM customer,
-        |  (SELECT round(avg(c_acctbal), 2) AS avg_bal FROM customer) t
+        |  (SELECT round(sum(c_acctbal), 2) / count(c_acctbal) AS avg_bal
+        |   FROM customer) t
         |WHERE c_acctbal > avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey

@@ -32,6 +32,16 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** The ONE copy of the timestamp-rendering parity pair (rule 1 in [[Q]]'s
+  * numeric-parity list): microsecond wall-clock strings on both engines.
+  * Each query object aliases these; editing a stray local copy can no
+  * longer desynchronize one file's queries from the rule.
+  */
+private[queries] object Fmt {
+  val tsSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  val tsDuck  = "%Y-%m-%d %H:%M:%S.%f"
+}
+
 object Catalog {
   def all: Seq[Q] =
     CoreQueries.all ++ AnalyticsQueries.all ++ OlapQueries.all ++

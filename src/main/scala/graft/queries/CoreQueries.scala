@@ -16,8 +16,8 @@ import graft.ops.{CycleDetection, ErrorRules}
   */
 object CoreQueries {
 
-  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private val tsFmtDuck  = "%Y-%m-%d %H:%M:%S.%f"
+  private val tsFmtSpark = Fmt.tsSpark
+  private val tsFmtDuck  = Fmt.tsDuck
   private val isoFmt     = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
   /** Running `signup`-marker count per user — the generic W2 sessionization
@@ -148,7 +148,9 @@ object CoreQueries {
         .withColumn("lang_n", when(col("lang") === "de", lit(null)).otherwise(col("lang")))
         .na.fill("unknown", Seq("lang_n"))
         .select("doc_id", "lang_n"),
-      Some("SELECT doc_id, CASE WHEN lang = 'de' THEN 'unknown' ELSE lang END AS lang_n FROM documents")),
+      // COALESCE mirrors na.fill: a source row whose lang is ALREADY null
+      // must also land on 'unknown' (latent until the corpus ships one)
+      Some("SELECT doc_id, COALESCE(CASE WHEN lang = 'de' THEN 'unknown' ELSE lang END, 'unknown') AS lang_n FROM documents")),
 
     // P4: dropna on a subset (null injected where value < 1).
     Q("p4_dropna_subset",

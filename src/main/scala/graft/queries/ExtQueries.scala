@@ -17,8 +17,8 @@ import graft.ops.{AsOfJoin, Curation, DatasetSplit, Graph, Multimodal, Packing, 
   */
 object ExtQueries {
 
-  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private val tsFmtDuck  = "%Y-%m-%d %H:%M:%S.%f"
+  private val tsFmtSpark = Fmt.tsSpark
+  private val tsFmtDuck  = Fmt.tsDuck
 
   /** Shared by `ext_dedup_incremental` and `ext_bloom_incremental`: the
     * Bloom prefilter provably cannot change the result (negatives are

@@ -14,8 +14,8 @@ import graft.ops.{Anomaly, Cohort, CycleDetection, DatasetSplit, Funnel, FuzzyJo
   */
 object OlapQueries {
 
-  private val tsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private val tsFmtDuck  = "%Y-%m-%d %H:%M:%S.%f"
+  private val tsFmtSpark = Fmt.tsSpark
+  private val tsFmtDuck  = Fmt.tsDuck
 
   val all: Seq[Q] = Seq(
 
@@ -200,9 +200,15 @@ object OlapQueries {
     // codegen fold. decay=0.5 keeps every weight an exact power of two,
     // so Spark and DuckDB compute identical terms; the discarded tail
     // beyond 50 observations weighs < 1e-15 of the total.
+    // Both sides read the NON-NULL value stream: the op itself skips
+    // null observations (collect_list) but DuckDB's list() keeps them,
+    // so a null row would silently shift the oracle's weights — parity
+    // is pinned on the explicit shared domain instead, and the op's
+    // null-skip semantics stay covered by ResampleSpec.
     Q("ts_ewma",
       (s, dir) => Resample.ewma(
-        Tables.events(s, dir).select("user_id", "event_id", "ts", "value"),
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select("user_id", "event_id", "ts", "value"),
         keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
         valueCol = "value", decay = 0.5, window = 50)
         .select(col("user_id"), col("event_id"),
@@ -212,7 +218,7 @@ object OlapQueries {
         |  SELECT user_id, event_id, ts, value,
         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS vs
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |x AS (
         |  SELECT user_id, event_id, ts, value, len(vs) AS l, vs[i] AS v, i
         |  FROM t, LATERAL (SELECT unnest(range(1, len(vs) + 1)) AS i) g)

@@ -31,10 +31,16 @@ object DedupStream {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
-  /** Batch twin: first arrival per exact text by (ts, tiebreak) order —
-    * what the streamed output must equal when every duplicate pair lies
-    * inside the horizon. `tieCol` resolves equal timestamps (file order
-    * is not a batch concept).
+  /** Batch twin: first arrival per exact text by (ts, tiebreak) order.
+    * The streamed output equals this when every duplicate pair lies
+    * inside the horizon AND arrival order matches event-time order (the
+    * file-replay contract the specs use). For out-of-order arrival the
+    * two legitimately differ in WHICH copy survives — the stream keeps
+    * the first-PROCESSED duplicate (arrival order is its only notion of
+    * "first"), the batch twin the event-time-least — while the surviving
+    * key set is identical either way; exact-duplicate texts make the
+    * difference invisible to downstream content anyway. `tieCol`
+    * resolves equal timestamps (file order is not a batch concept).
     */
   def dedupExactBatch(df: DataFrame, tsCol: String, textCol: String,
       tieCol: String): DataFrame = {

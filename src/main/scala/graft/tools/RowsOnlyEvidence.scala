@@ -2,7 +2,7 @@ package graft.tools
 
 /** Machine-readable trust chains for the rows-only catalog queries.
   *
-  * 13 of the 130 registered queries have no DuckDB-portable oracle
+  * 14 of the 144 registered queries have no DuckDB-portable oracle
   * (xxhash64 sketches, ANN, BPE), so the driver's `CORRECTNESS_r{N}.json`
   * records them as `no_oracle` — indistinguishable from "unchecked" to a
   * reader of that file alone. Each such query IS pinned by a named
