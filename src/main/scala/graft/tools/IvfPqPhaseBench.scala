@@ -46,9 +46,9 @@ object IvfPqPhaseBench {
     }
     val probeMedian = probeSecs.sorted.apply(trials / 2)
     println(
-      s"""{"metric":"ivfpq_phase_split","build_sec":${f"$buildSec%.3f"},""" +
-        s""""probe_median_sec":${f"$probeMedian%.3f"},""" +
-        s""""probe_trials":[${probeSecs.map(t => f"$t%.3f").mkString(",")}],""" +
+      s"""{"metric":"ivfpq_phase_split","build_sec":${BenchUtil.fmt3(buildSec)},""" +
+        s""""probe_median_sec":${BenchUtil.fmt3(probeMedian)},""" +
+        s""""probe_trials":[${probeSecs.map(BenchUtil.fmt3).mkString(",")}],""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

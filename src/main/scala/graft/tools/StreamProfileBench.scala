@@ -75,7 +75,8 @@ object StreamProfileBench {
     println(s"== conf: shuffle=$shuffle filesPerTrigger=$filesPerTrigger " +
       s"chunks=$chunks machines=$machines hours=$hours " +
       s"provider=${sys.env.getOrElse("STREAM_STATE_PROVIDER", "hdfs")}")
-    println(f"== wall $wall%.2f s, batches ${progs.length}, rows ${progs.map(_.numInputRows).sum}")
+    println(s"== wall ${String.format(java.util.Locale.ROOT, "%.2f", Double.box(wall))} s, " +
+      s"batches ${progs.length}, rows ${progs.map(_.numInputRows).sum}")
     progs.foreach(p => println(p.json))
     spark.stop()
   }

@@ -31,8 +31,13 @@ class GoldenPipelineSpec extends AnyFunSuite {
       .collect()
       .map(_.toSeq.map {
         case null => ""
-        case f: Float => f"$f%.3f"
-        case d: Double => f"$d%.3f"
+        // Locale.ROOT: the f interpolator is default-locale-sensitive and
+        // renders comma decimals under e.g. de_DE, which both corrupts
+        // the comma-joined canonical row AND mismatches the golden file
+        case f: Float =>
+          String.format(java.util.Locale.ROOT, "%.3f", Float.box(f))
+        case d: Double =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
         case x => x.toString
       }.mkString(","))
       .sorted
