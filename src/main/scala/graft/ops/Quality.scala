@@ -196,6 +196,7 @@ object Quality {
     * keeps the monitor's semantics.
     */
   def quantileEdges(df: DataFrame, column: String, bins: Int): Seq[Double] = {
+    require(bins >= 2, "need at least 2 bins")
     // filter on the CAST value: a value that fails the numeric cast is a
     // null for ranking purposes, never a nulls-first rank shifter
     val vc = df.filter(col(column).cast("double").isNotNull)
@@ -300,14 +301,22 @@ object Quality {
       keyCols: Seq[String]): DataFrame = {
     val bins = spine.size
     val refTotal = spine.map(_._2).sum
-    val curTotal = spine.indices.map(i => col(s"__n_$i")).reduce(_ + _)
+    // A ZERO-row current snapshot aggregates every conditional sum to
+    // null; without the coalesce all psi terms would be null and a
+    // `sum(psi_term) >= 0.2` monitor would silently swallow the alert
+    // (the ksDrift empty-side rule). Coalesced, the empty snapshot is
+    // the smoothed FLOOR histogram — PSI ≈ 0 against a near-uniform
+    // (e.g. decile) reference, so EMPTINESS itself is not PSI's signal:
+    // gate it with the expectation suite's RowCountBetween.
+    def curN(i: Int): Column = coalesce(col(s"__n_$i"), lit(0L))
+    val curTotal = spine.indices.map(curN).reduce(_ + _)
     val rows = spine.zipWithIndex.map { case ((label, refN), i) =>
       val pr = (lit(refN.toDouble) + 0.5) /
         (lit(refTotal.toDouble) + lit(0.5) * bins)
-      val pc = (col(s"__n_$i").cast("double") + 0.5) /
+      val pc = (curN(i).cast("double") + 0.5) /
         (curTotal.cast("double") + lit(0.5) * bins)
       struct(label.as(labelName), lit(refN).as("ref_n"),
-        col(s"__n_$i").as("cur_n"),
+        curN(i).as("cur_n"),
         round((pc - pr) * log(pc / pr), 6).as("psi_term"))
     }
     agg.select(keyCols.map(col) :+ explode(array(rows: _*)).as("__s"): _*)
@@ -327,6 +336,7 @@ object Quality {
     */
   def approxQuantileEdges(df: DataFrame, column: String, bins: Int,
       accuracy: Int = 10000): Seq[Double] = {
+    require(bins >= 2, "need at least 2 bins")
     val ps = (1 until bins).map(_.toDouble / bins)
     val row = df.filter(col(column).cast("double").isNotNull)
       .agg(percentile_approx(col(column).cast("double"),
@@ -402,15 +412,19 @@ object Quality {
     val r = histogram(ref, "r")
     val c2 = histogram(cur, "c")
 
-    // 3) stateless projection over the crossed 1-row frames
+    // 3) stateless projection over the crossed 1-row frames (sums
+    // coalesced: a zero-row snapshot must yield the smoothed floor, not
+    // null psi terms — see psiTermsFromHistogram)
     val joined = r.crossJoin(c2)
+    def cnt(tag: String, ci: Int, b: Int): Column =
+      coalesce(col(s"__${tag}_${ci}_$b"), lit(0L))
     val rows = for {
       (cName, ci) <- columns.zipWithIndex; b <- 0 until bins
     } yield {
-      val refN = col(s"__r_${ci}_$b")
-      val curN = col(s"__c_${ci}_$b")
-      val nr = (0 until bins).map(i => col(s"__r_${ci}_$i")).reduce(_ + _)
-      val nc = (0 until bins).map(i => col(s"__c_${ci}_$i")).reduce(_ + _)
+      val refN = cnt("r", ci, b)
+      val curN = cnt("c", ci, b)
+      val nr = (0 until bins).map(i => cnt("r", ci, i)).reduce(_ + _)
+      val nc = (0 until bins).map(i => cnt("c", ci, i)).reduce(_ + _)
       val pr = (refN.cast("double") + 0.5) / (nr.cast("double") + lit(0.5) * bins)
       val pc = (curN.cast("double") + 0.5) / (nc.cast("double") + lit(0.5) * bins)
       struct(lit(cName).as("col_name"), lit(b).as("bucket"),
@@ -475,17 +489,31 @@ object Quality {
     */
   def categorySpine(ref: DataFrame, column: String, topK: Int): Seq[(String, Long)] = {
     require(topK >= 1, "need at least one top category")
-    val nn = ref.filter(col(column).isNotNull)
-    val top = nn
+    // ONE grouped pass, persisted so the top-K collect and the total
+    // read the same snapshot (an uncached source directory changing
+    // between two jobs could otherwise yield an inconsistent — even
+    // negative — tail count).
+    val counts = ref.filter(col(column).isNotNull)
       .groupBy(col(column).cast("string").as("__cat"))
       .agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("__cat").asc)
-      .limit(topK)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toSeq
-    val total = nn.count()
-    top :+ ("(other)", total - top.map(_._2).sum)
+      .persist()
+    try {
+      val top = counts
+        .orderBy(col("__c").desc, col("__cat").asc)
+        .limit(topK)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      // "(other)" is this spine's reserved tail label; a REAL category
+      // with that exact name in the top-K would double-count its rows
+      // (they'd match both their own bucket and the tail) — refuse
+      // loudly instead of silently skewing every proportion.
+      require(!top.exists(_._1 == "(other)"),
+        s"top-$topK of '$column' contains the reserved label \"(other)\"; " +
+          "rename/escape that category before monitoring")
+      val total = counts.agg(sum("__c")).head().getLong(0)
+      top :+ ("(other)", total - top.map(_._2).sum)
+    } finally { counts.unpersist(); () }
   }
 
   /** Exact two-sample Kolmogorov–Smirnov statistic between `ref[column]`
@@ -574,21 +602,23 @@ object Quality {
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(0 < pLo && pLo < pHi && pHi <= 1, "need 0 < pLo < pHi <= 1")
+    // Bounds as whole-partition window maxes over the SAME group
+    // partitioning the rank pass already shuffles on: one Exchange
+    // total, no per-group bounds table to broadcast (which would be an
+    // unbounded artifact under a high-cardinality group key), and null
+    // group keys are ordinary window partitions — no join to drop them.
     val grpW = Window.partitionBy(groupCol)
     val base = df.filter(col(valueCol).cast("double").isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .withColumn("__rk", row_number().over(grpW.orderBy(col("__v").asc)))
       .withColumn("__n", count(lit(1)).over(grpW))
-    val bounds = base.groupBy(groupCol).agg(
-      max(when(col("__rk") === greatest(lit(1L), ceil(lit(pLo) * col("__n"))),
-        col("__v"))).as("lo"),
-      max(when(col("__rk") === greatest(lit(1L), ceil(lit(pHi) * col("__n"))),
-        col("__v"))).as("hi"))
-    // null-safe join back: windows/groupBy treat null as a real group,
-    // and an equality join would silently drop that whole group
-    base.join(broadcast(bounds.withColumnRenamed(groupCol, "__g")),
-        col(groupCol) <=> col("__g"))
-      .drop("__g")
+    base
+      .withColumn("lo", max(when(
+        col("__rk") === greatest(lit(1L), ceil(lit(pLo) * col("__n"))),
+        col("__v"))).over(grpW))
+      .withColumn("hi", max(when(
+        col("__rk") === greatest(lit(1L), ceil(lit(pHi) * col("__n"))),
+        col("__v"))).over(grpW))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),

@@ -83,7 +83,13 @@ object DriftStream {
 
   private def windowedAgg(df: DataFrame, tsCol: String, column: String,
       aggs: Seq[org.apache.spark.sql.Column], windowDur: String): DataFrame =
-    df.filter(col(column).isNotNull)
+    // Filter on the EVENT TIME, not the monitored column: the histogram
+    // aggs null-guard internally, and a window whose monitored column
+    // went 100% null (the schema-break failure mode) must still EMIT a
+    // row — its all-zero histogram is the smoothed-floor alert shape,
+    // whereas filtering the column away would silently render that
+    // window indistinguishable from "no traffic".
+    df.filter(col(tsCol).isNotNull)
       .groupBy(window(col(tsCol), windowDur))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))

@@ -85,6 +85,24 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("a window whose monitored column went all-null still emits the floor row") {
+    // schema-break failure mode: rows keep arriving but the monitored
+    // column is null for a whole window — the monitor must emit that
+    // window's all-zero histogram, not render it invisible
+    val df = Seq(
+      ("2024-10-16 10:00:00", Some("a")),
+      ("2024-10-16 11:10:00", Option.empty[String]),
+      ("2024-10-16 11:20:00", Option.empty[String])
+    ).toDF("ts", "cat").withColumn("ts", col("ts").cast("timestamp"))
+    val out = DriftStream.categoricalPsiBatch(df, "ts", "cat", spine, "1 hour")
+      .select(date_format(col("window_start"), "HH").cast("int").as("h"),
+        col("cur_n"), col("psi_term"))
+      .as[(Int, Long, Double)].collect()
+    val h11 = out.filter(_._1 == 11)
+    assert(h11.nonEmpty, "the all-null window must exist in the output")
+    assert(h11.forall { case (_, c, t) => c == 0L && !t.isNaN && !t.isInfinite })
+  }
+
   test("the drifted window trips the 0.2 alert, the matching one does not") {
     val batch = DriftStream.categoricalPsiBatch(
       spark.read.schema(schema).csv(streamDir), "ts", "cat", spine, "1 hour")

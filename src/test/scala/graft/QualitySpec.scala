@@ -235,6 +235,38 @@ class QualitySpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single fact scan, got $scans:\n$plan")
   }
 
+  test("PSI monitors: an empty current snapshot yields finite floor terms, never null") {
+    val ref = (1 to 100).map(_.toDouble).toDF("value")
+    val none = ref.filter(lit(false))
+    val num = Quality.psiDrift(ref, none, "value", bins = 5)
+      .select("cur_n", "psi_term").as[(Long, Double)].collect()
+    assert(num.length == 5)
+    assert(num.forall { case (c, t) => c == 0L && !t.isNaN && !t.isInfinite })
+    val refCat = Seq("a", "a", "b").toDF("cat")
+    val cat = Quality.psiCategorical(refCat, refCat.filter(lit(false)), "cat", topK = 1)
+      .select("cur_n", "psi_term").as[(Long, Double)].collect()
+    assert(cat.forall { case (c, t) => c == 0L && !t.isNaN && !t.isInfinite })
+    val rep = Quality.driftReport(ref, none, Seq("value"), bins = 4)
+      .select("cur_n", "psi_term").as[(Long, Double)].collect()
+    assert(rep.length == 4)
+    assert(rep.forall { case (c, t) => c == 0L && !t.isNaN && !t.isInfinite })
+    // the floor histogram is near-uniform, so vs a DECILE reference the
+    // PSI stays ~0: emptiness is RowCountBetween's alert, not PSI's
+    assert(math.abs(num.map(_._2).sum) < 0.05)
+  }
+
+  test("categorySpine: the reserved \"(other)\" label in top-K is refused loudly") {
+    val bad = Seq("(other)", "(other)", "x").toDF("cat")
+    val e = intercept[IllegalArgumentException] {
+      Quality.categorySpine(bad, "cat", topK = 1)
+    }
+    assert(e.getMessage.contains("reserved"))
+    // below the top-K it folds into the tail like any other value
+    val ok = Quality.categorySpine(
+      Seq("a", "a", "a", "(other)").toDF("cat"), "cat", topK = 1)
+    assert(ok == Seq(("a", 3L), ("(other)", 1L)))
+  }
+
   test("approxQuantileEdges: exact below the accuracy bound, psi swap agrees") {
     val ref = (1 to 1000).map(_.toDouble).toDF("value")
     // n < accuracy -> GK summaries are exact -> identical edges
