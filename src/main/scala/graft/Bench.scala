@@ -118,6 +118,14 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, QueryResult]()
 
+    // Prior committed medians, read BEFORE this run overwrites the file:
+    // the comparison baseline for the end-of-run isolation re-measures.
+    val fullPathForRun = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_partial.json"
+      else "bench_full.json")
+    val priorMedians: Map[String, Double] = readPriorMedians(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_full.json"))
+
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     // median of `trials` runs; queries are isolated between trials (no
     // cross-query or cross-trial cache reuse or cache pressure).
@@ -357,29 +365,95 @@ object Bench {
       }
     }
 
+    // Self-contained regression adjudication (round-9 verdict #2): every
+    // catalog query whose fresh median moved ≥ ISOLATION_RATIO vs the
+    // prior committed bench_full.json is re-measured ONCE MORE at the end
+    // of the run — after the catalog sweep's heap churn, cache cleared,
+    // full GC forced — and both numbers land in the artifact as
+    // `isolation_checks`. A host-contention phantom (slow in-run, normal
+    // in isolation) then adjudicates from the artifact itself, no manual
+    // forensics. Catalog queries only: the reference-shaped workloads
+    // (machine_day, streaming) are not re-runnable by name here.
+    val isolationJson: Seq[String] =
+      if (only.isDefined || priorMedians.isEmpty ||
+          sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("0")) Nil
+      else {
+        val ratioGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_RATIO", "1.5").toDouble
+        val topN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_TOP", "4").toInt
+        val catalogByName = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+        val movers = results.toSeq.collect {
+          case (name, r) if r.median >= 0.3 && catalogByName.contains(name) &&
+              priorMedians.get(name).exists(p => p >= 0.05 && r.median / p >= ratioGate) =>
+            (name, r.median, priorMedians(name))
+        }.sortBy { case (_, cur, prior) => -(cur / prior) }.take(topN)
+        movers.map { case (name, cur, prior) =>
+          System.gc()
+          spark.sharedState.cacheManager.clearCache()
+          val iso = try timeMedian(force(catalogByName(name).run(spark, sfDir)))
+          catch { case _: Throwable => QueryResult(-1.0, Nil, -1.0, -1.0, -1.0) }
+          s"""{"query":"$name","prior_median":${fm(prior, 3)},""" +
+            s""""run_median":${fm(cur, 3)},"isolated_median":${fm(iso.median, 3)},""" +
+            s""""ratio_run":${fm(cur / prior, 2)},"ratio_isolated":${fm(iso.median / prior, 2)},""" +
+            s""""isolated_trials":${iso.trials.map(t => fm(t, 3)).mkString("[", ",", "]")},""" +
+            s""""isolated_gc_ms":${iso.gcMsPerTrial.mkString("[", ",", "]")},""" +
+            s""""loadavg_after":${fm(iso.loadAvgAfter, 2)}}"""
+        }
+      }
+
     // dev runs must not clobber the committed full-catalog evidence:
     // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
     // the caller overrode the path explicitly
-    finalLine(spark, emit(results, sfDir, trials,
-      defaultFullPath =
-        if (only.isDefined) "bench_partial.json" else "bench_full.json"))
+    emit(results, sfDir, trials, fullPathForRun, isolationJson)
+    finalDigest(spark, results, sfDir, fullPathForRun)
   }
 
-  /** Round 8 lost 61/133 bench entries to the driver's truncating tail
-    * capture of stdout (`parsed: null`): Spark/log4j shutdown output
-    * landing AFTER the summary line pushed it partially out of the tail
-    * window. So: stop the session first, silence remaining loggers, then
-    * print the compact query→median JSON as the genuinely LAST stdout
-    * line and flush. The line is also printed before stop (unchanged
-    * shape since round 1) — a last-JSON-line-wins parser reads either. */
-  private def finalLine(spark: SparkSession, line: String): Unit = {
+  /** Parses `"name": {"median":X` entries out of a prior committed
+    * full-result file (our own writer's format — a regex is enough; no
+    * JSON library ships with the build).
+    */
+  private def readPriorMedians(path: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      val text = try src.mkString finally src.close()
+      val re = """"([A-Za-z0-9_]+)":\s*\{"median":(-?[0-9.]+)""".r
+      re.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Rounds 8–10 all lost the driver's stdout capture (`parsed: null`):
+    * round 8 to Spark shutdown noise printed after the summary line,
+    * rounds 9–10 to the line itself — at 140+ entries the compact
+    * query→median JSON is ~4 KB, and the driver's tail window clips its
+    * HEAD, leaving unparseable trailing JSON. So the genuinely last
+    * stdout line is now a <1 KB DIGEST: catalog total (the graded
+    * metric), entry/failure counts, the 5 slowest medians, and the
+    * sha256 of the committed full-result file — small enough that any
+    * tail buffer keeps it whole, self-authenticating via the hash. The
+    * full per-query line still prints earlier (emit, pre-stop) for any
+    * full-scan parser; the complete evidence lives in bench_full.json. */
+  private def finalDigest(spark: SparkSession,
+      results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
+      sfDir: String, fullPath: String): Unit = {
     try spark.stop() catch { case _: Throwable => () }
     try org.apache.logging.log4j.LogManager.getRootLogger match {
       case l: org.apache.logging.log4j.core.Logger =>
         l.setLevel(org.apache.logging.log4j.Level.OFF)
       case _ => ()
     } catch { case _: Throwable => () }
-    println(line)
+    val ok = results.values.map(_.median).filter(_ >= 0)
+    val total = ok.sum
+    val failed = results.size - ok.size
+    val top = results.toSeq.sortBy(-_._2.median).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fm(v.median, 3) }
+      .mkString("{", ",", "}")
+    val sha = try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fullPath))
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "" }
+    println(
+      s"""{"metric":"total","value":${fm(total, 3)},"unit":"sec","queries":$top,""" +
+        s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,""" +
+        s""""full_result":"$fullPath","sha256_bench_full":"$sha"}""")
     System.out.flush()
   }
 
@@ -400,7 +474,8 @@ object Bench {
       results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
       sfDir: String,
       trials: Int,
-      defaultFullPath: String = "bench_full.json"): String = {
+      fullPath: String,
+      isolationChecks: Seq[String] = Nil): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fm(v.median, 3) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
@@ -408,7 +483,6 @@ object Bench {
       s"""{"metric":"total","value":${fm(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
 
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", defaultFullPath)
     try {
       val entries = results.map { case (k, v) =>
         val trialArr = v.trials.map(t => fm(t, 3)).mkString("[", ",", "]")
@@ -422,13 +496,17 @@ object Bench {
       }.mkString(",\n")
       val streamingField =
         streamingTelemetry.map(t => s"""  "streaming": $t,\n""").getOrElse("")
+      val isolationField =
+        if (isolationChecks.isEmpty) ""
+        else isolationChecks.mkString(
+          "  \"isolation_checks\": [\n    ", ",\n    ", "\n  ],\n")
       val json =
         s"""{
            |  "sf": "$sfDir",
            |  "trials_per_query": $trials,
            |  "total_median_sec": ${fm(total, 3)},
            |  "loadavg_final": ${fm(loadAvg(), 2)},
-           |${streamingField}  "queries": {
+           |${streamingField}${isolationField}  "queries": {
            |$entries
            |  }
            |}
@@ -443,6 +521,5 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-result write failed: ${e.getMessage}")
     }
-    line
   }
 }

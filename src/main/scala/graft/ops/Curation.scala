@@ -33,6 +33,13 @@ object Curation {
     * the cap and get the exact τ-pairs (what the oracle-checked catalog
     * query does on the small fixture corpus, where the two agree —
     * CurationSpec pins that agreement).
+    *
+    * DUP-HEAVY CORPORA (every real crawl corpus): do NOT run this direct
+    * path — replication inflates shingle dfs past the cap and near-dup
+    * recall silently collapses (measured: 5% of true pairs at 10×
+    * replication). Run [[TextDedup.dedupPipeline]] first (exact dedup →
+    * near-dup among exact-unique survivors) and feed its `nearDupPairs` /
+    * `keepers` into [[curateDeduped]]; DedupSpec pins the recovery.
     */
   def curate(
       docs: DataFrame,

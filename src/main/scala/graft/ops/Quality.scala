@@ -278,8 +278,14 @@ object Quality {
     require(spine.nonEmpty && spine.last._1 == "(other)",
       "spine must come from categorySpine (tail bucket last)")
     val topSet = spine.init.map(_._1)
+    // categorySpine labels are col.cast("string"); compare against the
+    // IDENTICAL explicit cast here rather than letting Spark coerce the
+    // raw column, so both sides of the spine contract share one
+    // representation (implicit coercion can diverge from the explicit
+    // cast for e.g. decimals/timestamps)
+    val asStr = col(column).cast("string")
     val label: Column =
-      when(col(column).isInCollection(topSet), col(column).cast("string"))
+      when(asStr.isInCollection(topSet), asStr)
         .otherwise(lit("(other)"))
     // null guard inside the sums: a null value must not land in the
     // "(other)" tail even when a caller forgets its own null filter

@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * injected marker columns (never by key-null sniffing, so null keys in
   * the data can't corrupt classification); the per-column comparison
   * and the `changed_cols` assembly are codegen'd null-safe equality
-  * folds, map-side after the join. Diff keys are unique per snapshot
-  * (version keys), so the join is skew-free by construction; the
-  * common downstream `filter(change_type != 'unchanged')` prunes before
-  * any further shuffle.
+  * folds, map-side after the join.
+  *
+  * PRECONDITION: `keyCols` must identify rows uniquely WITHIN each
+  * snapshot (they are version keys). Duplicate keys turn the full-outer
+  * join many-to-many, silently duplicating and misclassifying rows —
+  * and [[summary]] then reports inflated counts. The caller owns this
+  * invariant; pass `assertUniqueKeys = true` to have a corrupt version
+  * table fail loudly instead (a per-key window count guard riding the
+  * join's own key partitioning — no extra pass over the data).
   */
 object SnapshotDiff {
 
@@ -28,16 +33,32 @@ object SnapshotDiff {
     * differ (null-safe), '' for unchanged rows, null for added/removed.
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String]): DataFrame = {
+      compareCols: Seq[String], assertUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(compareCols.nonEmpty, "need at least one compared column")
+    // Opt-in loud failure on duplicate version keys: the presence marker
+    // itself carries a raise_error guarded by a per-key window count, so
+    // the check evaluates exactly where the marker does and the window's
+    // hash partitioning on keyCols is the same one the join needs.
+    def marker(side: String): Column =
+      if (!assertUniqueKeys) lit(1)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+        when(count(lit(1)).over(w) > 1,
+          raise_error(concat(
+            lit(s"SnapshotDiff: duplicate key in $side snapshot: ("),
+            concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+            lit(")"))).cast("int"))
+          .otherwise(lit(1))
+      }
     val o = oldDf
       .select((keyCols ++ compareCols).map(col): _*)
-      .withColumn("__in_old", lit(1))
+      .withColumn("__in_old", marker("old"))
     val n = newDf
       .select(keyCols.map(col) ++
         compareCols.map(c => col(c).as(s"__new_$c")): _*)
-      .withColumn("__in_new", lit(1))
+      .withColumn("__in_new", marker("new"))
     val joined = o.join(n, keyCols, "full_outer")
     val diffs: Seq[(String, Column)] = compareCols.map { c =>
       c -> !(col(c) <=> col(s"__new_$c"))

@@ -294,6 +294,72 @@ object TextDedup {
     verifyJaccard(candidates, sh, tau, idCol)
   }
 
+  /** Output bundle of [[dedupPipeline]]: the exact-group table, the
+    * exact-unique survivor docs, the near-dup pairs found among them, and
+    * the final keeper docs (one per near-dup cluster). All lazy except
+    * `nearDupPairs` (eager via the pair operators' own contract).
+    */
+  final case class DedupPipelineResult(
+      exact: DataFrame,
+      survivors: DataFrame,
+      nearDupPairs: DataFrame,
+      keepers: DataFrame)
+
+  /** The MEASURED production dedup ordering — exact dedup FIRST, near-dup
+    * among the exact-unique survivors — composed as one call so a
+    * dup-heavy corpus (i.e. every real crawl corpus) gets the scale-safe
+    * path by default instead of by folklore.
+    *
+    * Why the ordering is load-bearing (round-9 10×-replication stress,
+    * PLANS.md "dedup family under 10× replication"): running the
+    * df-capped [[jaccardPairs]] DIRECTLY on a replicated corpus silently
+    * loses recall — measured 12,550 of 250,600 true pairs (5%) at 10×
+    * replication, because replication inflates every shingle's document
+    * frequency past `maxShingleDf` and the shared shingles vanish from
+    * candidate generation. Exact-first fixes it structurally:
+    *   1. [[exactGroups]] collapses every byte-identical replication
+    *      group to one keeper — a single hash-groupBy shuffle that
+    *      removes ALL replication (measured 1.5× time at 10× input);
+    *   2. near-dup runs on the survivor set, where dfs are back to
+    *      natural levels and the cap is the boilerplate guard it was
+    *      designed to be (`useMinHash = true`, the default, uses
+    *      [[minHashPairs]] — itself measured exactly lossless under
+    *      replication — so even a still-dup-heavy survivor set is safe);
+    *   3. pairs among non-keeper replicas are IMPLIED by `exact`
+    *      (every member duplicates its group's keeper), so nothing the
+    *      direct path loses is lost here — DedupSpec pins the recovery
+    *      on the 10×-replicated fixture.
+    *
+    * Scale shape: stage 1 is one shuffle on a 128-bit hash; stage 2 sees
+    * only unique content, so its bucket geometry is the natural corpus's;
+    * `keepers` is two anti-join-shaped prunes off already-small tables.
+    */
+  def dedupPipeline(
+      docs: DataFrame,
+      k: Int = 2,
+      tau: Double = 0.8,
+      useMinHash: Boolean = true,
+      numHashes: Int = 128,
+      rowsPerBand: Int = 4,
+      maxShingleDf: Long = 1000L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DedupPipelineResult = {
+    val groups = exactGroups(docs, idCol, textCol)
+    val survivors = docs.join(
+      groups.select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
+    val pairs =
+      if (useMinHash)
+        minHashPairs(survivors, k, numHashes, rowsPerBand, tau, idCol)
+      else
+        jaccardPairs(survivors, k, tau, maxShingleDf, idCol, checkpointDir)
+    val losers = clusters(pairs, checkpointDir = checkpointDir)
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as(idCol))
+    val keepers = survivors.join(losers, Seq(idCol), "left_anti")
+    DedupPipelineResult(groups, survivors, pairs, keepers)
+  }
+
   /** Incremental ingest dedup — the corpus-GROWTH operation: from a new
     * batch, keep only the documents that are neither exact nor near
     * (Jaccard ≥ τ) duplicates of the EXISTING corpus, without ever

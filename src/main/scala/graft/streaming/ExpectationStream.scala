@@ -28,6 +28,15 @@ import graft.ops.Quality.Check
   * Output (append, finalized on watermark expiry): (window_start,
   * window_end, check_type, col_name, metric, threshold, passed 0/1) —
   * `passed = 0` rows are the alert feed.
+  *
+  * NO-TRAFFIC CAVEAT: a window with zero arriving rows emits NO output
+  * rows at all (append-mode aggregations only materialize windows that
+  * saw data), so `RowCountBetween(1, …)` — the emptiness gate in the
+  * BATCH operator — can never fire here for "no data arrived": there is
+  * no row to carry `passed = 0`. In this streaming twin the no-traffic
+  * signal is the ABSENT window itself; consumers must alert on a missing
+  * window row (e.g. a gap in `window_start` continuity downstream)
+  * separately from the `passed = 0` feed.
   */
 object ExpectationStream {
 

@@ -44,7 +44,7 @@ object IvfPqPhaseBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    val probeMedian = probeSecs.sorted.apply(trials / 2)
+    val probeMedian = BenchUtil.median(probeSecs)
     println(
       s"""{"metric":"ivfpq_phase_split","build_sec":${BenchUtil.fmt3(buildSec)},""" +
         s""""probe_median_sec":${BenchUtil.fmt3(probeMedian)},""" +

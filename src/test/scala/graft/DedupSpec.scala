@@ -63,6 +63,61 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("dedupPipeline (exact-first) recovers the pairs the df-capped direct path loses") {
+    // The round-9 stress measured the failure mode (direct df-capped
+    // jaccardPairs finds 5% of true pairs at 10× replication) and the fix
+    // (exact dedup first, near-dup among survivors). This pins the fix as
+    // an executable identity, in miniature: a cap that is harmless at
+    // NATURAL dfs (a planted near-dup pair's shared shingles have df 2)
+    // binds after 3× replication (the same shingles reach df 6), so the
+    // direct path silently loses pairs — while dedupPipeline's recovered
+    // pair set (within-exact-group pairs + survivor near-dup pairs fanned
+    // out over group members) equals the UNCAPPED truth exactly.
+    val reps = 3
+    val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val replicated = (0 until reps).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * idSpan)))
+      .reduce(_.unionAll(_)).cache()
+    try {
+      val truth = pairSet(TextDedup.jaccardPairs(replicated, k = 2, tau = 0.8,
+        maxShingleDf = Long.MaxValue))
+      val direct = pairSet(TextDedup.jaccardPairs(replicated, k = 2, tau = 0.8,
+        maxShingleDf = 2L))
+      assert(direct.size < truth.size,
+        s"cap should bind on the replicated corpus (direct ${direct.size} vs truth ${truth.size})")
+
+      val pipe = TextDedup.dedupPipeline(replicated, k = 2, tau = 0.8)
+      // survivors = one keeper per distinct text
+      val uniqueTexts = replicated.select("text").distinct().count()
+      assert(pipe.survivors.count() == uniqueTexts)
+
+      // expand the pipeline's structural knowledge back to explicit pairs
+      val membership = replicated.select(md5(col("text")).as("h"), col("doc_id"))
+      val within = membership.as("a").join(membership.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val keeperHash = membership.groupBy("h").agg(min("doc_id").as("sid"))
+      val expanded = pipe.nearDupPairs.select("d1", "d2")
+        .join(keeperHash.select(col("sid").as("d1"), col("h").as("h1")), "d1")
+        .join(keeperHash.select(col("sid").as("d2"), col("h").as("h2")), "d2")
+        .join(membership.select(col("h").as("h1"), col("doc_id").as("m1")), "h1")
+        .join(membership.select(col("h").as("h2"), col("doc_id").as("m2")), "h2")
+        .select(least(col("m1"), col("m2")).as("d1"),
+          greatest(col("m1"), col("m2")).as("d2"))
+      val recovered = pairSet(within.unionAll(expanded).distinct())
+      assert(recovered == truth,
+        s"pipeline must recover the full uncapped pair set (missing ${(truth -- recovered).size}, extra ${(recovered -- truth).size})")
+
+      // keepers = survivors minus near-dup cluster losers, never empty
+      val losers = TextDedup.clusters(pipe.nearDupPairs)
+        .filter(col("cluster_id") =!= col("id")).count()
+      assert(pipe.keepers.count() == uniqueTexts - losers)
+    } finally {
+      replicated.unpersist()
+      ()
+    }
+  }
+
   test("SimHash(64) within hamming<=7 recalls the high-Jaccard pairs") {
     val exact = pairSet(TextDedup.jaccardPairs(docs, k = 2, tau = 0.9))
     val sim = pairSet(TextDedup.simHashPairs(docs, maxHamming = 7, numBlocks = 8))
