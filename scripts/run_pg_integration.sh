@@ -40,6 +40,40 @@ fi
 psql -h localhost -p "$PORT" -U graft -d graft -c "SELECT 1" >/dev/null 2>&1 \
   || psql -h localhost -p "$PORT" -U graft -d postgres -c "CREATE DATABASE graft"
 
+# Self-recording (round-9 verdict #4): every run appends a machine-readable
+# result block to the committed PG_EVIDENCE.json, so the round's standing
+# evidence shows executed-latest live-Postgres status without a re-run.
+SBT_OUT="$(mktemp)"
+SBT_RC=0
 PG_URL="jdbc:postgresql://localhost:$PORT/graft?user=graft" \
 PG_DRIVER_JAR="$JAR" \
-  sbt -batch "testOnly graft.PostgresIntegrationSpec"
+  sbt -batch "testOnly graft.PostgresIntegrationSpec" 2>&1 | tee "$SBT_OUT" \
+  || SBT_RC=$?
+
+SERVER_VERSION="$(psql -h localhost -p "$PORT" -U graft -d graft -tAc 'SELECT version()' 2>/dev/null || echo unknown)"
+python3 - "$SBT_OUT" "$SBT_RC" "$SERVER_VERSION" <<'PYEOF'
+import json, re, sys, datetime, os
+out_path = "PG_EVIDENCE.json"
+text = open(sys.argv[1], encoding="utf-8", errors="replace").read()
+m = re.search(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", text)
+entry = {
+    "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+    "server_version": sys.argv[3].strip(),
+    "suite": "graft.PostgresIntegrationSpec",
+    "succeeded": int(m.group(1)) if m else None,
+    "failed": int(m.group(2)) if m else None,
+    "canceled": int(m.group(3)) if m else None,
+    "sbt_rc": int(sys.argv[2]),
+}
+runs = []
+if os.path.exists(out_path):
+    try:
+        runs = json.load(open(out_path)).get("runs", [])
+    except Exception:
+        runs = []
+runs.append(entry)
+json.dump({"runs": runs}, open(out_path, "w"), indent=1)
+print(f"[pg-evidence] recorded run -> {out_path}: {entry}")
+PYEOF
+exit "$SBT_RC"

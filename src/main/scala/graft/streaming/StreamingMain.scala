@@ -23,7 +23,13 @@ import graft.model.Rules
   *   - `GRAFT_CHECKPOINT` — streaming checkpoint dir (default
   *     `./checkpoint`; must be durable in production);
   *   - `GRAFT_WATERMARK` — lateness bound (default `2 hours`);
-  *   - `GRAFT_CORES` — local parallelism (default 32).
+  *   - `GRAFT_CORES` — local parallelism (default 32);
+  *   - `GRAFT_STATE_PARTITIONS` — state/shuffle partitions for the
+  *     stateful query (default 8, the measured key-geometry rule —
+  *     see [[StreamingPipeline.configureStateSizing]]);
+  *   - `GRAFT_STATE_PROVIDER` — `rocksdb` to swap the state store
+  *     (measured to flip with key count; re-derive with
+  *     `graft.tools.StreamProfileBench`).
   */
 object StreamingMain {
 
@@ -39,7 +45,13 @@ object StreamingMain {
       checkpointDir: String,
       rules: Seq[graft.model.EventRule],
       watermark: String = "2 hours",
-      props: Map[String, String] = Map.empty): StreamingQuery = {
+      props: Map[String, String] = Map.empty,
+      statePartitions: Int = StreamingPipeline.DefaultStatePartitions,
+      rocksDbStateStore: Boolean = false): StreamingQuery = {
+    // stateful queries are commit-bound when over-partitioned — size
+    // state partitions to key geometry, not batch defaults (measured:
+    // StreamingPipeline.configureStateSizing scaladoc / PLANS.md sweep)
+    StreamingPipeline.configureStateSizing(spark, statePartitions, rocksDbStateStore)
     // dedup BEFORE the stateful stages: a collector re-dropping a day's
     // CSV under a new filename is a brand-new file to the file source,
     // and without this stage its rows would re-enter cycle state and
@@ -71,6 +83,9 @@ object StreamingMain {
     val configPath = env.getOrElse("GRAFT_CONFIG", "./config/rules.json")
     val ckpt = env.getOrElse("GRAFT_CHECKPOINT", "./checkpoint")
     val wm = env.getOrElse("GRAFT_WATERMARK", "2 hours")
+    val stateParts = env.getOrElse("GRAFT_STATE_PARTITIONS",
+      StreamingPipeline.DefaultStatePartitions.toString).toInt
+    val rocksDb = env.get("GRAFT_STATE_PROVIDER").contains("rocksdb")
     val rules = Rules.loadFileOrEmpty(configPath)
 
     val url = s"jdbc:postgresql://${db("DB_HOST")}/${db("DB_NAME")}"
@@ -81,7 +96,8 @@ object StreamingMain {
     val spark = GraftSession.local(env.getOrElse("GRAFT_CORES", "32").toInt, "graft-streaming")
     try {
       val q = run(spark, dataDir, url, "hourly_machine_summary",
-        JdbcSinks.dialectFor(url), ckpt, rules, wm, props)
+        JdbcSinks.dialectFor(url), ckpt, rules, wm, props,
+        statePartitions = stateParts, rocksDbStateStore = rocksDb)
       q.awaitTermination()
     } catch {
       case e: Exception =>

@@ -20,6 +20,45 @@ import graft.model.Schemas
   */
 object StreamingPipeline {
 
+  /** Measured default for [[configureStateSizing]]: 8 state partitions —
+    * the best setting across BOTH key geometries of the machine-day sweep
+    * (1 machine × 24 h and 8 machines × 3 h, PLANS.md round-9 state
+    * sweep). */
+  val DefaultStatePartitions = 8
+
+  /** Sizes a session for a STATEFUL streaming query — the measured rule,
+    * as config instead of lore: shuffle/state partitions scale with
+    * active keys and per-trigger commit budget, never inherited from
+    * batch sizing. Every state-store instance pays a durable commit
+    * (delta file + fsync) on EVERY micro-batch regardless of how little
+    * state it holds, so an over-partitioned stateful query is
+    * commit-bound twice over (fsync queueing). Measured on the
+    * machine-day replay (`graft.tools.StreamProfileBench`, the
+    * re-derivation tool for any new deployment): trigger-time sum 83.8 s
+    * at 32 partitions vs 26.5 s at 8 — state-store commitTimeMs
+    * collapses from ~41 s/batch summed to ~1.4 s.
+    *
+    * `rocksDbStateStore` swaps the HDFS-backed default for RocksDB —
+    * measured to FLIP with key count (PLANS.md: HDFS wins the 1-machine
+    * day 26.5 s vs 30.1 s; RocksDB wins the 8-machine geometry 26.0 s vs
+    * 34.4 s), so re-derive per deployment with StreamProfileBench rather
+    * than hardcoding either.
+    *
+    * Call BEFORE the query's first `start()`: the state partition count
+    * is frozen into the checkpoint on first run, and changing it later
+    * requires a fresh checkpoint.
+    */
+  def configureStateSizing(
+      spark: SparkSession,
+      statePartitions: Int = DefaultStatePartitions,
+      rocksDbStateStore: Boolean = false): Unit = {
+    require(statePartitions > 0, "statePartitions must be positive")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    if (rocksDbStateStore)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+
   /** Post-cleanse event (the stream-side mirror of the batch cleanse). */
   final case class CleanedEvent(
       event_timestamp: Timestamp,

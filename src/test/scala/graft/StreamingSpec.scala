@@ -16,6 +16,15 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** StreamingMain.run sizes the session's state partitions (by design —
+    * the conf must be live when the query starts); restore it afterwards
+    * so the shared test session's shuffle sizing doesn't leak into later
+    * suites. */
+  private def withRestoredStateConf[A](body: => A): A = {
+    val restore = spark.conf.get("spark.sql.shuffle.partitions")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", restore)
+  }
+
   /** Fixture CSV split into two time-ordered files => two micro-batches
     * (maxFilesPerTrigger=1), so cycle state must survive a batch boundary.
     */
@@ -878,10 +887,12 @@ class StreamingSpec extends AnyFunSuite {
       .setLastModified(base + src.length * 2000L): Unit
 
     val ckpt = Files.createTempDirectory("graft_replay_ckpt").toString
-    val q = graft.streaming.StreamingMain.run(
-      spark, dir, url, "replay_sum", JdbcSinks.UpdateInsertUpsert, ckpt,
-      graft.model.Rules.referenceDefaults, watermark = "48 hours")
-    try q.processAllAvailable() finally q.stop()
+    withRestoredStateConf {
+      val q = graft.streaming.StreamingMain.run(
+        spark, dir, url, "replay_sum", JdbcSinks.UpdateInsertUpsert, ckpt,
+        graft.model.Rules.referenceDefaults, watermark = "48 hours")
+      try q.processAllAvailable() finally q.stop()
+    }
 
     // cycle counts must equal the batch run over the ORIGINAL (unreplayed)
     // fixture — re-delivered rows must not inflate anything
@@ -923,10 +934,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally conn.close()
 
     val ckpt = Files.createTempDirectory("graft_main_ckpt").toString
-    val q = graft.streaming.StreamingMain.run(
-      spark, streamDir, url, "stream_full", JdbcSinks.UpdateInsertUpsert, ckpt,
-      graft.model.Rules.referenceDefaults)
-    try q.processAllAvailable() finally q.stop()
+    withRestoredStateConf {
+      // StreamingMain.run applies the measured state sizing (8 partitions)
+      // to the session it starts on — pin that the parameterized API is
+      // actually wired, not just exposed
+      val q = graft.streaming.StreamingMain.run(
+        spark, streamDir, url, "stream_full", JdbcSinks.UpdateInsertUpsert, ckpt,
+        graft.model.Rules.referenceDefaults)
+      try {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") ==
+          graft.streaming.StreamingPipeline.DefaultStatePartitions.toString)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
 
     // batch expectation (trailing open cycles excluded from cycle stats);
     // integer columns compared exactly — Derby launders FLOAT to double
