@@ -26,10 +26,17 @@ class TimestampEncodingSpec extends AnyFunSuite
   private lazy val spark: SparkSession = TestSpark.spark
 
   // Fixed instants incl. sub-second precision; micros since epoch (UTC).
+  // The last two are the DST edge cases (round-9 verdict #6): every
+  // encoding — including the committed pyarrow NANOS fixture — must
+  // normalize an instant that lands in a fall-back REPEATED wall-clock
+  // hour and one in a spring-forward GAP identically on any session zone,
+  // not just the NTZ unit pin.
   private val micros = Seq(
     1704067200000000L,        // 2024-01-01 00:00:00
     1704067200123456L,        // 2024-01-01 00:00:00.123456
-    1711929599999999L)        // 2024-03-31 23:59:59.999999
+    1711929599999999L,        // 2024-03-31 23:59:59.999999
+    1730615400000000L,        // 2024-11-03 06:30:00Z — NY fall-back overlap
+    1710055800000000L)        // 2024-03-10 07:30:00Z — NY spring-forward gap
 
   private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
 
@@ -70,8 +77,9 @@ class TimestampEncodingSpec extends AnyFunSuite
     dir.toString
   }
 
-  private def readMicros(dir: String, shape: String): Map[Long, Long] = {
-    val ev = Tables.events(spark, dir)
+  private def readMicros(dir: String, shape: String,
+      session: SparkSession = spark): Map[Long, Long] = {
+    val ev = Tables.events(session, dir)
     withClue(s"encoding '$shape' must normalize to TimestampType: ") {
       assert(ev.schema("ts").dataType == TimestampType,
         s"Tables.events left ts as ${ev.schema("ts").dataType} for parquet " +
@@ -95,10 +103,20 @@ class TimestampEncodingSpec extends AnyFunSuite
   }
 
   test("Tables.events yields identical TimestampType micros for all four encodings") {
+    // Read each encoding twice: on the UTC session AND on an
+    // America/New_York session, so the DST-ambiguous instants in the
+    // fixture (fall-back overlap, spring-forward gap) exercise every
+    // encoding's normalization path under the zone where the wall clock
+    // is ambiguous — not just the NTZ unit pin below.
     val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
     for (shape <- Seq("nanos_int64", "micros_ntz", "micros_utc", "int96")) {
-      val got = readMicros(writeVariant(shape), shape)
-      withClue(s"encoding '$shape': ") { assert(got == expected) }
+      val dir = writeVariant(shape)
+      withClue(s"encoding '$shape': ") { assert(readMicros(dir, shape) == expected) }
+      withClue(s"encoding '$shape' under America/New_York: ") {
+        assert(readMicros(dir, shape, ny) == expected)
+      }
     }
   }
 
@@ -135,11 +153,10 @@ class TimestampEncodingSpec extends AnyFunSuite
     //  - 2024-03-10 07:30:00Z → wall 02:30, the spring-forward GAP (a
     //    wall clock that never existed in that zone).
     // fixNanos must yield the same micros on any session for all of them.
-    val dstInstants = micros ++ Seq(
-      1730615400000000L,      // 2024-11-03 06:30:00Z — NY fall-back overlap
-      1710055800000000L)      // 2024-03-10 07:30:00Z — NY spring-forward gap
-    val dir = writeVariant("micros_ntz", dstInstants)
-    val expected = dstInstants.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
+    // the DST instants now live in the base `micros` fixture (shared by
+    // all four encodings and the committed NANOS file)
+    val dir = writeVariant("micros_ntz")
+    val expected = micros.zipWithIndex.map { case (us, i) => i.toLong -> us }.toMap
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.session.timeZone", "America/New_York")
     val ev = Tables.events(s2, dir)
