@@ -303,6 +303,48 @@ object ExtQueries {
         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin)),
 
+    // The composed production ordering (exact-first): exact dedup ->
+    // near-dup among the exact-unique survivors -> cluster keepers. This
+    // is TextDedup.dedupPipeline, the documented scale default for
+    // dup-heavy corpora (the df-cap recall collapse it prevents is
+    // measured in PLANS.md and pinned in DedupSpec). Jaccard stage
+    // uncapped here for oracle identity; the MinHash default's pair
+    // equivalence at tau=0.8 is pinned in DedupSpec.
+    Q("ext_dedup_pipeline",
+      (s, dir) => TextDedup.dedupPipeline(Tables.documents(s, dir),
+          k = 2, tau = 0.8, useMinHash = false, maxShingleDf = Long.MaxValue)
+        .keepers.select("doc_id"),
+      Some("""WITH RECURSIVE grp AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keeper
+        |  FROM documents GROUP BY md5(text)),
+        |surv AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN grp g ON d.doc_id = g.keeper),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM surv
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS label FROM verts
+        |  UNION
+        |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        |losers AS (SELECT id FROM reach GROUP BY id HAVING min(label) <> id)
+        |SELECT s.doc_id FROM surv s
+        |WHERE s.doc_id NOT IN (SELECT id FROM losers)""".stripMargin)),
+
     // Incremental ingest dedup: the corpus-growth operation — a new batch
     // (docs >= 400, plus ten corpus docs re-labeled as fresh ids so the
     // exact layer is non-vacuous) deduped against the existing corpus
