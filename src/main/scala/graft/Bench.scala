@@ -177,18 +177,26 @@ object Bench {
     // rows). Generation is excluded from every timing.
     def ensureMachineDayCsv(): java.io.File = graft.tools.MachineDayFixture.csv()
 
+    // ONE run of each reference-shaped workload, by name — the bench
+    // sections time these via timeMedian, and the end-of-run isolation
+    // re-measures reuse the SAME bodies so non-catalog movers
+    // (w2_two_phase_prefix_sum was round 9's) adjudicate too.
+    val workloadRunners = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
+
     // Reference-shaped workload: full pipeline (cleanse → cycles → rules
     // → enriched events + hourly summary), both outputs forced.
+    def machineDayOnce(): Unit = {
+      val csv = ensureMachineDayCsv()
+      val out = DailyAggregatorJob.run(spark, csv.getPath, Rules.referenceDefaults)
+      force(out.enrichedEvents)
+      force(out.hourlySummary)
+      out.unpersist()
+      ()
+    }
+    workloadRunners("machine_day_pipeline") = () => machineDayOnce()
     if (wantMachineDay) results("machine_day_pipeline") =
-      try {
-        val csv = ensureMachineDayCsv()
-        timeMedian {
-          val out = DailyAggregatorJob.run(spark, csv.getPath, Rules.referenceDefaults)
-          force(out.enrichedEvents)
-          force(out.hourlySummary)
-          out.unpersist()
-        }
-      } catch { case e: Throwable =>
+      try timeMedian(machineDayOnce())
+      catch { case e: Throwable =>
         System.err.println(s"[bench] machine_day failed: ${e.getMessage}")
         QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
       }
@@ -203,7 +211,10 @@ object Bench {
     // "streaming" object. Stream ≡ batch equivalence is pinned separately
     // in StreamingSpec ("streaming 19-column hourly summary equals the
     // batch rollup on the fixture") — the bench measures, the spec proves.
-    if (wantStream) try {
+    // ONE replay of the stream (state-partition conf applied and restored
+    // inside, so the isolation re-run path gets identical conditions);
+    // telemetry from the last replay lands in the full JSON.
+    def streamMachineDayOnce(): Unit = {
       val streamDir = graft.tools.MachineDayFixture.streamDir(chunks = 24)
       // 2 files/trigger = 12 micro-batches per day — small enough batches
       // to exercise cross-batch state, large enough that per-trigger
@@ -221,34 +232,35 @@ object Bench {
       // commitTimeMs collapses from ~41 s/batch summed to ~1.4 s). The
       // deployment rule this encodes for 100 TB: shuffle partitions for
       // a STATEFUL streaming query scale with active keys and commit
-      // budget, never inherited from batch sizing. Sweep table: PLANS.md.
+      // budget, never inherited from batch sizing. Sweep table: PLANS.md;
+      // API form: StreamingPipeline.configureStateSizing.
       val statePartitions =
         sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8").toInt
       val shuffleRestore = spark.conf.get("spark.sql.shuffle.partitions")
-      var telemetry = ""
       try {
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-        results("stream_machine_day") = timeMedian {
-          val clean = graft.streaming.StreamingPipeline.cleanse(
-            graft.streaming.StreamingPipeline.readCsvStream(
-              spark, streamDir.getPath, maxFilesPerTrigger = filesPerTrigger))
-          val summary = graft.streaming.StreamingPipeline.hourlySummaryStream(
-            clean, Rules.referenceDefaults)
-          val q = summary.writeStream.outputMode("update").format("noop").start()
-          try q.processAllAvailable() finally q.stop()
-          val progs = q.recentProgress.filter(_.numInputRows > 0)
-          val rows = progs.map(_.numInputRows).sum
-          val perBatch = progs.map(p =>
-            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
-          val ms = perBatch.sum
-          // batch_ms is chronological: a per-batch cost that GROWS with the
-          // batch index would be a state-store/lineage leak — the thing a
-          // long-running deployment cares about more than the mean
-          if (ms > 0) telemetry =
-            s"""{"input_rows":$rows,"rows_per_sec":${fm(rows * 1000.0 / ms, 0)},"mean_batch_ms":${fm(ms.toDouble / progs.length, 0)},"batches":${progs.length},"state_partitions":$statePartitions,"batch_ms":${perBatch.mkString("[", ",", "]")}}"""
-        }
+        val clean = graft.streaming.StreamingPipeline.cleanse(
+          graft.streaming.StreamingPipeline.readCsvStream(
+            spark, streamDir.getPath, maxFilesPerTrigger = filesPerTrigger))
+        val summary = graft.streaming.StreamingPipeline.hourlySummaryStream(
+          clean, Rules.referenceDefaults)
+        val q = summary.writeStream.outputMode("update").format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+        val progs = q.recentProgress.filter(_.numInputRows > 0)
+        val rows = progs.map(_.numInputRows).sum
+        val perBatch = progs.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        val ms = perBatch.sum
+        // batch_ms is chronological: a per-batch cost that GROWS with the
+        // batch index would be a state-store/lineage leak — the thing a
+        // long-running deployment cares about more than the mean
+        if (ms > 0) streamingTelemetry = Some(
+          s"""{"input_rows":$rows,"rows_per_sec":${fm(rows * 1000.0 / ms, 0)},"mean_batch_ms":${fm(ms.toDouble / progs.length, 0)},"batches":${progs.length},"state_partitions":$statePartitions,"batch_ms":${perBatch.mkString("[", ",", "]")}}""")
       } finally spark.conf.set("spark.sql.shuffle.partitions", shuffleRestore)
-      streamingTelemetry = Option(telemetry).filter(_.nonEmpty)
+    }
+    workloadRunners("stream_machine_day") = () => streamMachineDayOnce()
+    if (wantStream) try {
+      results("stream_machine_day") = timeMedian(streamMachineDayOnce())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream_machine_day failed: ${e.getMessage}")
       results("stream_machine_day") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
@@ -261,27 +273,29 @@ object Bench {
     // number is the monitor's overhead over ~1.12 M rows; spine
     // derivation (bounded, reference-side) is timed inside too, as a
     // deployment would re-derive it per day.
-    if (only.forall(_.contains("stream_drift"))) try {
+    def streamDriftOnce(): Unit = {
       val csv = ensureMachineDayCsv()
       val streamDir = graft.tools.MachineDayFixture.streamDir(chunks = 24)
       val shuffleRestore = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        results("stream_drift") = timeMedian {
-          val refClean = DailyAggregatorJob.cleanse(
-            DailyAggregatorJob.readRawCsv(spark, csv.getPath))
-          val spine = graft.ops.Quality.numericSpine(
-            refClean.select("value"), "value", bins = 10)
-          val clean = graft.streaming.StreamingPipeline.cleanse(
-            graft.streaming.StreamingPipeline.readCsvStream(
-              spark, streamDir.getPath, maxFilesPerTrigger = 2))
-          val psi = graft.streaming.DriftStream.numericPsi(
-            clean.toDF(), "event_timestamp", "value", spine,
-            windowDur = "1 hour", watermarkDelay = "2 hours")
-          val q = psi.writeStream.outputMode("append").format("noop").start()
-          try q.processAllAvailable() finally q.stop()
-        }
+        val refClean = DailyAggregatorJob.cleanse(
+          DailyAggregatorJob.readRawCsv(spark, csv.getPath))
+        val spine = graft.ops.Quality.numericSpine(
+          refClean.select("value"), "value", bins = 10)
+        val clean = graft.streaming.StreamingPipeline.cleanse(
+          graft.streaming.StreamingPipeline.readCsvStream(
+            spark, streamDir.getPath, maxFilesPerTrigger = 2))
+        val psi = graft.streaming.DriftStream.numericPsi(
+          clean.toDF(), "event_timestamp", "value", spine,
+          windowDur = "1 hour", watermarkDelay = "2 hours")
+        val q = psi.writeStream.outputMode("append").format("noop").start()
+        try q.processAllAvailable() finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", shuffleRestore)
+    }
+    workloadRunners("stream_drift") = () => streamDriftOnce()
+    if (only.forall(_.contains("stream_drift"))) try {
+      results("stream_drift") = timeMedian(streamDriftOnce())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream_drift failed: ${e.getMessage}")
       results("stream_drift") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
@@ -290,23 +304,32 @@ object Bench {
     // Head-to-head: reference-semantics single window vs the two-phase
     // distributed prefix sum on the same ~1.12 M-row single-machine stream
     // (the worst case for the window: ONE partition does all the work).
-    if (wantW2) try {
-      val clean = DailyAggregatorJob.cleanse(
-        DailyAggregatorJob.readRawCsv(spark, ensureMachineDayCsv().getPath))
+    def w2Clean() = DailyAggregatorJob.cleanse(
+      DailyAggregatorJob.readRawCsv(spark, ensureMachineDayCsv().getPath))
+    def w2SingleOnce(): Unit = {
       import org.apache.spark.sql.functions._
-      val oc = Seq(col("event_timestamp"), col("parameter_name"))
-      val marker = col("event_name") === "Cycle_Start"
+      force(graft.ops.CycleDetection.sessionizeByMarker(
+        w2Clean(), Seq("machine_id"),
+        Seq(col("event_timestamp"), col("parameter_name")),
+        col("event_name") === "Cycle_Start"))
+    }
+    def w2TwoPhaseOnce(): Unit = {
+      import org.apache.spark.sql.functions._
+      force(graft.ops.CycleDetection.sessionizeByMarkerScalable(
+        w2Clean(), Seq("machine_id"),
+        Seq(col("event_timestamp"), col("parameter_name")),
+        col("event_name") === "Cycle_Start",
+        bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000))))
+    }
+    workloadRunners("w2_single_window") = () => w2SingleOnce()
+    workloadRunners("w2_two_phase_prefix_sum") = () => w2TwoPhaseOnce()
+    if (wantW2) try {
       // gated individually (like the skew triple): a BENCH_ONLY naming
       // one variant must not pay — or record — the other
       if (only.forall(_.contains("w2_single_window")))
-        results("w2_single_window") = timeMedian(force(
-          graft.ops.CycleDetection.sessionizeByMarker(
-            clean, Seq("machine_id"), oc, marker)))
+        results("w2_single_window") = timeMedian(w2SingleOnce())
       if (only.forall(_.contains("w2_two_phase_prefix_sum")))
-        results("w2_two_phase_prefix_sum") = timeMedian(force(
-          graft.ops.CycleDetection.sessionizeByMarkerScalable(
-            clean, Seq("machine_id"), oc, marker,
-            bucketCol = floor(unix_micros(col("event_timestamp")) / lit(600L * 1000000)))))
+        results("w2_two_phase_prefix_sum") = timeMedian(w2TwoPhaseOnce())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] w2 comparison failed: ${e.getMessage}")
     }
@@ -324,7 +347,9 @@ object Bench {
     // (hot/median ratio) is scale-invariant even though the bytes aren't.
     val wantSkew = only.forall(s => Seq(
       "skew_join_plain", "skew_join_aqe_split", "skew_join_salted").exists(s.contains))
-    if (wantSkew) {
+    // Conf block applied and restored PER RUN so the isolation re-run
+    // path reproduces the section's exact conditions.
+    def withSkewConf(skewJoinEnabled: Boolean)(body: => Unit): Unit = {
       val restore = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.enabled",
@@ -333,63 +358,78 @@ object Bench {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes")
         .map(k => k -> (try Some(spark.conf.get(k)) catch { case _: Throwable => None }))
       try {
-        import org.apache.spark.sql.functions._
-        def bigSide = spark.range(0L, 4000000L).select(
-          when(pmod(col("id"), lit(2)) === 0, 0L)
-            .otherwise(pmod(col("id"), lit(99999L)) + lit(1L)).as("k"),
-          col("id").as("v"),
-          lpad(col("id").cast("string"), 64, "x").as("pay"))
-        def smallSide = spark.range(0L, 100000L).select(
-          col("id").as("k"), (col("id") * 2L).as("attr"))
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
-
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        if (only.forall(_.contains("skew_join_plain")))
-          results("skew_join_plain") =
-            timeMedian(force(bigSide.join(smallSide, "k")))
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        if (only.forall(_.contains("skew_join_aqe_split")))
-          results("skew_join_aqe_split") =
-            timeMedian(force(bigSide.join(smallSide, "k")))
-        if (only.forall(_.contains("skew_join_salted")))
-          results("skew_join_salted") = timeMedian(force(
-            graft.ops.Skew.saltedJoin(bigSide, smallSide, Seq("k"), saltBuckets = 32)))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] skew comparison failed: ${e.getMessage}")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinEnabled.toString)
+        body
       } finally restore.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
     }
+    locally {
+      import org.apache.spark.sql.functions._
+      def bigSide = spark.range(0L, 4000000L).select(
+        when(pmod(col("id"), lit(2)) === 0, 0L)
+          .otherwise(pmod(col("id"), lit(99999L)) + lit(1L)).as("k"),
+        col("id").as("v"),
+        lpad(col("id").cast("string"), 64, "x").as("pay"))
+      def smallSide = spark.range(0L, 100000L).select(
+        col("id").as("k"), (col("id") * 2L).as("attr"))
+      def skewPlainOnce(): Unit =
+        withSkewConf(skewJoinEnabled = false)(force(bigSide.join(smallSide, "k")))
+      def skewAqeOnce(): Unit =
+        withSkewConf(skewJoinEnabled = true)(force(bigSide.join(smallSide, "k")))
+      def skewSaltedOnce(): Unit =
+        withSkewConf(skewJoinEnabled = true)(force(
+          graft.ops.Skew.saltedJoin(bigSide, smallSide, Seq("k"), saltBuckets = 32)))
+      workloadRunners("skew_join_plain") = () => skewPlainOnce()
+      workloadRunners("skew_join_aqe_split") = () => skewAqeOnce()
+      workloadRunners("skew_join_salted") = () => skewSaltedOnce()
+      if (wantSkew) try {
+        if (only.forall(_.contains("skew_join_plain")))
+          results("skew_join_plain") = timeMedian(skewPlainOnce())
+        if (only.forall(_.contains("skew_join_aqe_split")))
+          results("skew_join_aqe_split") = timeMedian(skewAqeOnce())
+        if (only.forall(_.contains("skew_join_salted")))
+          results("skew_join_salted") = timeMedian(skewSaltedOnce())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] skew comparison failed: ${e.getMessage}")
+      }
+    }
 
     // Self-contained regression adjudication (round-9 verdict #2): every
-    // catalog query whose fresh median moved ≥ ISOLATION_RATIO vs the
-    // prior committed bench_full.json is re-measured ONCE MORE at the end
-    // of the run — after the catalog sweep's heap churn, cache cleared,
+    // entry whose fresh median moved ≥ ISOLATION_RATIO vs the prior
+    // committed bench_full.json is re-measured ONCE MORE at the end of
+    // the run — after the catalog sweep's heap churn, cache cleared,
     // full GC forced — and both numbers land in the artifact as
     // `isolation_checks`. A host-contention phantom (slow in-run, normal
     // in isolation) then adjudicates from the artifact itself, no manual
-    // forensics. Catalog queries only: the reference-shaped workloads
-    // (machine_day, streaming) are not re-runnable by name here.
+    // forensics. Covers catalog queries AND the reference-shaped
+    // workloads (machine_day, streaming, w2 variants, skew triple) via
+    // `workloadRunners` — round 9's top mover, w2_two_phase_prefix_sum,
+    // was a workload the first cut of this could not re-run.
     val isolationJson: Seq[String] =
       if (only.isDefined || priorMedians.isEmpty ||
           sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("0")) Nil
       else {
         val ratioGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_RATIO", "1.5").toDouble
         val topN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_TOP", "4").toInt
-        val catalogByName = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+        val runnable: Map[String, () => Unit] =
+          graft.queries.Catalog.all
+            .map(q => q.name -> (() => force(q.run(spark, sfDir)))).toMap ++
+            workloadRunners
         val movers = results.toSeq.collect {
-          case (name, r) if r.median >= 0.3 && catalogByName.contains(name) &&
+          case (name, r) if r.median >= 0.3 && runnable.contains(name) &&
               priorMedians.get(name).exists(p => p >= 0.05 && r.median / p >= ratioGate) =>
             (name, r.median, priorMedians(name))
         }.sortBy { case (_, cur, prior) => -(cur / prior) }.take(topN)
         movers.map { case (name, cur, prior) =>
           System.gc()
           spark.sharedState.cacheManager.clearCache()
-          val iso = try timeMedian(force(catalogByName(name).run(spark, sfDir)))
+          val iso = try timeMedian(runnable(name)())
           catch { case _: Throwable => QueryResult(-1.0, Nil, -1.0, -1.0, -1.0) }
           s"""{"query":"$name","prior_median":${fm(prior, 3)},""" +
             s""""run_median":${fm(cur, 3)},"isolated_median":${fm(iso.median, 3)},""" +
