@@ -426,7 +426,11 @@ object Bench {
               priorMedians.get(name).exists(p => p >= 0.05 && r.median / p >= ratioGate) =>
             (name, r.median, priorMedians(name))
         }.sortBy { case (_, cur, prior) => -(cur / prior) }.take(topN)
-        movers.map { case (name, cur, prior) =>
+        // the streaming runner rewrites streamingTelemetry per replay;
+        // the artifact's "streaming" block must describe the GRADED run,
+        // not the post-GC adjudication replay — snapshot and restore
+        val telemetrySnapshot = streamingTelemetry
+        val checks = movers.map { case (name, cur, prior) =>
           System.gc()
           spark.sharedState.cacheManager.clearCache()
           val iso = try timeMedian(runnable(name)())
@@ -438,6 +442,8 @@ object Bench {
             s""""isolated_gc_ms":${iso.gcMsPerTrial.mkString("[", ",", "]")},""" +
             s""""loadavg_after":${fm(iso.loadAvgAfter, 2)}}"""
         }
+        streamingTelemetry = telemetrySnapshot
+        checks
       }
 
     // dev runs must not clobber the committed full-catalog evidence:

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   * snapshot (they are version keys). Duplicate keys turn the full-outer
   * join many-to-many, silently duplicating and misclassifying rows —
   * and [[summary]] then reports inflated counts. The caller owns this
-  * invariant; pass `assertUniqueKeys = true` to have a corrupt version
-  * table fail loudly instead (a per-key window count guard riding the
-  * join's own key partitioning — no extra pass over the data).
+  * invariant; pass `assertUniqueKeys = true` (on [[diff]] or
+  * [[summary]]) to have a corrupt version table fail loudly instead: a
+  * per-key window count rides the join's own key partitioning (no extra
+  * pass), and the raise_error is attached to both `change_type` and the
+  * first key output column so downstream column pruning keeps it alive
+  * for any projection that reads a diff-derived column. Rows with a
+  * NULL in any key column are exempt — non-null-safe join equality
+  * never matches them, so multiplicity among them cannot corrupt the
+  * classification.
   */
 object SnapshotDiff {
 
@@ -36,53 +42,77 @@ object SnapshotDiff {
       compareCols: Seq[String], assertUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(compareCols.nonEmpty, "need at least one compared column")
-    // Opt-in loud failure on duplicate version keys: the presence marker
-    // itself carries a raise_error guarded by a per-key window count, so
-    // the check evaluates exactly where the marker does and the window's
-    // hash partitioning on keyCols is the same one the join needs.
-    def marker(side: String): Column =
-      if (!assertUniqueKeys) lit(1)
+    // Opt-in loud failure on duplicate version keys. The presence marker
+    // doubles as the per-key row COUNT (a window over the same hash
+    // partitioning the join needs — no extra pass); the raise_error is
+    // attached to the FIRST KEY column of the output, so it survives any
+    // downstream projection that keeps a key (a marker-embedded guard
+    // would be silently pruned away by e.g. `.select(keyCols.head)`).
+    // Rows with a NULL in any key column are exempt: non-null-safe join
+    // equality never matches them, so the join classifies each such row
+    // independently and correctly — only genuine same-key multiplicity
+    // corrupts the diff.
+    def marker: Column =
+      if (!assertUniqueKeys) lit(1L)
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
-        when(count(lit(1)).over(w) > 1,
-          raise_error(concat(
-            lit(s"SnapshotDiff: duplicate key in $side snapshot: ("),
-            concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
-            lit(")"))).cast("int"))
-          .otherwise(lit(1))
+        val keyNotNull = keyCols.map(c => col(c).isNotNull).reduce(_ && _)
+        when(keyNotNull, count(lit(1)).over(w)).otherwise(lit(1L))
       }
     val o = oldDf
       .select((keyCols ++ compareCols).map(col): _*)
-      .withColumn("__in_old", marker("old"))
+      .withColumn("__in_old", marker)
     val n = newDf
       .select(keyCols.map(col) ++
         compareCols.map(c => col(c).as(s"__new_$c")): _*)
-      .withColumn("__in_new", marker("new"))
+      .withColumn("__in_new", marker)
     val joined = o.join(n, keyCols, "full_outer")
     val diffs: Seq[(String, Column)] = compareCols.map { c =>
       c -> !(col(c) <=> col(s"__new_$c"))
     }
     val anyChanged = diffs.map(_._2).reduce(_ || _)
-    val changeType =
+    val dup = coalesce(col("__in_old"), lit(0L)) > 1L ||
+      coalesce(col("__in_new"), lit(0L)) > 1L
+    def dupError: Column = raise_error(concat(
+      lit("SnapshotDiff: duplicate key ("),
+      concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+      lit(") old_n="), coalesce(col("__in_old"), lit(0L)).cast("string"),
+      lit(" new_n="), coalesce(col("__in_new"), lit(0L)).cast("string")))
+    val changeTypePlain =
       when(col("__in_old").isNull, lit("added"))
         .when(col("__in_new").isNull, lit("removed"))
         .when(anyChanged, lit("changed"))
         .otherwise(lit("unchanged"))
+    // the guard rides BOTH change_type (what summary/filters keep) and
+    // the first key column (what key-only projections keep), so column
+    // pruning cannot silently drop it unless the caller discards every
+    // diff-derived column — at which point there is nothing to corrupt
+    val changeType =
+      if (!assertUniqueKeys) changeTypePlain
+      else when(dup, dupError.cast("string")).otherwise(changeTypePlain)
     val changedCols =
       when(col("__in_old").isNotNull && col("__in_new").isNotNull,
         concat_ws(",", diffs.map { case (c, d) =>
           when(d, lit(c)).otherwise(lit(null).cast("string"))
         }: _*))
-    joined.select(keyCols.map(col) ++
+    val keyOut: Seq[Column] =
+      if (!assertUniqueKeys) keyCols.map(col)
+      else
+        when(dup, dupError.cast(joined.schema(keyCols.head).dataType))
+          .otherwise(col(keyCols.head)).as(keyCols.head) +:
+          keyCols.tail.map(col)
+    joined.select(keyOut ++
       Seq(changeType.as("change_type"), changedCols.as("changed_cols")): _*)
   }
 
   /** Bounded roll-up of [[diff]]: one row per change_type with its key
     * count — the promotion-gate number ("refresh changed 0.3 %, ship
-    * it"). */
+    * it"). `assertUniqueKeys` passes through to [[diff]] so the
+    * promotion gate can fail loudly on a corrupt version table instead
+    * of reporting inflated counts. */
   def summary(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String]): DataFrame =
-    diff(oldDf, newDf, keyCols, compareCols)
+      compareCols: Seq[String], assertUniqueKeys: Boolean = false): DataFrame =
+    diff(oldDf, newDf, keyCols, compareCols, assertUniqueKeys)
       .groupBy("change_type").agg(count(lit(1)).as("n_keys"))
 }

@@ -297,7 +297,10 @@ object TextDedup {
   /** Output bundle of [[dedupPipeline]]: the exact-group table, the
     * exact-unique survivor docs, the near-dup pairs found among them, and
     * the final keeper docs (one per near-dup cluster). All lazy except
-    * `nearDupPairs` (eager via the pair operators' own contract).
+    * `nearDupPairs`, which is materialized once (localCheckpoint, or a
+    * reliable checkpoint when `checkpointDir` is set) on BOTH pair
+    * paths, so neither `clusters` nor repeated caller reads re-execute
+    * candidate generation.
     */
   final case class DedupPipelineResult(
       exact: DataFrame,
@@ -348,9 +351,14 @@ object TextDedup {
     val groups = exactGroups(docs, idCol, textCol)
     val survivors = docs.join(
       groups.select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
+    // materialize the (small) pair list once: clusters() below AND the
+    // caller's own reads of nearDupPairs must not re-execute the LSH /
+    // inverted-index candidate generation per consumer (jaccardPairs is
+    // already eager via its own persist contract; minHashPairs is lazy)
     val pairs =
       if (useMinHash)
-        minHashPairs(survivors, k, numHashes, rowsPerBand, tau, idCol)
+        eager(minHashPairs(survivors, k, numHashes, rowsPerBand, tau, idCol),
+          checkpointDir)
       else
         jaccardPairs(survivors, k, tau, maxShingleDf, idCol, checkpointDir)
     val losers = clusters(pairs, checkpointDir = checkpointDir)

@@ -34,4 +34,11 @@ private[tools] object BenchUtil {
     * invalid JSON) under e.g. de_DE. */
   def fmt3(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** Recursive delete for stale fixture/scratch dirs under /tmp. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
 }

@@ -45,7 +45,15 @@ object W2YearBench {
     */
   private def ensureCleanParquet(spark: SparkSession, days: Int): String = {
     val path = s"/tmp/graft_bench/machine_${days}day_clean.parquet"
-    if (new java.io.File(path).exists()) return path
+    // A crashed multi-minute generation leaves a partial parquet dir that
+    // a bare exists() would happily benchmark (wrong rows, fast "result").
+    // Same tmp+rename discipline as ScaleCurveBench.ensureDays: write to
+    // a scratch dir, rename into place only after the job commits.
+    if (new java.io.File(path, "_SUCCESS").exists()) return path
+    val dst = new java.io.File(path)
+    if (dst.exists()) BenchUtil.deleteRecursively(dst)
+    val tmp = new java.io.File(path + ".tmp")
+    if (tmp.exists()) BenchUtil.deleteRecursively(tmp)
     import spark.implicits._
     val start = java.time.Instant.parse("2024-10-16T00:00:00Z").toEpochMilli
     val cpus = spark.sparkContext.defaultParallelism
@@ -61,7 +69,9 @@ object W2YearBench {
       .schema(graft.model.Schemas.rawEvents)
       .option("timestampFormat", graft.model.Schemas.inputTimestampFormat)
       .csv(lines)
-    DailyAggregatorJob.cleanse(raw).write.mode("overwrite").parquet(path)
+    DailyAggregatorJob.cleanse(raw).write.mode("overwrite").parquet(tmp.getPath)
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"rename failed: $tmp -> $dst")
     path
   }
 
@@ -84,14 +94,12 @@ object W2YearBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def median(body: => Unit): Double = {
-      val ts = (1 to trials).map { _ =>
+    def median(body: => Unit): Double =
+      BenchUtil.median((1 to trials).map { _ =>
         val t = time(body)
         spark.sharedState.cacheManager.clearCache()
         t
-      }.sorted
-      ts(ts.length / 2)
-    }
+      })
 
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     daysList.foreach { d =>

@@ -69,6 +69,40 @@ class SnapshotDiffSpec extends AnyFunSuite {
       "unchanged" -> 2L, "changed" -> 3L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("assertUniqueKeys: duplicate keys fail loudly, incl. under key-only and summary projections") {
+    val o = Seq((1L, "x"), (1L, "x2"), (2L, "y")).toDF("id", "t") // id=1 duplicated
+    val n = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
+    // guard off (default): silent many-to-many — the caller-owned contract
+    assert(SnapshotDiff.diff(o, n, Seq("id"), Seq("t")).count() == 3)
+    def fails(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("duplicate key")), e.toString)
+    }
+    fails(SnapshotDiff.diff(o, n, Seq("id"), Seq("t"), assertUniqueKeys = true).collect())
+    // column pruning must not disarm the guard: a key-only projection
+    // keeps the guarded first key column, summary keeps change_type
+    fails(SnapshotDiff.diff(o, n, Seq("id"), Seq("t"), assertUniqueKeys = true)
+      .select("id").collect())
+    fails(SnapshotDiff.summary(o, n, Seq("id"), Seq("t"), assertUniqueKeys = true)
+      .collect())
+    // duplicate NEW-side keys caught too
+    fails(SnapshotDiff.diff(n, o, Seq("id"), Seq("t"), assertUniqueKeys = true).collect())
+  }
+
+  test("assertUniqueKeys: repeated NULL-keyed rows are exempt (the join classifies them safely)") {
+    val o = Seq((Option.empty[Long], "y"), (Option.empty[Long], "y2"), (Option(1L), "x"))
+      .toDF("id", "t")
+    val n = Seq((Option(1L), "x")).toDF("id", "t")
+    val out = SnapshotDiff.diff(o, n, Seq("id"), Seq("t"), assertUniqueKeys = true)
+      .select("id", "change_type")
+      .as[(Option[Long], String)].collect().toSet
+    // two null-keyed old rows never join-match anything — each surfaces
+    // independently as removed; the guard must not abort this legal diff
+    assert(out == Set((Some(1L), "unchanged"), (None, "removed")))
+  }
+
   test("diff plan: one shuffle per side, comparison map-side after the join") {
     val dir = graft.core.TmpDirs.scoped("snapdiff_plan")
     old.write.mode("overwrite").parquet(s"$dir/old")
