@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{EventRule, Threshold}
-import graft.ops.{CycleDetection, ErrorRules}
+import graft.ops.{CycleDetection, ErrorRules, TextDedup}
 
 /** Property-style invariants of the core operators over seeded random
   * event streams (SURVEY §5 item 4) — 10 deterministic trials each.
@@ -422,6 +422,47 @@ class PropertySpec extends AnyFunSuite {
           case (g, e) => fail(s"seed=$seed ($u, $i): got $g expected $e")
         }
       }
+    }
+  }
+
+  test("dedupPipeline invariants: survivor minimality and keeper partition on random corpora") {
+    // Over random dup-heavy corpora (half the docs are exact replicas of
+    // the other half), the composed exact-first pipeline must satisfy:
+    //   1. survivors = exactly one doc per distinct text, the MIN id;
+    //   2. near-dup pair endpoints are drawn from the survivor set only;
+    //   3. keepers = survivors minus near-dup cluster losers — a clean
+    //      partition, no doc dropped or kept twice.
+    (1 to 5).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      val nBase = 5 + rnd.nextInt(10)
+      val baseTexts = List.fill(nBase)(
+        List.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val texts = baseTexts ++ List.fill(nBase)(baseTexts(rnd.nextInt(nBase)))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pipe = TextDedup.dedupPipeline(docs, k = 2, tau = 0.8)
+
+      val surv = pipe.survivors.select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val byText = texts.zipWithIndex.groupBy(_._1)
+      assert(surv.length == byText.size, s"seed=$seed: one survivor per distinct text")
+      surv.foreach { case (id, t) =>
+        assert(id == byText(t).map(_._2).min.toLong, s"seed=$seed: min-id keeper for '$t'")
+      }
+
+      val survIds = surv.map(_._1).toSet
+      val ends = pipe.nearDupPairs.select("d1", "d2").as[(Long, Long)].collect()
+      ends.foreach { case (a, b) =>
+        assert(survIds(a) && survIds(b), s"seed=$seed: pair ($a,$b) outside survivors")
+      }
+
+      val keepIds = pipe.keepers.select("doc_id").as[Long].collect().toSet
+      val losers = TextDedup.clusters(pipe.nearDupPairs)
+        .filter(col("cluster_id") =!= col("id"))
+        .select(col("id").cast("long")).as[Long].collect().toSet
+      assert(keepIds.subsetOf(survIds), s"seed=$seed: keepers must be survivors")
+      assert(keepIds == survIds -- losers, s"seed=$seed: keeper partition")
     }
   }
 }

@@ -25,6 +25,24 @@ class StreamingSpec extends AnyFunSuite {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", restore)
   }
 
+  test("configureStateSizing applies the measured defaults and the RocksDB provider switch") {
+    val s2 = spark.newSession()
+    graft.streaming.StreamingPipeline.configureStateSizing(s2)
+    assert(s2.conf.get("spark.sql.shuffle.partitions") ==
+      graft.streaming.StreamingPipeline.DefaultStatePartitions.toString)
+    // default leaves the provider untouched (HDFS-backed store)
+    val defaultProvider = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    assert(s2.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", defaultProvider) == defaultProvider)
+    graft.streaming.StreamingPipeline.configureStateSizing(
+      s2, statePartitions = 16, rocksDbStateStore = true)
+    assert(s2.conf.get("spark.sql.shuffle.partitions") == "16")
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamingPipeline.configureStateSizing(s2, statePartitions = 0))
+  }
+
   /** Fixture CSV split into two time-ordered files => two micro-batches
     * (maxFilesPerTrigger=1), so cycle state must survive a batch boundary.
     */
