@@ -144,8 +144,7 @@ object Bench {
       val ts = measured.map(_._1)
       val cpu = processCpu()
       val after = loadAvg()
-      val sorted = ts.sorted
-      QueryResult(sorted(sorted.length / 2), ts, before, after, cpu,
+      QueryResult(graft.tools.BenchUtil.median(ts), ts, before, after, cpu,
         measured.map(_._2), measured.map(_._3))
     }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
   * richer `timeMedian` (cache clearing + GC/load telemetry) because its
   * numbers feed the per-round BENCH artifact.
   */
-private[tools] object BenchUtil {
+private[graft] object BenchUtil {
 
   /** Force full evaluation through the noop sink — unlike `count()`,
     * Catalyst cannot prune projections or skip expression work. */

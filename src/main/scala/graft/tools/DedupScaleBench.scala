@@ -38,14 +38,12 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def median(body: => Unit): Double = {
-      val ts = (1 to trials).map { _ =>
+    def median(body: => Unit): Double =
+      BenchUtil.median((1 to trials).map { _ =>
         val t = time(body)
         spark.sharedState.cacheManager.clearCache()
         t
-      }.sorted
-      ts(ts.length / 2)
-    }
+      })
 
     val docs1 = Tables.documents(spark, sfDir)
     val idSpan = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
@@ -67,11 +65,19 @@ object DedupScaleBench {
           rowsPerBand = 4, tau = 0.8)))
       out(s"clusters_$label") = median(force(
         TextDedup.clusters(TextDedup.jaccardPairs(docs, k = 2, tau = 0.8))))
+      // the composed production ordering: exact-first then LSH among the
+      // exact-unique survivors — this is the path whose time should stay
+      // ~FLAT under replication (the near-dup stage sees only unique
+      // content; only the one-shuffle exact stage grows with reps)
+      out(s"pipeline_$label") = median(force(
+        TextDedup.dedupPipeline(docs, k = 2, tau = 0.8).keepers))
       counts(s"jaccard_pairs_$label") =
         TextDedup.jaccardPairs(docs, k = 2, tau = 0.8).count()
       counts(s"minhash_pairs_$label") =
         TextDedup.minHashPairs(docs, k = 2, numHashes = 128,
           rowsPerBand = 4, tau = 0.8).count()
+      counts(s"pipeline_keepers_$label") =
+        TextDedup.dedupPipeline(docs, k = 2, tau = 0.8).keepers.count()
       System.err.println(s"[dedup-scale] $label done")
     }
 

@@ -67,14 +67,12 @@ object ScaleCurveBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def median(body: => Unit): Double = {
-      val ts = (1 to trials).map { _ =>
+    def median(body: => Unit): Double =
+      BenchUtil.median((1 to trials).map { _ =>
         val t = time(body)
         spark.sharedState.cacheManager.clearCache()
         t
-      }.sorted
-      ts(ts.length / 2)
-    }
+      })
 
     val daysList = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
