@@ -50,6 +50,11 @@ object Bench {
       gcMsPerTrial: Seq[Long] = Nil,
       skewJoinsPerTrial: Seq[Long] = Nil)
 
+  /** Sentinel row for a query/workload that threw: median -1 keeps it
+    * out of totals, the name stays in the table so the failure is
+    * visible. */
+  private val failedResult = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+
   /** Cumulative stop-the-world GC milliseconds of this JVM — the delta
     * around one trial attributes pause time to that trial, so a slow
     * outlier self-adjudicates: high gc_ms = heap pressure in OUR run,
@@ -160,7 +165,7 @@ object Bench {
           try timeMedian(force(q.run(spark, sfDir)))
           catch { case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+            failedResult
           }
       }
 
@@ -197,7 +202,7 @@ object Bench {
       try timeMedian(machineDayOnce())
       catch { case e: Throwable =>
         System.err.println(s"[bench] machine_day failed: ${e.getMessage}")
-        QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+        failedResult
       }
 
     // Streaming north star: the same machine-day replayed as a file
@@ -262,7 +267,7 @@ object Bench {
       results("stream_machine_day") = timeMedian(streamMachineDayOnce())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream_machine_day failed: ${e.getMessage}")
-      results("stream_machine_day") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+      results("stream_machine_day") = failedResult
     }
 
     // Streaming drift monitor on the same machine-day replay: per-hour
@@ -297,7 +302,7 @@ object Bench {
       results("stream_drift") = timeMedian(streamDriftOnce())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream_drift failed: ${e.getMessage}")
-      results("stream_drift") = QueryResult(-1.0, Nil, -1.0, -1.0, -1.0)
+      results("stream_drift") = failedResult
     }
 
     // Head-to-head: reference-semantics single window vs the two-phase
@@ -433,7 +438,7 @@ object Bench {
           System.gc()
           spark.sharedState.cacheManager.clearCache()
           val iso = try timeMedian(runnable(name)())
-          catch { case _: Throwable => QueryResult(-1.0, Nil, -1.0, -1.0, -1.0) }
+          catch { case _: Throwable => failedResult }
           s"""{"query":"$name","prior_median":${fm(prior, 3)},""" +
             s""""run_median":${fm(cur, 3)},"isolated_median":${fm(iso.median, 3)},""" +
             s""""ratio_run":${fm(cur / prior, 2)},"ratio_isolated":${fm(iso.median / prior, 2)},""" +
