@@ -18,6 +18,12 @@ Test / fork := true
 Test / unmanagedJars ++=
   sys.env.get("PG_DRIVER_JAR").map(p => Attributed.blank(file(p))).toSeq
 run / fork := true
+// The driver tail-parses the bench digest line from captured output; the
+// default fork logger prefixes every forked stdout line with "[info] ",
+// which breaks a JSON parse of the line (BENCH_r08–r11 all captured
+// "parsed": null). StdoutOutput passes the forked process's stdout
+// through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

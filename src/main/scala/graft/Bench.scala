@@ -425,11 +425,25 @@ object Bench {
           graft.queries.Catalog.all
             .map(q => q.name -> (() => force(q.run(spark, sfDir)))).toMap ++
             workloadRunners
-        val movers = results.toSeq.collect {
+        val gatedMovers = results.toSeq.collect {
           case (name, r) if r.median >= 0.3 && runnable.contains(name) &&
               priorMedians.get(name).exists(p => p >= 0.05 && r.median / p >= ratioGate) =>
             (name, r.median, priorMedians(name))
         }.sortBy { case (_, cur, prior) => -(cur / prior) }.take(topN)
+        // The flagship reference-shaped workloads are ALWAYS re-measured
+        // in isolation, gate or no gate: round 11's only unadjudicated
+        // drift was machine_day_pipeline at +23% — real movement on the
+        // graded headline number, but below the 1.5× phantom gate, so
+        // the artifact carried no isolated number for it. Forcing these
+        // two means every round's flagship medians ship with their own
+        // post-GC idle re-measure attached.
+        val forced = Seq("machine_day_pipeline", "stream_machine_day").collect {
+          case name if !gatedMovers.exists(_._1 == name) &&
+              results.get(name).exists(_.median >= 0) &&
+              priorMedians.get(name).exists(_ >= 0.05) =>
+            (name, results(name).median, priorMedians(name))
+        }
+        val movers = gatedMovers ++ forced
         // the streaming runner rewrites streamingTelemetry per replay;
         // the artifact's "streaming" block must describe the GRADED run,
         // not the post-GC adjudication replay — snapshot and restore
@@ -479,7 +493,14 @@ object Bench {
     * sha256 of the committed full-result file — small enough that any
     * tail buffer keeps it whole, self-authenticating via the hash. The
     * full per-query line still prints earlier (emit, pre-stop) for any
-    * full-scan parser; the complete evidence lives in bench_full.json. */
+    * full-scan parser; the complete evidence lives in bench_full.json.
+    *
+    * Round 11 still captured `[info] {...}`: sbt's fork logger prefixes
+    * every forked-stdout line. Two-channel fix: `run / outputStrategy :=
+    * StdoutOutput` (build.sbt) removes the prefix, and the digest is
+    * ALSO printed on stderr — sbt passes forked stderr through
+    * unprefixed under every output strategy, so whichever stream the
+    * driver captures contains one bare parseable line. */
   private def finalDigest(spark: SparkSession,
       results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
       sfDir: String, fullPath: String): Unit = {
@@ -500,11 +521,14 @@ object Bench {
       java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
         .map("%02x".format(_)).mkString
     } catch { case _: Throwable => "" }
-    println(
+    val digest =
       s"""{"metric":"total","value":${fm(total, 3)},"unit":"sec","queries":$top,""" +
         s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,""" +
-        s""""full_result":"$fullPath","sha256_bench_full":"$sha"}""")
+        s""""full_result":"$fullPath","sha256_bench_full":"$sha"}"""
+    println(digest)
     System.out.flush()
+    System.err.println(digest)
+    System.err.flush()
   }
 
   /** Prints the ONE driver-graded JSON line (shape unchanged since round 1:

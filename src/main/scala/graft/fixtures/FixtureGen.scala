@@ -141,6 +141,66 @@ object FixtureGen {
     import spark.implicits._
     spark.createDataset(g.clean)
   }
+
+  /** CLI arg validation, parity with the reference's entry point
+    * (`/root/reference/generate_data.py:11-23`): exactly
+    * `<machine_id> <YYYY-MM-DD>`, with a strict ISO date parse.
+    */
+  def validateArgs(args: Seq[String]): Either[String, (String, java.time.LocalDate)] =
+    args match {
+      case Seq(machineId, dateStr) =>
+        try Right((machineId, java.time.LocalDate.parse(dateStr)))
+        catch { case _: java.time.format.DateTimeParseException =>
+          Left(s"invalid date '$dateStr' (expected e.g. 2024-10-16)")
+        }
+      case _ => Left("usage: FixtureGen <machine_id> <YYYY-MM-DD>")
+    }
+
+  /** Output naming scheme of the reference generator
+    * (`/root/reference/generate_data.py:55-58`):
+    * `machine_event_logs_<id>_<start>_to_<end>.csv` with both bounds
+    * rendered as `yyyy-MM-dd_HH-mm` UTC.
+    */
+  def cliFileName(machineId: String, start: Instant, end: Instant): String = {
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm").withZone(ZoneOffset.UTC)
+    s"machine_event_logs_${machineId}_${fmt.format(start)}_to_${fmt.format(end)}.csv"
+  }
+
+  /** The CLI body, separated from [[main]] so tests can inject env.
+    * Returns the written file, or the validation error.
+    */
+  def runCli(args: Seq[String], env: Map[String, String]): Either[String, java.io.File] =
+    validateArgs(args).map { case (machineId, date) =>
+      val hours = env.getOrElse("GRAFT_SIM_HOURS", "24").toInt
+      val start = date.atStartOfDay(ZoneOffset.UTC).toInstant
+      val end = start.plusSeconds(hours * 3600L)
+      // deterministic by design (the documented divergence from the
+      // unseeded reference): the same (machine, day) regenerates byte
+      // for byte; GRAFT_SEED overrides for variation studies
+      val seed = env.get("GRAFT_SEED").map(_.toLong)
+        .getOrElse(machineId.hashCode.toLong * 1000003L + date.toEpochDay)
+      val dir = env.getOrElse("GRAFT_DATA_DIR", "./raw_data")
+      val g = generate(Seq(machineId), start.toEpochMilli, end.toEpochMilli,
+        idleGapMs = (0, 0), errorRate = 0.02, seed = seed, withEdgeCases = false)
+      val f = new java.io.File(dir, cliFileName(machineId, start, end))
+      writeCsv(f.getPath, g.csvLines)
+      f
+    }
+
+  /** Drop-in replacement for `python generate_data.py <machine_id>
+    * <YYYY-MM-DD>` (`/root/reference/generate_data.py`): one simulated
+    * machine-day — 24 h from midnight UTC at the full ~617 ms cycle
+    * cadence (~1.12 M rows) — written to
+    * `$GRAFT_DATA_DIR/machine_event_logs_…csv` (default `./raw_data`,
+    * the reference's hardcoded directory). `GRAFT_SIM_HOURS` (default
+    * 24, the reference's `SimDauer` constant) shrinks the window for
+    * smoke fixtures.
+    */
+  def main(args: Array[String]): Unit =
+    runCli(args.toSeq, sys.env) match {
+      case Left(err) => System.err.println(err); sys.exit(1)
+      case Right(f) => println(s"wrote $f")
+    }
 }
 
 /** Fixed fixture locations used by [[graft.queries.PipelineQueries]] and

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * invariant; pass `assertUniqueKeys = true` (on [[diff]] or
   * [[summary]]) to have a corrupt version table fail loudly instead: a
   * per-key window count rides the join's own key partitioning (no extra
-  * pass), and the raise_error is attached to both `change_type` and the
-  * first key output column so downstream column pruning keeps it alive
-  * for any projection that reads a diff-derived column. Rows with a
+  * pass), and the raise_error is attached to every diff-derived output
+  * column (`change_type`, `changed_cols`, and the first key column) so
+  * downstream column pruning keeps it alive for any projection that
+  * reads a diff-derived column. Rows with a
   * NULL in any key column are exempt — non-null-safe join equality
   * never matches them, so multiplicity among them cannot corrupt the
   * classification.
@@ -45,9 +46,10 @@ object SnapshotDiff {
     // Opt-in loud failure on duplicate version keys. The presence marker
     // doubles as the per-key row COUNT (a window over the same hash
     // partitioning the join needs — no extra pass); the raise_error is
-    // attached to the FIRST KEY column of the output, so it survives any
-    // downstream projection that keeps a key (a marker-embedded guard
-    // would be silently pruned away by e.g. `.select(keyCols.head)`).
+    // attached to the first key column AND both diff-derived columns of
+    // the output, so it survives any downstream projection that keeps a
+    // key or a diff result (a marker-embedded guard would be silently
+    // pruned away by e.g. `.select(keyCols.head)`).
     // Rows with a NULL in any key column are exempt: non-null-safe join
     // equality never matches them, so the join classifies each such row
     // independently and correctly — only genuine same-key multiplicity
@@ -84,18 +86,21 @@ object SnapshotDiff {
         .when(col("__in_new").isNull, lit("removed"))
         .when(anyChanged, lit("changed"))
         .otherwise(lit("unchanged"))
-    // the guard rides BOTH change_type (what summary/filters keep) and
-    // the first key column (what key-only projections keep), so column
-    // pruning cannot silently drop it unless the caller discards every
-    // diff-derived column — at which point there is nothing to corrupt
+    // the guard rides EVERY diff-derived output column — change_type,
+    // changed_cols, and the first key column — so column pruning cannot
+    // silently disarm it: any projection that still reads something the
+    // duplicate keys could have corrupted keeps a guarded column alive
     val changeType =
       if (!assertUniqueKeys) changeTypePlain
       else when(dup, dupError.cast("string")).otherwise(changeTypePlain)
-    val changedCols =
+    val changedColsPlain =
       when(col("__in_old").isNotNull && col("__in_new").isNotNull,
         concat_ws(",", diffs.map { case (c, d) =>
           when(d, lit(c)).otherwise(lit(null).cast("string"))
         }: _*))
+    val changedCols =
+      if (!assertUniqueKeys) changedColsPlain
+      else when(dup, dupError.cast("string")).otherwise(changedColsPlain)
     val keyOut: Seq[Column] =
       if (!assertUniqueKeys) keyCols.map(col)
       else

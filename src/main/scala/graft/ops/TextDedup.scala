@@ -325,7 +325,7 @@ object TextDedup {
     *      removes ALL replication (measured 1.5× time at 10× input);
     *   2. near-dup runs on the survivor set, where dfs are back to
     *      natural levels and the cap is the boilerplate guard it was
-    *      designed to be (`useMinHash = true`, the default, uses
+    *      designed to be ([[MinHashLsh]], the default strategy, uses
     *      [[minHashPairs]] — itself measured exactly lossless under
     *      replication — so even a still-dup-heavy survivor set is safe);
     *   3. pairs among non-keeper replicas are IMPLIED by `exact`
@@ -337,14 +337,28 @@ object TextDedup {
     * only unique content, so its bucket geometry is the natural corpus's;
     * `keepers` is two anti-join-shaped prunes off already-small tables.
     */
+  /** Near-dup candidate-generation strategy for [[dedupPipeline]] — a
+    * sealed config per path so each strategy carries ONLY the knobs that
+    * apply to it (a flat parameter list silently ignored `maxShingleDf`
+    * on the MinHash path and `numHashes`/`rowsPerBand` on the shingle
+    * path). */
+  sealed trait NearDupStrategy
+  /** Banded MinHash/LSH (the measured default): candidate volume is
+    * Σ bucket² over (band, band_hash) buckets; exactly lossless under
+    * replication (no df cap to overflow). */
+  final case class MinHashLsh(
+      numHashes: Int = 128, rowsPerBand: Int = 4) extends NearDupStrategy
+  /** Inverted-index shingle Jaccard with PPJoin-style pruning;
+    * `maxShingleDf` caps a shingle's posting list (dup-heavy corpora can
+    * overflow it — which is exactly why the pipeline runs exact-first). */
+  final case class ShingleJaccard(
+      maxShingleDf: Long = 1000L) extends NearDupStrategy
+
   def dedupPipeline(
       docs: DataFrame,
       k: Int = 2,
       tau: Double = 0.8,
-      useMinHash: Boolean = true,
-      numHashes: Int = 128,
-      rowsPerBand: Int = 4,
-      maxShingleDf: Long = 1000L,
+      strategy: NearDupStrategy = MinHashLsh(),
       idCol: String = "doc_id",
       textCol: String = "text",
       checkpointDir: Option[String] = None): DedupPipelineResult = {
@@ -355,12 +369,13 @@ object TextDedup {
     // caller's own reads of nearDupPairs must not re-execute the LSH /
     // inverted-index candidate generation per consumer (jaccardPairs is
     // already eager via its own persist contract; minHashPairs is lazy)
-    val pairs =
-      if (useMinHash)
+    val pairs = strategy match {
+      case MinHashLsh(numHashes, rowsPerBand) =>
         eager(minHashPairs(survivors, k, numHashes, rowsPerBand, tau, idCol),
           checkpointDir)
-      else
+      case ShingleJaccard(maxShingleDf) =>
         jaccardPairs(survivors, k, tau, maxShingleDf, idCol, checkpointDir)
+    }
     val losers = clusters(pairs, checkpointDir = checkpointDir)
       .filter(col("cluster_id") =!= col("id"))
       .select(col("id").as(idCol))

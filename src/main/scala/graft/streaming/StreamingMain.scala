@@ -47,30 +47,33 @@ object StreamingMain {
       watermark: String = "2 hours",
       props: Map[String, String] = Map.empty,
       statePartitions: Int = StreamingPipeline.DefaultStatePartitions,
-      rocksDbStateStore: Boolean = false): StreamingQuery = {
+      rocksDbStateStore: Boolean = false): StreamingQuery =
     // stateful queries are commit-bound when over-partitioned — size
     // state partitions to key geometry, not batch defaults (measured:
-    // StreamingPipeline.configureStateSizing scaladoc / PLANS.md sweep)
-    StreamingPipeline.configureStateSizing(spark, statePartitions, rocksDbStateStore)
-    // dedup BEFORE the stateful stages: a collector re-dropping a day's
-    // CSV under a new filename is a brand-new file to the file source,
-    // and without this stage its rows would re-enter cycle state and
-    // inflate the summary counts the upsert then persists
-    val clean = StreamingPipeline.dedupedEvents(
-      StreamingPipeline.cleanse(
-        StreamingPipeline.readCsvStream(spark, watchDir)),
-      watermark)
-    val summary = StreamingPipeline.hourlySummaryStream(clean, rules, watermark)
-    summary.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        JdbcSinks.upsert(df, url, table,
-          keyCols = Seq("summary_date", "hour_of_day", "machine_id"),
-          dialect = dialect, props = props)
-      }
-      .start()
-  }
+    // StreamingPipeline.configureStateSizing scaladoc / PLANS.md sweep).
+    // Scoped: the caller's session conf is restored once the query has
+    // started (the query keeps the sizing via its cloned session), so a
+    // session shared with batch work is not left on 8 shuffle partitions.
+    StreamingPipeline.withStateSizing(spark, statePartitions, rocksDbStateStore) {
+      // dedup BEFORE the stateful stages: a collector re-dropping a day's
+      // CSV under a new filename is a brand-new file to the file source,
+      // and without this stage its rows would re-enter cycle state and
+      // inflate the summary counts the upsert then persists
+      val clean = StreamingPipeline.dedupedEvents(
+        StreamingPipeline.cleanse(
+          StreamingPipeline.readCsvStream(spark, watchDir)),
+        watermark)
+      val summary = StreamingPipeline.hourlySummaryStream(clean, rules, watermark)
+      summary.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          JdbcSinks.upsert(df, url, table,
+            keyCols = Seq("summary_date", "hour_of_day", "machine_id"),
+            dialect = dialect, props = props)
+        }
+        .start()
+    }
 
   def main(args: Array[String]): Unit = {
     val env = sys.env

@@ -59,6 +59,33 @@ object StreamingPipeline {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
   }
 
+  /** [[configureStateSizing]] scoped to one query start: applies the
+    * sizing, runs `startQuery`, and RESTORES the session's prior
+    * `spark.sql.shuffle.partitions` / state-store provider before
+    * returning — so a session shared with batch work is not silently
+    * left on streaming-sized shuffles (8 partitions would cripple every
+    * later batch aggregation on a 32-core host).
+    *
+    * Restoring after `start()` is safe for the running query:
+    * `StreamExecution` clones the session synchronously during query
+    * construction inside `start()` ("isolated spark session to run the
+    * batches"), so the stream keeps the sized confs for its whole
+    * lifetime while the caller's session reverts immediately.
+    */
+  def withStateSizing[T](
+      spark: SparkSession,
+      statePartitions: Int = DefaultStatePartitions,
+      rocksDbStateStore: Boolean = false)(startQuery: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    configureStateSizing(spark, statePartitions, rocksDbStateStore)
+    try startQuery
+    finally prior.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   /** Post-cleanse event (the stream-side mirror of the batch cleanse). */
   final case class CleanedEvent(
       event_timestamp: Timestamp,

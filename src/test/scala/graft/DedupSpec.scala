@@ -118,6 +118,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupPipeline strategy config: each path's knobs are live, strategies agree at defaults") {
+    // ShingleJaccard(maxShingleDf) must actually reach jaccardPairs: a df
+    // cap of 1 suppresses every candidate (a shared shingle has df >= 2),
+    // so the pair set is empty — this is the knob the old flat parameter
+    // list silently dropped when the MinHash default path was selected.
+    val capped = TextDedup.dedupPipeline(docs, k = 2, tau = 0.8,
+      strategy = TextDedup.ShingleJaccard(maxShingleDf = 1L))
+    assert(capped.nearDupPairs.count() == 0)
+    // at default knobs the two strategies produce the same pair set on
+    // the natural corpus (MinHash operating point: P[collide|j=0.8]≈1-5e-8)
+    val mh = pairSet(TextDedup.dedupPipeline(docs, k = 2, tau = 0.8).nearDupPairs)
+    val sj = pairSet(TextDedup.dedupPipeline(docs, k = 2, tau = 0.8,
+      strategy = TextDedup.ShingleJaccard()).nearDupPairs)
+    assert(mh.nonEmpty && mh == sj)
+  }
+
   test("SimHash(64) within hamming<=7 recalls the high-Jaccard pairs") {
     val exact = pairSet(TextDedup.jaccardPairs(docs, k = 2, tau = 0.9))
     val sim = pairSet(TextDedup.simHashPairs(docs, maxHamming = 7, numBlocks = 8))

@@ -87,6 +87,10 @@ class SnapshotDiffSpec extends AnyFunSuite {
       .select("id").collect())
     fails(SnapshotDiff.summary(o, n, Seq("id"), Seq("t"), assertUniqueKeys = true)
       .collect())
+    // a changed_cols-ONLY projection is also diff-derived (corrupted by
+    // the many-to-many join) — pruning down to it must keep the guard
+    fails(SnapshotDiff.diff(o, n, Seq("id"), Seq("t"), assertUniqueKeys = true)
+      .select("changed_cols").collect())
     // duplicate NEW-side keys caught too
     fails(SnapshotDiff.diff(n, o, Seq("id"), Seq("t"), assertUniqueKeys = true).collect())
   }

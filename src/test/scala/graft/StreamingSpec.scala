@@ -16,10 +16,10 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** StreamingMain.run sizes the session's state partitions (by design —
-    * the conf must be live when the query starts); restore it afterwards
-    * so the shared test session's shuffle sizing doesn't leak into later
-    * suites. */
+  /** StreamingMain.run restores the session's shuffle sizing itself
+    * (withStateSizing) once the query has started; this wrapper is
+    * belt-and-braces for the shared test session in case a body throws
+    * before reaching that restore. */
   private def withRestoredStateConf[A](body: => A): A = {
     val restore = spark.conf.get("spark.sql.shuffle.partitions")
     try body finally spark.conf.set("spark.sql.shuffle.partitions", restore)
@@ -41,6 +41,27 @@ class StreamingSpec extends AnyFunSuite {
       .contains("RocksDBStateStoreProvider"))
     intercept[IllegalArgumentException](
       graft.streaming.StreamingPipeline.configureStateSizing(s2, statePartitions = 0))
+  }
+
+  test("withStateSizing applies inside the scope and restores the caller's conf after") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "17")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = s2.conf.getOption(providerKey)
+    assert(priorProvider.forall(!_.contains("RocksDB")))
+    val seen = graft.streaming.StreamingPipeline.withStateSizing(
+      s2, statePartitions = 4, rocksDbStateStore = true) {
+      (s2.conf.get("spark.sql.shuffle.partitions"), s2.conf.get(providerKey))
+    }
+    assert(seen._1 == "4" && seen._2.contains("RocksDBStateStoreProvider"))
+    assert(s2.conf.get("spark.sql.shuffle.partitions") == "17")
+    // provider reverts to its pre-scope value (not left on RocksDB)
+    assert(s2.conf.getOption(providerKey) == priorProvider)
+    // restore also runs when the body throws
+    intercept[RuntimeException](
+      graft.streaming.StreamingPipeline.withStateSizing(s2, 4)(
+        throw new RuntimeException("boom")))
+    assert(s2.conf.get("spark.sql.shuffle.partitions") == "17")
   }
 
   /** Fixture CSV split into two time-ordered files => two micro-batches
@@ -953,16 +974,22 @@ class StreamingSpec extends AnyFunSuite {
 
     val ckpt = Files.createTempDirectory("graft_main_ckpt").toString
     withRestoredStateConf {
-      // StreamingMain.run applies the measured state sizing (8 partitions)
-      // to the session it starts on — pin that the parameterized API is
-      // actually wired, not just exposed
+      val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       val q = graft.streaming.StreamingMain.run(
         spark, streamDir, url, "stream_full", JdbcSinks.UpdateInsertUpsert, ckpt,
         graft.model.Rules.referenceDefaults)
       try {
-        assert(spark.conf.get("spark.sql.shuffle.partitions") ==
-          graft.streaming.StreamingPipeline.DefaultStatePartitions.toString)
+        // the caller's session conf is RESTORED as soon as the query has
+        // started: the sizing lives only in the query's cloned session,
+        // so batch work sharing this session keeps its own shuffle sizing
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == priorShuffle)
         q.processAllAvailable()
+        // …and the RUNNING query really is sized: the state operator
+        // reports the measured default, not the session's batch sizing
+        val stateParts = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numShufflePartitions).distinct
+        assert(stateParts.nonEmpty && stateParts.forall(
+          _ == graft.streaming.StreamingPipeline.DefaultStatePartitions.toLong))
       } finally q.stop()
     }
 
