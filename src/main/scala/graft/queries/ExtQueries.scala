@@ -312,7 +312,8 @@ object ExtQueries {
     // equivalence at tau=0.8 is pinned in DedupSpec.
     Q("ext_dedup_pipeline",
       (s, dir) => TextDedup.dedupPipeline(Tables.documents(s, dir),
-          k = 2, tau = 0.8, useMinHash = false, maxShingleDf = Long.MaxValue)
+          k = 2, tau = 0.8,
+          strategy = TextDedup.ShingleJaccard(maxShingleDf = Long.MaxValue))
         .keepers.select("doc_id"),
       Some("""WITH RECURSIVE grp AS (
         |  SELECT md5(text) AS h, min(doc_id) AS keeper
