@@ -220,12 +220,22 @@ object Bench {
     // telemetry from the last replay lands in the full JSON.
     def streamMachineDayOnce(): Unit = {
       val streamDir = graft.tools.MachineDayFixture.streamDir(chunks = 24)
-      // 2 files/trigger = 12 micro-batches per day — small enough batches
-      // to exercise cross-batch state, large enough that per-trigger
-      // overhead (state-store commits × partitions) doesn't dominate.
+      // 4 files/trigger = 6 micro-batches per day. Batch COUNT is the
+      // cost driver once partitions are sized right: every micro-batch
+      // pays the fixed per-trigger tax (state-store commit + fsync per
+      // instance, offset/commit log writes) regardless of rows, so at a
+      // fixed input volume wall time is nearly linear in batches —
+      // round-13 sweep on this exact replay, idle host: 12 batches
+      // 11.9 s, 8 → 9.3 s, 6 → 8.4 s, 4 → 6.7 s. Six batches keeps a
+      // real steady-state replay (cycles still cross every boundary;
+      // stream ≡ batch is pinned in StreamingSpec with its own
+      // chunking) while landing under the 10 s workload target. The
+      // 100 TB rule: trigger sizing is throughput-vs-latency pricing —
+      // each extra trigger/interval buys latency with a fixed commit
+      // tax, so batch them as large as the latency SLA allows.
       // Env override is a dev probe, like BENCH_ONLY.
       val filesPerTrigger =
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "2").toInt
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
       // State partitions are sized to the query's KEY geometry (one
       // machine + a few hourly windows), not the batch shuffle default:
       // every state-store instance pays a durable commit (delta file +
@@ -496,11 +506,13 @@ object Bench {
     * full-scan parser; the complete evidence lives in bench_full.json.
     *
     * Round 11 still captured `[info] {...}`: sbt's fork logger prefixes
-    * every forked-stdout line. Two-channel fix: `run / outputStrategy :=
-    * StdoutOutput` (build.sbt) removes the prefix, and the digest is
-    * ALSO printed on stderr — sbt passes forked stderr through
-    * unprefixed under every output strategy, so whichever stream the
-    * driver captures contains one bare parseable line. */
+    * every forked-stdout line. Fixed by `run / outputStrategy :=
+    * StdoutOutput` (build.sbt) — round-13 captures show the bare digest
+    * on stdout with no prefix. The belt-and-braces stderr copy from
+    * round 12 is now OPT-IN (`GRAFT_BENCH_STDERR_DIGEST=1`): a driver
+    * capturing merged streams (2>&1) would otherwise see two copies,
+    * and because the streams are unsynchronized the tail line could in
+    * principle interleave mid-line — worse than the problem it hedged. */
   private def finalDigest(spark: SparkSession,
       results: scala.collection.mutable.LinkedHashMap[String, QueryResult],
       sfDir: String, fullPath: String): Unit = {
@@ -527,8 +539,10 @@ object Bench {
         s""""full_result":"$fullPath","sha256_bench_full":"$sha"}"""
     println(digest)
     System.out.flush()
-    System.err.println(digest)
-    System.err.flush()
+    if (sys.env.get("GRAFT_BENCH_STDERR_DIGEST").contains("1")) {
+      System.err.println(digest)
+      System.err.flush()
+    }
   }
 
   /** Prints the ONE driver-graded JSON line (shape unchanged since round 1:

@@ -166,19 +166,35 @@ object FixtureGen {
     s"machine_event_logs_${machineId}_${fmt.format(start)}_to_${fmt.format(end)}.csv"
   }
 
+  /** Parse an env knob with the same Either-shaped error reporting as
+    * [[validateArgs]] — a malformed `GRAFT_SIM_HOURS=abc` must surface as
+    * the clean usage-error exit path, not a NumberFormatException trace.
+    */
+  private def envNum[A](env: Map[String, String], key: String, default: A)(
+      parse: String => A): Either[String, A] =
+    env.get(key) match {
+      case None => Right(default)
+      case Some(raw) =>
+        scala.util.Try(parse(raw)).toEither.left
+          .map(_ => s"invalid $key '$raw' (expected a number)")
+    }
+
   /** The CLI body, separated from [[main]] so tests can inject env.
     * Returns the written file, or the validation error.
     */
   def runCli(args: Seq[String], env: Map[String, String]): Either[String, java.io.File] =
-    validateArgs(args).map { case (machineId, date) =>
-      val hours = env.getOrElse("GRAFT_SIM_HOURS", "24").toInt
-      val start = date.atStartOfDay(ZoneOffset.UTC).toInstant
-      val end = start.plusSeconds(hours * 3600L)
+    for {
+      parsed <- validateArgs(args)
+      (machineId, date) = parsed
+      hours <- envNum(env, "GRAFT_SIM_HOURS", 24)(_.toInt)
       // deterministic by design (the documented divergence from the
       // unseeded reference): the same (machine, day) regenerates byte
       // for byte; GRAFT_SEED overrides for variation studies
-      val seed = env.get("GRAFT_SEED").map(_.toLong)
-        .getOrElse(machineId.hashCode.toLong * 1000003L + date.toEpochDay)
+      seed <- envNum(env, "GRAFT_SEED",
+        machineId.hashCode.toLong * 1000003L + date.toEpochDay)(_.toLong)
+    } yield {
+      val start = date.atStartOfDay(ZoneOffset.UTC).toInstant
+      val end = start.plusSeconds(hours * 3600L)
       val dir = env.getOrElse("GRAFT_DATA_DIR", "./raw_data")
       val g = generate(Seq(machineId), start.toEpochMilli, end.toEpochMilli,
         idleGapMs = (0, 0), errorRate = 0.02, seed = seed, withEdgeCases = false)

@@ -447,18 +447,41 @@ object OlapQueries {
         |  CAST(floor(value / 25.0) AS INT) * 25.0 AS lo_edge, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
-    // Mergeable quantile sketch (t-digest-family approx_percentile) —
-    // the 100 TB form of a8's exact rank percentiles. Rows-only; the
-    // SketchesSpec rank-envelope pin vs the exact (oracle-checked)
-    // discrete percentile is the trust chain.
+    // Mergeable quantile sketch (GK-family approx_percentile) — the
+    // 100 TB form of a8's exact rank percentiles. The sketch VALUE is
+    // merge-order-dependent (any value inside the ε rank envelope is a
+    // valid answer), so the raw number can never hash-match a DuckDB
+    // oracle; what IS deterministic is the GK guarantee itself. The
+    // catalog row therefore emits the envelope VERDICT: re-rank each
+    // group's approx p50/p95 against the full data (broadcast join of
+    // the per-group sketch results back onto events — one extra
+    // map-side pass, no second shuffle of events) and flag whether the
+    // achieved rank sits within ±2% of target — the same invariant
+    // SketchesSpec pins. DuckDB asserts the flags are all 1 and checks
+    // the exact group counts, so a sketch regression (rank drift, group
+    // loss) breaks the hash.
     Q("ext_sketch_quantile",
-      (s, dir) => Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
-          lit(10000)).as("q"))
-        .select(col("event_type"), col("q")(0).as("p50_approx"),
-          col("q")(1).as("p95_approx")),
-      None),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val sk = ev.groupBy("event_type")
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+            lit(10000)).as("q"))
+          .select(col("event_type"), col("q")(0).as("p50"),
+            col("q")(1).as("p95"))
+        ev.join(broadcast(sk), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"))
+          .select(col("event_type"), col("n"),
+            (abs(col("le50") / col("n") - 0.5) <= 0.02)
+              .cast("int").as("p50_in_env"),
+            (abs(col("le95") / col("n") - 0.95) <= 0.02)
+              .cast("int").as("p95_in_env"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        |  1 AS p50_in_env, 1 AS p95_in_env
+        |FROM events GROUP BY event_type""".stripMargin)),
 
     // Deterministic weighted sampling (priority sampling): documents
     // weighted by length; top-100 priorities, reproducible in SQL.

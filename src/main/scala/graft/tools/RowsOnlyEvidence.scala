@@ -81,10 +81,6 @@ object RowsOnlyEvidence {
       "HLL: per-source estimates within 5% of exact; sharded union == one-pass global",
       Seq("a2_count_distinct"),
       "per-group estimates within 5% of the exact countDistinct recomputed in-spec (the oracle-checked A2 operator shape); sharded-union sketch == one-pass global sketch (merge identity)"),
-    Entry("ext_sketch_quantile", "graft.SketchesSpec",
-      "approx quantile sketch: returned values sit within a 2% rank envelope of target",
-      Seq.empty,
-      "closed-form: returned values are actual data values within a 2% rank envelope of the target quantile per group, vs driver-sorted exact order statistics"),
     Entry("ext_semdedup", "graft.SemDedupSpec",
       "semDedup removals are a subset of the exact graph's, probe=3 recall >= 0.9",
       Seq("ext_dedup_embed"),

@@ -69,4 +69,15 @@ class CliSpec extends AnyFunSuite {
       env + ("GRAFT_SEED" -> "7")).fold(err => fail(err), identity)
     assert(!java.util.Arrays.equals(bytes1, java.nio.file.Files.readAllBytes(f3.toPath)))
   }
+
+  test("generator CLI: malformed env knobs take the named-error path, not a stack trace") {
+    import graft.fixtures.FixtureGen
+    val dir = graft.core.TmpDirs.scoped("fixturegen_cli_env")
+    val base = Map("GRAFT_DATA_DIR" -> dir)
+    val args = Seq("DieBonder_01", "2024-10-16")
+    assert(FixtureGen.runCli(args, base + ("GRAFT_SIM_HOURS" -> "abc")) ==
+      Left("invalid GRAFT_SIM_HOURS 'abc' (expected a number)"))
+    assert(FixtureGen.runCli(args, base + ("GRAFT_SEED" -> "1e9")) ==
+      Left("invalid GRAFT_SEED '1e9' (expected a number)"))
+  }
 }

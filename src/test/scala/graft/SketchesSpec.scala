@@ -133,7 +133,8 @@ class SketchesSpec extends AnyFunSuite {
       // the sketch returns actual data values, not interpolations
       assert(vs.contains(p50) && vs.contains(p95))
     }
-    graft.tools.RowsOnlyEvidence.record("ext_sketch_quantile")
+    // No RowsOnlyEvidence entry any more: the catalog row emits the
+    // envelope verdict directly and is hash-checked against DuckDB.
   }
 
   test("approx quantile: eps*n element-rank bound holds across group sizes incl. n < 1/eps") {
