@@ -47,7 +47,7 @@ SBT_OUT="$(mktemp)"
 SBT_RC=0
 PG_URL="jdbc:postgresql://localhost:$PORT/graft?user=graft" \
 PG_DRIVER_JAR="$JAR" \
-  sbt -batch "testOnly graft.PostgresIntegrationSpec" 2>&1 | tee "$SBT_OUT" \
+  sbt -batch "testOnly graft.PostgresIntegrationSpec graft.DashboardSpec" 2>&1 | tee "$SBT_OUT" \
   || SBT_RC=$?
 
 SERVER_VERSION="$(psql -h localhost -p "$PORT" -U graft -d graft -tAc 'SELECT version()' 2>/dev/null || echo unknown)"
