@@ -48,7 +48,8 @@ object Bench {
       loadAvgAfter: Double,
       processCpu: Double,
       gcMsPerTrial: Seq[Long] = Nil,
-      skewJoinsPerTrial: Seq[Long] = Nil)
+      skewJoinsPerTrial: Seq[Long] = Nil,
+      stealMsPerTrial: Seq[Long] = Nil)
 
   /** Sentinel row for a query/workload that threw: median -1 keeps it
     * out of totals, the name stays in the table so the failure is
@@ -64,6 +65,24 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
+
+  /** Cumulative hypervisor steal ticks (USER_HZ = 100) — /proc/stat
+    * `cpu` line, 8th value: CPU time the physical host ran OTHER tenants
+    * while this VM had runnable threads. The one contention signal
+    * loadavg and process_cpu are blind to: a neighbor burst shows low
+    * gc_ms, normal in-VM load, and a 3–10× wall time. Round-13 measured
+    * exactly that (ext_dedup_jaccard 63 s with 745 stolen CPU-seconds in
+    * the same window vs 3.3–5.6 s quiet); rounds 4–5's phantom 60–100 s
+    * entries were the same mechanism, unprovable with the then-recorded
+    * telemetry. -1 when /proc/stat is unavailable (non-Linux). */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
 
   /** 1-minute load average: /proc/loadavg first field (Linux), falling
     * back to the MXBean (-1.0 when unavailable). */
@@ -142,15 +161,18 @@ object Bench {
       val measured = (1 to trials).map { _ =>
         val gc0 = gcMillis()
         val skew0 = skewFires.get()
+        val steal0 = stealTicks()
         val t = time(body)
         spark.sharedState.cacheManager.clearCache()
-        (t, gcMillis() - gc0, skewFires.get() - skew0)
+        val stealMs =
+          if (steal0 < 0) -1L else (stealTicks() - steal0) * 10L
+        (t, gcMillis() - gc0, skewFires.get() - skew0, stealMs)
       }
       val ts = measured.map(_._1)
       val cpu = processCpu()
       val after = loadAvg()
       QueryResult(graft.tools.BenchUtil.median(ts), ts, before, after, cpu,
-        measured.map(_._2), measured.map(_._3))
+        measured.map(_._2), measured.map(_._3), measured.map(_._4))
     }
 
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to named
@@ -297,9 +319,19 @@ object Bench {
           DailyAggregatorJob.readRawCsv(spark, csv.getPath))
         val spine = graft.ops.Quality.numericSpine(
           refClean.select("value"), "value", bins = 10)
+        // Same batch-count lever as stream_machine_day (the windowed-agg
+        // state op pays the identical fixed per-trigger commit tax ×8
+        // instances): 4 files/trigger = 6 micro-batches. Idle-host sweep
+        // on this exact replay (median of 3): 12 batches 11.6 s,
+        // 6 → 7.8 s, 4 → 5.9 s. Six batches keeps hours crossing batch
+        // boundaries (the watermark-finalization path stays exercised);
+        // stream ≡ batch is pinned in DriftStreamSpec under its own
+        // chunking.
+        val driftFilesPerTrigger =
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4").toInt
         val clean = graft.streaming.StreamingPipeline.cleanse(
           graft.streaming.StreamingPipeline.readCsvStream(
-            spark, streamDir.getPath, maxFilesPerTrigger = 2))
+            spark, streamDir.getPath, maxFilesPerTrigger = driftFilesPerTrigger))
         val psi = graft.streaming.DriftStream.numericPsi(
           clean.toDF(), "event_timestamp", "value", spine,
           windowDur = "1 hour", watermarkDelay = "2 hours")
@@ -468,6 +500,7 @@ object Bench {
             s""""ratio_run":${fm(cur / prior, 2)},"ratio_isolated":${fm(iso.median / prior, 2)},""" +
             s""""isolated_trials":${iso.trials.map(t => fm(t, 3)).mkString("[", ",", "]")},""" +
             s""""isolated_gc_ms":${iso.gcMsPerTrial.mkString("[", ",", "]")},""" +
+            s""""isolated_steal_ms":${iso.stealMsPerTrial.mkString("[", ",", "]")},""" +
             s""""loadavg_after":${fm(iso.loadAvgAfter, 2)}}"""
         }
         streamingTelemetry = telemetrySnapshot
@@ -576,9 +609,10 @@ object Bench {
         val trialArr = v.trials.map(t => fm(t, 3)).mkString("[", ",", "]")
         val gcArr = v.gcMsPerTrial.mkString("[", ",", "]")
         val skewArr = v.skewJoinsPerTrial.mkString("[", ",", "]")
+        val stealArr = v.stealMsPerTrial.mkString("[", ",", "]")
         "    \"" + k + "\": {" +
           s""""median":${fm(v.median, 3)},"trials":$trialArr,""" +
-          s""""gc_ms":$gcArr,"skew_joins":$skewArr,""" +
+          s""""gc_ms":$gcArr,"skew_joins":$skewArr,"steal_ms":$stealArr,""" +
           s""""loadavg_before":${fm(v.loadAvgBefore, 2)},"loadavg_after":${fm(v.loadAvgAfter, 2)},""" +
           s""""process_cpu":${fm(v.processCpu, 3)}}"""
       }.mkString(",\n")

@@ -378,6 +378,33 @@ object AnalyticsQueries {
         |WHERE p_name LIKE '%widget%'
         |GROUP BY 1, 2""".stripMargin)),
 
+    // Q13-style customer order-count distribution (the corpus has no
+    // o_comment, so the exclusion predicate adapts to o_orderpriority —
+    // same left-outer-join-with-filtered-right shape: excluded-only and
+    // orderless customers both land in the c_count=0 bucket). Scale shape:
+    // orders pre-aggregates to one row per ordering customer BEFORE the
+    // join, so the join input shrinks from |orders| to |customers| and the
+    // outer join runs key-to-key; the distribution regroup is a second,
+    // tiny shuffle on c_count.
+    Q("q13_customer_distribution",
+      (s, dir) => {
+        val ordCnt = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        Tables.customer(s, dir).select("c_custkey")
+          .join(ordCnt, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin)),
+
     // Q14-style promo revenue share for one ship month: single broadcast
     // join, conditional agg, one output row. promo_pct divides two
     // grid-rounded sums (parity rule 4).

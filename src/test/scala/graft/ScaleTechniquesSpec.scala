@@ -197,6 +197,28 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       "no dimension in q5 is big enough to justify a sort-merge join at test scale")
   }
 
+  test("q13 plan: orders pre-aggregates before the outer join, 2-column scan") {
+    val sf = "/root/testdata/sf0.001"
+    val byName = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+    val q13 = byName("q13_customer_distribution").run(spark, sf)
+    q13.collect()
+    val p = q13.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the exclusion predicate must reach the orders scan, and the scan must
+    // read only the join key + predicate column — never the whole table
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"the priority exclusion must be a pushed parquet filter; plan:\n${p.take(2000)}")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"),
+      "the orders scan must be pruned to (o_custkey, o_orderpriority)")
+    // the count-per-custkey aggregate must sit BELOW the outer join (the
+    // |orders| -> |customers| shrink that makes the join key-to-key at
+    // 100 TB): the join's build side is fed by an aggregate, so the plan
+    // has two aggregate pairs (pre-join count, post-join distribution)
+    // and the outer join never sees raw order rows
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs == 4, s"expected partial+final aggs both below and above the join, got $aggs\n$p")
+    assert(p.contains("LeftOuter"), "customer-side outer join must survive optimization")
+  }
+
   test("fuzzy match plans as a bin equi-join, never a nested-loop fallback") {
     val names = (1 to 50).map(i => s"name$i").toDF("name")
     val pairs = graft.ops.FuzzyJoin.dictionaryMatches(names, "name", maxDist = 2)
