@@ -56,6 +56,50 @@ object OlapQueries {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM sess GROUP BY user_id, session_seq""".stripMargin)),
 
+    // The NATIVE gap-sessionization operator: Spark's session_window —
+    // the same sessions as w4's lag+cumsum composition but computed by
+    // the engine's own merging session-window aggregation, which is the
+    // form that carries over to Structured Streaming unchanged (the
+    // streaming twin + stream ≡ batch pin live in SessionStreamSpec).
+    // Boundary: touching windows MERGE (the engine coalesces on
+    // start <= currentEnd — measured, pinned in SessionStreamSpec), so
+    // an event at EXACTLY the gap extends the session, identical to
+    // w4's strict-> test — the two operators are session-identical and
+    // the oracle is w4's, re-keyed by bounds instead of session_seq.
+    // Scale shape: one shuffle on user_id, sessions merge inside the
+    // aggregation — no windows, no cumsum pass.
+    Q("w8_session_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(min("ts").as("s_ts"), max("ts").as("e_ts"),
+            count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            date_format(col("s_ts"), tsFmtSpark).as("session_start"),
+            date_format(col("e_ts"), tsFmtSpark).as("session_end"),
+            col("n_events"),
+            (unix_micros(col("e_ts")) - unix_micros(col("s_ts"))).as("duration_us"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '$tsFmtDuck') AS session_start,
+        |  strftime(max(ts), '$tsFmtDuck') AS session_end,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
     // Exact discrete percentiles (p50/p95 of event value per type) via
     // explicit rank selection — deterministic on both engines, unlike
     // interpolated percentile whose float arithmetic differs in ulps.
