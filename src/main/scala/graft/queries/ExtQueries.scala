@@ -1007,6 +1007,30 @@ object ExtQueries {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
         |FROM events""".stripMargin)),
 
+    // The VARIANT path for the same semi-structured column: parse the
+    // JSON string ONCE into the engine's binary variant encoding, then
+    // extract typed paths from the encoded form — at 100 TB this is the
+    // semi-structured scale shape (one parse amortized over every
+    // extraction, and a variant column in parquet shreds/pushes down
+    // where a JSON string is an opaque blob the engine re-parses per
+    // get_json_object, cf. ext_json_extract). try_variant_get on a
+    // missing path is the null-not-error contract.
+    Q("ext_json_variant",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k_int"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          try_variant_get(col("v"), "$.missing", "int").as("m_int"),
+          schema_of_variant(col("v")).as("v_schema")),
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(NULL AS INT) AS m_int,
+        |  'OBJECT<k: BIGINT>' AS v_schema
+        |FROM events""".stripMargin)),
+
     // Multimodal metadata decode over a binary payload column (stubbed
     // decoder, real mapPartitions plumbing; metadata is a pure function of
     // payload size so the oracle can mirror it).
