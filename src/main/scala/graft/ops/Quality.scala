@@ -93,6 +93,56 @@ object Quality {
     explodeChecks(wide, structs.size, keyCols = Nil)
   }
 
+  /** The ZERO-extra-pass form of [[expectations]]: attach the whole
+    * check suite to a frame as OBSERVED metrics (`Dataset.observe` /
+    * `CollectMetrics`), so the gate is computed by the same job that
+    * writes the data — at 100 TB the difference between this and the
+    * standalone gate is one full table scan. Usage:
+    * {{{
+    *   val (gated, obs) = Quality.observedExpectations(df, checks)
+    *   gated.write.parquet(out)          // ONE pass: write + metrics
+    *   val results = Quality.observedResults(checks, obs) // after the action
+    * }}}
+    * Returns the frame UNCHANGED (same rows/columns — RefIntegrity's
+    * broadcast hit markers are projected back out), plus the
+    * [[org.apache.spark.sql.Observation]] whose `get` blocks until the
+    * caller's first action completes.
+    *
+    * Metric parity with the batch gate, by construction: the SAME
+    * [[checkStructs]] compile, with `exactDistinct = false` because
+    * `CollectMetrics` (like a streaming aggregate) cannot carry a
+    * distinct aggregate — `Unique` rides `approx_count_distinct`, the
+    * documented 100 TB swap. Pinned metric-for-metric against
+    * [[expectations]] in QualitySpec.
+    */
+  def observedExpectations(df: DataFrame, checks: Seq[Check],
+      name: String = "graft_expectations")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "no checks declared")
+    val obs = org.apache.spark.sql.Observation(name)
+    val joined = joinRiDims(df, checks)
+    val structs = checkStructs(checks, exactDistinct = false)
+    val observed = joined.observe(obs, structs.head.as("c0"),
+      structs.tail.zipWithIndex.map { case (s, i) => s.as(s"c${i + 1}") }: _*)
+    (observed.drop(joined.columns.filter(_.startsWith("__hit_")).toSeq: _*), obs)
+  }
+
+  /** Decode an [[observedExpectations]] observation into the gate's row
+    * shape — (check_type, col_name, metric, threshold, passed) per
+    * declared check, in declaration order. Blocks until the observed
+    * action finishes (Observation.get semantics).
+    */
+  def observedResults(checks: Seq[Check],
+      obs: org.apache.spark.sql.Observation)
+      : Seq[(String, String, Double, Double, Int)] = {
+    val m = obs.get
+    checks.indices.map { i =>
+      val r = m(s"c$i").asInstanceOf[org.apache.spark.sql.Row]
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4))
+    }
+  }
+
   /** RefIntegrity pre-pass: mark orphans via a broadcast LEFT join per
     * distinct dimension, so the single aggregation pass can count them.
     * Stream-legal (stream-static broadcast joins are stateless).

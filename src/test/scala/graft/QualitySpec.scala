@@ -53,6 +53,28 @@ class QualitySpec extends AnyFunSuite {
     assert(rows(8) == ("ref_integrity", "country", 0.25, 0.0, 0))
   }
 
+  test("observedExpectations: same metrics as the standalone gate, zero extra pass") {
+    val dim = Seq("US", "DE").toDF("code")
+    val checks = Seq(
+      NotNull("name"), Unique("id"), InRange("score", 0.0, 100.0, 0.5),
+      InSet("country", Seq("US", "DE")), RowCountBetween(1L, 10L),
+      RefIntegrity("country", dim, "code"))
+    val (gated, obs) = Quality.observedExpectations(handTable, checks)
+    // the gated frame IS the input: same rows, same columns (the RI hit
+    // markers must not leak through)
+    assert(gated.columns.toSeq == handTable.columns.toSeq)
+    // ONE action computes the data AND the gate
+    assert(gated.count() == 4)
+    val got = Quality.observedResults(checks, obs)
+    // metric-for-metric parity with the standalone aggregation pass
+    // (Unique rides approx_count_distinct here — exact at 3 distincts)
+    val want = Quality.expectations(handTable, checks)
+      .select("check_type", "col_name", "metric", "threshold", "passed")
+      .as[(String, String, Double, Double, Int)].collect().toList
+    assert(got.toList == want)
+    assert(got.map(_._5) == Seq(0, 0, 1, 0, 1, 0))
+  }
+
   test("expectations: null-heavy and all-clean edges") {
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
     val out = Quality.expectations(clean,
