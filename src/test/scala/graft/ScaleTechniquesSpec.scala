@@ -219,6 +219,24 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(p.contains("LeftOuter"), "customer-side outer join must survive optimization")
   }
 
+  test("w8 plan: native merging sessions behind a single key exchange") {
+    val sf = "/root/testdata/sf0.001"
+    val byName = graft.queries.Catalog.all.map(q => q.name -> q).toMap
+    val w8 = byName("w8_session_window").run(spark, sf)
+    w8.collect()
+    val p = w8.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("MergingSessions"),
+      s"sessionization must run on the engine's merging-sessions operator; plan:\n${p.take(2000)}")
+    // raw per-event sessions partial-aggregate map-side, then ONE
+    // exchange on the grouping key feeds the merge — no global window,
+    // no second shuffle (w4's lag+cumsum form needs an ordered window
+    // pass this operator replaces)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one key exchange, got $exchanges\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      "the native operator must not fall back to an ordered window pass")
+  }
+
   test("fuzzy match plans as a bin equi-join, never a nested-loop fallback") {
     val names = (1 to 50).map(i => s"name$i").toDF("name")
     val pairs = graft.ops.FuzzyJoin.dictionaryMatches(names, "name", maxDist = 2)
