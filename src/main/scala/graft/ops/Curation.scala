@@ -211,4 +211,154 @@ object Curation {
     trainSh.join(testSh, Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
   }
+
+  /** Word n-grams WITH multiplicity: one output row per (doc, distinct
+    * n-gram) carrying its in-doc count — the bag-of-features table DSIR
+    * scores over. Unlike [[TextDedup.shingles]] (distinct SETS, for
+    * Jaccard) this keeps term frequency; unlike [[TextAnalysis.bigramLm]]
+    * (which pairs first, then drops empties) tokens are filtered to
+    * non-empty BEFORE windowing, so a run of extra spaces never splits an
+    * n-gram. Documents with fewer than `n` tokens emit nothing.
+    *
+    * Scale shape: extraction is map-only (one `transform` over the split
+    * array); the single shuffle is the (doc, feat) combine, map-side
+    * aggregated — a feature repeated through a document collapses to one
+    * row before anything is exchanged.
+    */
+  private[graft] def ngramTf(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("graft_ws"))
+      .filter(size(col("graft_ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(graft_ws) - $n), " +
+          s"i -> array_join(slice(graft_ws, i + 1, $n), ' '))")).as("feat"))
+      .groupBy(col(idCol), col("feat"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** DSIR-style importance weights — data selection via importance
+    * resampling ("Data Selection for Language Models via Importance
+    * Resampling", Xie et al. 2023): fit bag-of-n-gram unigram models over
+    * a small high-quality TARGET corpus and the big RAW corpus, and score
+    * every raw document by how much more likely its features are under
+    * the target model,
+    * `log_w(x) = Σ_f tf_x(f) · (ln p_T(f) − ln p_R(f))`,
+    * with Laplace smoothing `p(f) = (cf(f)+α)/(N+α·V)` over the SHARED
+    * feature vocabulary V (the union of both corpora's features, so a
+    * feature seen in only one model still has a well-defined ratio).
+    *
+    * `buckets = Some(b)` is the paper's (and the 100 TB) configuration:
+    * features are hashed into `b` buckets, so the model table is bounded
+    * by `b` rows regardless of corpus size and joins back onto the raw
+    * tf table as a BROADCAST — the raw corpus is never shuffled on the
+    * feature key. `None` keeps exact string features (unbounded model,
+    * shuffle join) — the oracle-checkable variant; CurationSpec pins the
+    * hashed ranking against it.
+    *
+    * @return one row per raw document that has at least one feature:
+    *         (idCol, n_feats, log_w, avg_log_ratio), both scores rounded
+    *         6 dp (the bm25 rule — absorbs libm/summation-order ulps so
+    *         DuckDB reproduces them bit-identically). `avg_log_ratio` is
+    *         the length-normalized variant for gating on a threshold
+    *         without length bias; `log_w` (the paper's form) is what
+    *         [[dsirSelect]] resamples on.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int = 2,
+      buckets: Option[Int] = Some(10000),
+      alpha: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets.forall(_ > 0), "buckets must be positive")
+    def tf(df: DataFrame): DataFrame = {
+      val exact = ngramTf(df, n, idCol, textCol)
+      buckets match {
+        case Some(b) =>
+          // re-key to the hashed bucket and re-combine: two narrow aggs
+          // beat hashing inside the explode because the exact combine
+          // already collapsed repeated features map-side
+          exact.groupBy(col(idCol),
+              pmod(xxhash64(col("feat")), lit(b.toLong)).as("feat"))
+            .agg(sum("tf").as("tf"))
+        case None => exact
+      }
+    }
+    // scored twice (model build + per-doc rollup): cut the lineage once
+    val rawTf = tf(raw).localCheckpoint()
+    val cfR = rawTf.groupBy("feat").agg(sum("tf").as("cfr"))
+    val cfT = tf(target).groupBy("feat").agg(sum("tf").as("cft"))
+    val model = cfR.join(cfT, Seq("feat"), "full_outer")
+      .select(col("feat"),
+        coalesce(col("cfr"), lit(0L)).as("cfr"),
+        coalesce(col("cft"), lit(0L)).as("cft"))
+    // V, N_T, N_R over the UNION vocabulary — one broadcast row
+    val corpus = model.agg(
+      count(lit(1)).as("v"), sum("cfr").as("nr"), sum("cft").as("nt"))
+    val logRatio =
+      log((col("cft") + lit(alpha)) / (col("nt") + lit(alpha) * col("v"))) -
+        log((col("cfr") + lit(alpha)) / (col("nr") + lit(alpha) * col("v")))
+    // bucketed model is <= buckets rows — broadcast it so the raw tf
+    // table is never exchanged on the feature key; the exact variant has
+    // an unbounded vocabulary and must shuffle
+    val modelSide = if (buckets.isDefined) broadcast(model) else model
+    rawTf.join(modelSide, Seq("feat"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_feats"),
+        round(sum(col("tf") * logRatio), 6).as("log_w"),
+        round(sum(col("tf") * logRatio) / sum(col("tf")), 6).as("avg_log_ratio"))
+  }
+
+  /** The resampling half of DSIR: draw `k` raw documents WITHOUT
+    * replacement with probability ∝ exp(log_w) via Gumbel-top-k
+    * (Efraimidis–Spirakis weighted reservoir in its Gumbel form): perturb
+    * each log-weight with an independent Gumbel noise term and keep the k
+    * largest. The "noise" is a seeded hash of the doc id mapped through
+    * the inverse Gumbel CDF, so the draw is fully deterministic —
+    * reproducible across runs, engines, and reshards, the same contract
+    * as [[resampleToMixture]].
+    *
+    * Scale shape: `orderBy(..).limit(k)` compiles to
+    * TakeOrderedAndProject — per-partition top-k, merged once; no global
+    * sort. k is driver-bounded by construction (it is the sample you are
+    * materializing); for a k too large to merge on the driver, gate on a
+    * `gumbel_key` threshold from `approxQuantileEdges` instead and accept
+    * ±ε on the sample size.
+    *
+    * Documents with no features (fewer than `n` tokens) have no weight
+    * and cannot be drawn.
+    *
+    * @return the k sampled rows of `raw` plus (log_w, gumbel_key),
+    *         gumbel_key rounded 6 dp.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      seed: String = "dsir",
+      n: Int = 2,
+      buckets: Option[Int] = Some(10000),
+      alpha: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = importanceWeights(raw, target, n, buckets, alpha, idCol, textCol)
+      .select(col(idCol), col("log_w"))
+    // u in (0,1): 40 hash bits centered in their bucket; g = -ln(-ln u)
+    val span = (1L << 40).toDouble
+    val u = (pmod(xxhash64(concat(col(idCol).cast("string"), lit(seed))),
+      lit(1L << 40)).cast("double") + lit(0.5)) / lit(span)
+    val g = -log(-log(u))
+    raw.join(w, Seq(idCol))
+      .withColumn("gumbel_key", round(col("log_w") + g, 6))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{AsOfJoin, Curation, DatasetSplit, Graph, Multimodal, Packing, Scd2, Similarity, Skew, Sketches, TextAnalysis, TextDedup}
+import graft.ops.{AsOfJoin, Curation, DatasetSplit, Graph, Multimodal, Packing, QualityModel, Scd2, Similarity, Skew, Sketches, TextAnalysis, TextDedup}
 
 /** LLM-training-data-pipeline operators: dedup, similarity search, text
   * analysis, JSON extraction, multimodal plumbing — over the
@@ -1171,6 +1171,79 @@ object ExtQueries {
       Some("""SELECT doc_id, source FROM documents
         |WHERE source NOT IN ('src1', 'src4')
         |  AND NOT coalesce(regexp_matches(text, 'slow +small'), false)""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): score every document by
+    // how much more likely its bigram bag is under the English-subset
+    // target model than under the whole-corpus raw model, Laplace α=1
+    // over the shared (union) vocabulary. Exact string features here so
+    // DuckDB can reproduce the weights bit-for-bit (6-dp rule); the
+    // hashed-bucket scale variant (bounded model table, broadcast join)
+    // is rank-pinned against this in CurationSpec.
+    Q("ext_dsir_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.importanceWeights(
+          docs, docs.filter(col("lang") === "en"), n = 2, buckets = None)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS feat
+        |  FROM (SELECT doc_id, ws FROM toks WHERE len(ws) >= 2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |tf AS (SELECT doc_id, feat, count(*) AS tf FROM feats GROUP BY 1, 2),
+        |cfr AS (SELECT feat, sum(tf) AS cfr FROM tf GROUP BY 1),
+        |cft AS (SELECT feat, sum(tf) AS cft FROM tf
+        |        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |model AS (
+        |  SELECT cfr.feat, cfr.cfr, coalesce(cft.cft, 0) AS cft
+        |  FROM cfr LEFT JOIN cft USING (feat)),
+        |corpus AS (
+        |  SELECT count(*) AS v, sum(cfr) AS nr, sum(cft) AS nt FROM model)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+        |  round(sum(tf.tf * (ln((cft + 1.0) / (CAST(nt AS DOUBLE) + v))
+        |                   - ln((cfr + 1.0) / (CAST(nr AS DOUBLE) + v)))), 6)
+        |    AS log_w,
+        |  round(sum(tf.tf * (ln((cft + 1.0) / (CAST(nt AS DOUBLE) + v))
+        |                   - ln((cfr + 1.0) / (CAST(nr AS DOUBLE) + v))))
+        |        / sum(tf.tf), 6) AS avg_log_ratio
+        |FROM tf JOIN model USING (feat) CROSS JOIN corpus
+        |GROUP BY tf.doc_id""".stripMargin)),
+
+    // The resampling half of DSIR: Gumbel-top-k draw of 50 docs without
+    // replacement, probability ∝ exp(log_w), under the hashed-bucket
+    // (scale) weight model. The Gumbel perturbation is a seeded xxhash64
+    // of the doc id — deterministic, but not portable to DuckDB, so this
+    // entry is rows-only; CurationSpec pins the weight model against the
+    // oracle-checked exact variant and the draw against a closed-form
+    // re-computation.
+    Q("ext_dsir_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.dsirSelect(
+          docs, docs.filter(col("lang") === "en"),
+          k = 50, buckets = Some(4096))
+          .select("doc_id", "log_w", "gumbel_key")
+      },
+      None),
+
+    // Trained model-based quality filter (CCNet/LLaMA-style fastText-ish
+    // classifier): hashed-TF features + distributed logistic regression,
+    // trained on a deterministic labeled sample (every 5th doc, label =
+    // "is English"), scored map-only over the whole corpus. Learned
+    // weights have no DuckDB-portable form — rows-only; QualityModelSpec
+    // pins recovery of planted separable labels and the exchange-free
+    // scoring plan.
+    Q("ext_quality_model",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labeled = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("label", (col("lang") === "en").cast("double"))
+        QualityModel.score(docs, QualityModel.train(labeled))
+          .select(col("doc_id"), col("quality_pred").cast("int").as("quality_pred"))
+      },
+      None),
 
     // Sliding-window chunking (training / retrieval context prep):
     // 64-token windows advancing by 32 — map-only, no shuffle; the last

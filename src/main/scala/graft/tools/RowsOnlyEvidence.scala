@@ -93,6 +93,14 @@ object RowsOnlyEvidence {
       "bpeEncode: replays the merge table in rank order, word boundaries are hard",
       Seq.empty,
       "closed-form: exact token sequence under a learned merge table; hard word boundaries; lossless concatenation back to the source characters"),
+    Entry("ext_quality_model", "graft.QualityModelSpec",
+      "trained classifier recovers planted separable labels; scoring is map-only",
+      Seq.empty,
+      "closed-form: planted vocabulary-separable labels recovered on a held-out set with accuracy >= 0.95; corpus scoring plan contains no Exchange (model rides with the plan, no shuffle/join)"),
+    Entry("ext_dsir_select", "graft.CurationSpec",
+      "dsirSelect: deterministic Gumbel-top-k, keys recomputed closed-form, hashed weights rank-track exact",
+      Seq("ext_dsir_weights"),
+      "selected set == independent top-k recomputation of log_w + inverse-Gumbel(seeded-hash) keys; hashed-bucket log_w rank-correlates with the exact (oracle-checked) feature weights; draw invariant under repartitioning"),
   )
 
   /** sbt forks the test JVM with cwd = repo root, so the artifact lands

@@ -110,6 +110,85 @@ class CurationSpec extends AnyFunSuite {
       s"expected broadcast anti join:\n$plan")
   }
 
+  test("importanceWeights: closed-form DSIR log-ratios on a toy corpus") {
+    // raw: d1 = {a:2, b:1}, d2 = {b:1, c:1}; target = d1.
+    // cfr = a:2,b:2,c:1 (nr=5); cft = a:2,b:1 (nt=3); V=3, alpha=1.
+    // pT(a)=3/6, pT(b)=2/6, pT(c)=1/6; pR(a)=3/8, pR(b)=3/8, pR(c)=2/8.
+    // d1: 2*ln(4/3)+ln(8/9) = 0.4575811..; d2: ln(8/9)+ln(2/3) = -0.5232481..
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val got = Curation.importanceWeights(raw, target, n = 1, buckets = None)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 0.457581, 0.152527),
+      (2L, 2L, -0.523248, -0.261624)))
+  }
+
+  test("dsirSelect: deterministic Gumbel-top-k, keys recomputed closed-form, hashed weights rank-track exact") {
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter($"lang" === "en")
+    val exact = Curation.importanceWeights(docs, target, buckets = None).cache()
+    val hashed = Curation.importanceWeights(docs, target, buckets = Some(4096)).cache()
+    // bucketing re-keys features, never re-counts: per-doc totals identical
+    assert(exact.select($"doc_id", $"n_feats".as("e"))
+      .join(hashed.select($"doc_id", $"n_feats".as("h")), "doc_id")
+      .filter($"e" =!= $"h").count() == 0)
+    // hashed weights rank-track the exact (oracle-checked) weights
+    val pairs = exact.select($"doc_id", $"log_w".as("we"))
+      .join(hashed.select($"doc_id", $"log_w".as("wh")), "doc_id")
+      .as[(Long, Double, Double)].collect()
+    assert(pairs.length > 10)
+    def ranks(v: Array[Double]): Array[Double] = {
+      val idx = v.zipWithIndex.sortBy(_._1).map(_._2)
+      val r = new Array[Double](v.length)
+      idx.zipWithIndex.foreach { case (orig, rank) => r(orig) = rank.toDouble }
+      r
+    }
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length; val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+      val sb = math.sqrt(b.map(y => (y - mb) * (y - mb)).sum)
+      cov / (sa * sb)
+    }
+    val rho = corr(ranks(pairs.map(_._2)), ranks(pairs.map(_._3)))
+    info(f"spearman(exact, hashed-4096) = $rho%.4f")
+    assert(rho >= 0.8, f"hashed weights lost the exact ranking: rho=$rho%.4f")
+    // target-like docs score higher under the target model (the point
+    // of DSIR): mean exact log_w of en docs above the non-en mean
+    val byLang = exact.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy($"lang" === "en").agg(avg("log_w")).as[(Boolean, Double)]
+      .collect().toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} should exceed non-en ${byLang(false)}")
+    // the draw: exactly k, and equal to an independent local top-k
+    // recomputation of log_w + inverse-Gumbel(seeded doc-id hash)
+    val k = 20
+    val sel = Curation.dsirSelect(docs, target, k = k, buckets = Some(4096))
+    val got = sel.select("doc_id").as[Long].collect().toSet
+    assert(got.size == k)
+    val g = docs.select($"doc_id",
+        -log(-log((pmod(xxhash64(concat($"doc_id".cast("string"), lit("dsir"))),
+          lit(1L << 40)).cast("double") + lit(0.5)) / lit((1L << 40).toDouble))))
+      .as[(Long, Double)].collect().toMap
+    val logw = hashed.select($"doc_id", $"log_w").as[(Long, Double)].collect().toMap
+    val expect = logw.toSeq
+      .map { case (id, w) =>
+        val key = BigDecimal(w + g(id))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key)
+      }
+      .sortBy { case (id, key) => (-key, id) }
+      .take(k).map(_._1).toSet
+    assert(got == expect)
+    // draw invariant under repartitioning
+    val again = Curation.dsirSelect(docs.repartition(7), target, k = k,
+      buckets = Some(4096)).select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    exact.unpersist(); hashed.unpersist()
+    graft.tools.RowsOnlyEvidence.record("ext_dsir_select")
+  }
+
   test("blockFilter keeps null-text docs (rlike(null) must not eat them)") {
     val docsN = Seq((1L, "srcA", "fine text"), (2L, "srcA", null), (3L, "srcB", "bad stuff"))
       .toDF("doc_id", "source", "text")
