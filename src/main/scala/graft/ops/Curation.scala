@@ -361,4 +361,51 @@ object Curation {
       .orderBy(col("gumbel_key").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** [[dsirSelect]] for a k too large to merge on the driver: instead of
+    * an exact top-k, gate on the (1 − k/N) quantile of the Gumbel keys
+    * from ONE mergeable `percentile_approx` pass (the
+    * [[Quality.approxQuantileEdges]] scale pattern) and keep everything
+    * at or above it. The sample size is k ± the quantile-sketch error
+    * (`accuracy` trades memory for tightness; keys are continuous, so
+    * ties at the threshold are measure-zero). Same weights, same seeded
+    * Gumbel keys, same determinism contract as the exact form — only the
+    * cut changes from "rank k" to "estimated rank-k key value", which is
+    * what makes it a filter (map-only after the one-row broadcast) rather
+    * than an ordered merge.
+    *
+    * @return the ≈k sampled rows of `raw` plus (log_w, gumbel_key,
+    *         key_threshold).
+    */
+  def dsirSelectThreshold(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Long,
+      seed: String = "dsir",
+      n: Int = 2,
+      buckets: Option[Int] = Some(10000),
+      alpha: Double = 1.0,
+      accuracy: Int = 10000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = importanceWeights(raw, target, n, buckets, alpha, idCol, textCol)
+      .select(col(idCol), col("log_w"))
+    val span = (1L << 40).toDouble
+    val u = (pmod(xxhash64(concat(col(idCol).cast("string"), lit(seed))),
+      lit(1L << 40)).cast("double") + lit(0.5)) / lit(span)
+    val keyed = raw.join(w, Seq(idCol))
+      .withColumn("gumbel_key", round(col("log_w") - log(-log(u)), 6))
+      .persist()
+    // percentile_approx needs a FOLDABLE percentage, so the scored count
+    // is one scalar job over the persisted keys (at pipeline scale N is
+    // usually already known — the count is bookkeeping, not a scan tax)
+    val nRows = keyed.count()
+    val frac = math.max(0.0, 1.0 - k.toDouble / nRows)
+    // one mergeable sketch pass for the cut, broadcast back as one row
+    val cut = keyed.agg(
+      percentile_approx(col("gumbel_key"), lit(frac), lit(accuracy))
+        .as("key_threshold"))
+    keyed.crossJoin(broadcast(cut))
+      .filter(col("gumbel_key") >= col("key_threshold"))
+  }
 }

@@ -90,6 +90,19 @@ object QualityModel {
       .drop("features", "graft_prob", "graft_raw")
   }
 
+  /** Persist a fitted model as a reusable artifact (Spark ML's parquet
+    * format): train once on the curated labeled sample, score many
+    * corpora/runs. `numFeatures` is recoverable from the coefficient
+    * vector, so the artifact is self-describing.
+    */
+  def save(trained: Trained, path: String): Unit =
+    trained.model.write.overwrite().save(path)
+
+  def load(path: String): Trained = {
+    val m = LogisticRegressionModel.load(path)
+    Trained(m, m.numFeatures)
+  }
+
   /** The composed filter: train on the labeled sample, keep corpus docs
     * scoring at or above `minProb`.
     */

@@ -185,8 +185,37 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.dsirSelect(docs.repartition(7), target, k = k,
       buckets = Some(4096)).select("doc_id").as[Long].collect().toSet
     assert(again == got)
+    // the 100 TB contract of the hashed mode: the bounded model table
+    // BROADCASTS onto the raw tf table — scoring never exchanges the
+    // corpus on the feature key
+    val hashedPlan = Curation.importanceWeights(docs, target,
+      buckets = Some(4096)).queryExecution.executedPlan.toString
+    assert(hashedPlan.contains("BroadcastHashJoin"),
+      s"hashed model join must broadcast:\n$hashedPlan")
     exact.unpersist(); hashed.unpersist()
     graft.tools.RowsOnlyEvidence.record("ext_dsir_select")
+  }
+
+  test("dsirSelectThreshold: quantile-gated draw tracks the exact top-k") {
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter($"lang" === "en")
+    val k = 20
+    val exact = Curation.dsirSelect(docs, target, k = k, buckets = Some(4096))
+      .select("doc_id").as[Long].collect().toSet
+    val gated = Curation.dsirSelectThreshold(docs, target, k = k,
+      buckets = Some(4096))
+    val got = gated.select("doc_id").as[Long].collect().toSet
+    // the cut is an estimated rank-k key value: size lands on k ± the
+    // sketch/rank-rounding slack (tiny here), members track the exact set
+    assert(math.abs(got.size - k) <= 1, s"size ${got.size} vs k=$k")
+    assert((exact intersect got).size >= k - 1,
+      s"threshold draw diverged from exact top-k: ${exact.diff(got)}")
+    // a kept row's key is never below the broadcast threshold
+    assert(gated.filter($"gumbel_key" < $"key_threshold").count() == 0)
+    // same determinism contract as the exact form
+    val again = Curation.dsirSelectThreshold(docs.repartition(5), target,
+      k = k, buckets = Some(4096)).select("doc_id").as[Long].collect().toSet
+    assert(again == got)
   }
 
   test("blockFilter keeps null-text docs (rlike(null) must not eat them)") {

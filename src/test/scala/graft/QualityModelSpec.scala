@@ -63,6 +63,20 @@ class QualityModelSpec extends AnyFunSuite {
     assert(kept.filter($"quality_prob" < 0.5).count() == 0)
   }
 
+  test("save/load round-trips the model: loaded scores are identical") {
+    val corpus = planted(200)
+    val trained = QualityModel.train(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("qmodel").toString + "/m"
+    QualityModel.save(trained, dir)
+    val loaded = QualityModel.load(dir)
+    assert(loaded.numFeatures == trained.numFeatures)
+    val a = QualityModel.score(corpus, trained)
+      .select("doc_id", "quality_prob", "quality_pred")
+    val b = QualityModel.score(corpus, loaded)
+      .select("doc_id", "quality_prob", "quality_pred")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("real-corpus smoke: lang labels train and score end to end") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val labeled = docs.withColumn("label", ($"lang" === "en").cast("double"))
