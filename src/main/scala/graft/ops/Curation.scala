@@ -295,10 +295,16 @@ object Curation {
     val rawTf = tf(raw).localCheckpoint()
     val cfR = rawTf.groupBy("feat").agg(sum("tf").as("cfr"))
     val cfT = tf(target).groupBy("feat").agg(sum("tf").as("cft"))
-    val model = cfR.join(cfT, Seq("feat"), "full_outer")
+    val modelLazy = cfR.join(cfT, Seq("feat"), "full_outer")
       .select(col("feat"),
         coalesce(col("cfr"), lit(0L)).as("cfr"),
         coalesce(col("cft"), lit(0L)).as("cft"))
+    // the model feeds BOTH the scoring join and the (V, N_T, N_R) corpus
+    // row; bucketed it is <= buckets rows, so materialize once instead of
+    // recomputing the build subtree twice (exact mode stays lazy — its
+    // vocabulary is unbounded and exact mode is the small-scale variant)
+    val model =
+      if (buckets.isDefined) modelLazy.localCheckpoint() else modelLazy
     // V, N_T, N_R over the UNION vocabulary — one broadcast row
     val corpus = model.agg(
       count(lit(1)).as("v"), sum("cfr").as("nr"), sum("cft").as("nt"))
