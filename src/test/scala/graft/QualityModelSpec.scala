@@ -77,6 +77,44 @@ class QualityModelSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("stream scoring equals batch: the model is stateless plan-side state") {
+    // train once batch-side, then score a file stream with the same model
+    // — scoring is map-only (QualityModelSpec pins no-Exchange above), so
+    // it is streaming-legal with zero state and must agree with the batch
+    // twin row for row
+    val corpus = planted(120)
+    val model = QualityModel.train(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm_stream").toString
+    val rows = corpus.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val base = System.currentTimeMillis()
+    rows.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      val f = new java.io.File(dir, s"f$i.csv")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try chunk.foreach { case (id, t) => w.println(s"$id,$t") }
+      finally w.close()
+      f.setLastModified(base + i * 60000L): Unit
+    }
+    val schema = "doc_id LONG, text STRING"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).csv(dir)
+    val q = QualityModel.score(stream, model)
+      .select("doc_id", "quality_prob", "quality_pred")
+      .writeStream.format("memory").queryName("qm_stream_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qm_stream_out")
+      .as[(Long, Double, Double)].collect().toSet
+    val batch = QualityModel.score(
+        spark.read.schema(schema).csv(dir), model)
+      .select("doc_id", "quality_prob", "quality_pred")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == rows.map(_._1).toSet)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "scoring must have run across micro-batch boundaries")
+  }
+
   test("real-corpus smoke: lang labels train and score end to end") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val labeled = docs.withColumn("label", ($"lang" === "en").cast("double"))
