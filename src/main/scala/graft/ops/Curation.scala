@@ -291,8 +291,15 @@ object Curation {
         case None => exact
       }
     }
-    // scored twice (model build + per-doc rollup): cut the lineage once
-    val rawTf = tf(raw).localCheckpoint()
+    // scored twice (model build + per-doc rollup): cut the lineage once.
+    // DISK-backed, not the default deserialized in-memory level — the tf
+    // table is comparable in size to the token stream itself, and letting
+    // it eat storage memory starves the downstream hash aggregates
+    // (measured: AGGREGATE_OUT_OF_MEMORY at a 1 M-doc replication on the
+    // 8 g test heap with the default level; DISK_ONLY runs it clean, see
+    // PLANS.md round-13 DSIR scale curve)
+    val rawTf = tf(raw).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cfR = rawTf.groupBy("feat").agg(sum("tf").as("cfr"))
     val cfT = tf(target).groupBy("feat").agg(sum("tf").as("cft"))
     val modelLazy = cfR.join(cfT, Seq("feat"), "full_outer")
