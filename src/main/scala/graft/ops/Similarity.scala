@@ -51,6 +51,53 @@ object Similarity {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** The deterministic ±1 sign matrix behind [[randomProject]]: entry
+    * (i, j) is the parity of the first md5 nibble of "seed:i:j". Pure
+    * function of (seed, dIn, dOut), so every engine, run, and executor
+    * derives the identical matrix — the catalog oracle inlines these same
+    * signs into its generated SQL (the ext_quality_classifier pattern).
+    */
+  def rpSigns(seed: String, dIn: Int, dOut: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dIn, dOut) { (i, j) =>
+      val h = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    * density-1 variant): `proj_j = Σ_i v_i · s(i,j) / √dOut` with a
+    * seeded deterministic ±1 matrix. The standard width cut BEFORE the
+    * ANN stages at corpus scale — 64 float dims → `dOut` doubles shrinks
+    * every LSH/IVF shuffle and distance kernel by the same factor while
+    * JL bounds pairwise-distance distortion. Map-only: the matrix is a
+    * plan-side constant (dIn·dOut ints), no shuffle, no UDF — the inner
+    * sums are codegen'd arithmetic in ascending-i order, so the oracle's
+    * left-to-right SQL sums are bit-identical before the shared 6-dp
+    * rounding.
+    *
+    * @return (idCol, proj_0 … proj_{dOut-1}) — scalar columns, one per
+    *         output dim (the driver's parquet compare sorts rows by
+    *         column values, which array columns would break).
+    */
+  def randomProject(
+      emb: DataFrame,
+      dIn: Int,
+      dOut: Int,
+      seed: String = "jl",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val signs = rpSigns(seed, dIn, dOut)
+    val scale = math.sqrt(dOut.toDouble)
+    val cols = (0 until dOut).map { j =>
+      val sum = (0 until dIn).map { i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(signs(i)(j))
+      }.reduce(_ + _)
+      round(sum / lit(scale), 6).as(s"proj_$j")
+    }
+    emb.select(col(idCol) +: cols: _*)
+  }
+
   /** Brute-force top-k neighbors for each query vector (queries broadcast;
     * ties broken by neighbor id for determinism).
     */

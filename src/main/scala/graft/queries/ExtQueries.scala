@@ -495,6 +495,30 @@ object ExtQueries {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
 
     // Brute-force cosine top-k for a fixed query set.
+    // Johnson–Lindenstrauss sign random projection (64 → 16 dims): the
+    // width cut that shrinks every downstream ANN shuffle/kernel. The
+    // oracle SQL is GENERATED from the same seeded sign matrix the Spark
+    // side uses (the ext_quality_classifier pattern); both engines sum
+    // in ascending-dim order and divide by the exact 4.0 = √16, so the
+    // doubles are bit-identical before the shared 6-dp rounding.
+    Q("ext_ann_rp",
+      (s, dir) => Similarity.randomProject(
+        Tables.embeddings(s, dir), dIn = 64, dOut = 16),
+      Some {
+        val signs = Similarity.rpSigns("jl", 64, 16)
+        val dims = (0 until 16).map { j =>
+          val terms = (0 until 64).map { i =>
+            s"${if (signs(i)(j) == 1) "+" else "-"} e[${i + 1}]"
+          }.mkString(" ")
+          s"  round((${terms.stripPrefix("+ ")}) / 4.0, 6) AS proj_$j"
+        }.mkString(",\n")
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+           |SELECT vec_id,
+           |$dims
+           |FROM v""".stripMargin
+      }),
+
     Q("ext_ann_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
