@@ -330,6 +330,86 @@ object Curation {
         round(sum(col("tf") * logRatio) / sum(col("tf")), 6).as("avg_log_ratio"))
   }
 
+  /** The frozen-model half of DSIR, the production deployment shape: fit
+    * the hashed feature model ONCE (offline, possibly on a sample) and
+    * score any corpus — or stream — against it later. Returns a DENSE
+    * per-bucket table `(feat, log_ratio)` covering every bucket in
+    * [0, buckets): buckets observed in neither corpus carry the
+    * smoothed unseen ratio `ln((nr+αV)/(nt+αV))`, so a scoring join can
+    * never miss. Bounded at `buckets` rows by construction — small
+    * enough to broadcast, persist as an artifact, or ship to a stream.
+    */
+  def importanceModel(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int = 2,
+      buckets: Int = 10000,
+      alpha: Double = 1.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def cf(df: DataFrame, out: String): DataFrame =
+      ngramTf(df, n, idCol, textCol)
+        .groupBy(pmod(xxhash64(col("feat")), lit(buckets.toLong)).as("feat"))
+        .agg(sum("tf").as(out))
+    val spark = raw.sparkSession
+    val dense = spark.range(buckets).select(col("id").as("feat"))
+    val model = dense
+      .join(cf(raw, "cfr"), Seq("feat"), "left_outer")
+      .join(cf(target, "cft"), Seq("feat"), "left_outer")
+      .select(col("feat"),
+        coalesce(col("cfr"), lit(0L)).as("cfr"),
+        coalesce(col("cft"), lit(0L)).as("cft"))
+      .localCheckpoint()
+    // V is the number of buckets with any mass (the union vocabulary of
+    // the fitted corpora — identical to importanceWeights' hashed V)
+    val corpus = model
+      .filter(col("cfr") > 0 || col("cft") > 0)
+      .agg(count(lit(1)).as("v"), sum("cfr").as("nr"), sum("cft").as("nt"))
+    model.crossJoin(broadcast(corpus))
+      .select(col("feat"),
+        (log((col("cft") + lit(alpha)) / (col("nt") + lit(alpha) * col("v"))) -
+          log((col("cfr") + lit(alpha)) / (col("nr") + lit(alpha) * col("v"))))
+          .as("log_ratio"))
+  }
+
+  /** Score documents against a fitted [[importanceModel]]: per-occurrence
+    * n-gram explode (map-only — no pre-aggregation), one stream-static
+    * BROADCAST join onto the dense model, ONE rollup on the doc key.
+    * `Σ_occurrences log_ratio` equals the tf-weighted sum by definition,
+    * so this is [[importanceWeights]]' score with one fewer shuffle (the
+    * per-occurrence rows never exchange — only the per-doc partials do),
+    * and the single-aggregation shape is what makes it STREAMING-LEGAL:
+    * the same call scores a file stream (frozen model = static side),
+    * which a (doc, feat) tf pre-combine would forbid (two chained
+    * streaming aggregations). Same output contract and 6-dp rounding as
+    * [[importanceWeights]]; CurationSpec pins the batch equivalence and
+    * the stream ≡ batch twin.
+    */
+  def scoreImportance(
+      docs: DataFrame,
+      model: DataFrame,
+      n: Int = 2,
+      buckets: Int = 10000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val occ = docs
+      .select(col(idCol),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("graft_ws"))
+      .filter(size(col("graft_ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(graft_ws) - $n), " +
+          s"i -> array_join(slice(graft_ws, i + 1, $n), ' '))")).as("feat"))
+      .select(col(idCol),
+        pmod(xxhash64(col("feat")), lit(buckets.toLong)).as("feat"))
+    occ.join(broadcast(model), Seq("feat"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("log_ratio")), 6).as("log_w"),
+        round(sum(col("log_ratio")) / count(lit(1)), 6).as("avg_log_ratio"))
+  }
+
   /** The resampling half of DSIR: draw `k` raw documents WITHOUT
     * replacement with probability ∝ exp(log_w) via Gumbel-top-k
     * (Efraimidis–Spirakis weighted reservoir in its Gumbel form): perturb

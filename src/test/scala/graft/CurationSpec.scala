@@ -196,6 +196,67 @@ class CurationSpec extends AnyFunSuite {
     graft.tools.RowsOnlyEvidence.record("ext_dsir_select")
   }
 
+  test("frozen DSIR model: dense buckets; scoreImportance equals importanceWeights") {
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter($"lang" === "en")
+    val b = 4096
+    val model = Curation.importanceModel(docs, target, buckets = b).cache()
+    // dense: every bucket has exactly one row, so a scoring join can
+    // never miss, and every zero-mass bucket carries the same smoothed
+    // unseen ratio
+    assert(model.count() == b)
+    assert(model.select("feat").distinct().count() == b)
+    // the occurrence-sum score equals the tf-weighted score of the
+    // fit-on-the-same-corpus path, doc for doc (6-dp ulp tolerance)
+    val w1 = Curation.importanceWeights(docs, target, buckets = Some(b))
+    val w2 = Curation.scoreImportance(docs, model, buckets = b)
+    val joined = w1.select($"doc_id", $"n_feats".as("nf1"), $"log_w".as("lw1"))
+      .join(w2.select($"doc_id", $"n_feats".as("nf2"), $"log_w".as("lw2")), "doc_id")
+      .cache()
+    assert(joined.count() == w1.count() && w1.count() == w2.count())
+    assert(joined.filter($"nf1" =!= $"nf2").count() == 0)
+    val maxDiff = joined.agg(max(abs($"lw1" - $"lw2"))).as[Double].collect().head
+    assert(maxDiff <= 1e-6, s"frozen-model score drifted: $maxDiff")
+    joined.unpersist(); model.unpersist()
+  }
+
+  test("frozen DSIR scoring on a stream equals the batch twin") {
+    val docs = Tables.documents(spark, dir)
+    val target = docs.filter($"lang" === "en")
+    val b = 4096
+    val model = Curation.importanceModel(docs, target, buckets = b)
+      .cache()
+    model.count()
+    // stream the corpus as CSV files; the frozen model is the static side
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dsir_stream").toString
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val base = System.currentTimeMillis()
+    rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach { case (chunk, i) =>
+      val f = new java.io.File(streamDir, s"f$i.csv")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try chunk.foreach { case (id, t) => w.println(s"$id,$t") }
+      finally w.close()
+      f.setLastModified(base + i * 60000L): Unit
+    }
+    val schema = "doc_id LONG, text STRING"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).csv(streamDir)
+    val q = Curation.scoreImportance(stream, model, buckets = b)
+      .writeStream.format("memory").queryName("dsir_stream_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dsir_stream_out")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val batch = Curation.scoreImportance(
+        spark.read.schema(schema).csv(streamDir), model, buckets = b)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == rows.map(_._1).toSet)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "scoring must have crossed micro-batch boundaries")
+    model.unpersist()
+  }
+
   test("dsirSelectThreshold: quantile-gated draw tracks the exact top-k") {
     val docs = Tables.documents(spark, dir)
     val target = docs.filter($"lang" === "en")
