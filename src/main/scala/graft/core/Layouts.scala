@@ -156,12 +156,12 @@ object Layouts {
     val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val target = spark.read.parquet(dir)
-      .filter(col(partitionCol).isin(touched: _*))
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
     // eagerly materialized BEFORE the write: the overwrite targets the
     // same path the merge reads, so the lineage to those files must be
     // cut or Spark (rightly) refuses the self-overwrite
     val merged = target.join(updates, keyCols, "left_anti")
-      .unionByName(updates.select(target.columns.map(col): _*))
+      .unionByName(updates.select(target.columns.toIndexedSeq.map(col): _*))
       .localCheckpoint()
     merged.write
       .partitionBy(partitionCol)

@@ -102,7 +102,7 @@ class Scd2Spec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String, Timestamp)]
-    val changes = ms.toDF.toDF("user_id", "event_type", "ts")
+    val changes = ms.toDF().toDF("user_id", "event_type", "ts")
 
     var dim = Scd2.fromEvents(
       Seq.empty[(Long, Long, String, Timestamp)]
