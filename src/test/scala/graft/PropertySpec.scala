@@ -465,4 +465,29 @@ class PropertySpec extends AnyFunSuite {
       assert(keepIds == survIds -- losers, s"seed=$seed: keeper partition")
     }
   }
+
+  test("randomProject is linear: proj(a + b) == proj(a) + proj(b), exactly") {
+    // the projection is a fixed ±1 matrix-vector product, so it must be
+    // EXACTLY linear on inputs where every float op is exact: small-int
+    // components, dOut=4 so the √dOut divisor is exactly 2, results are
+    // half-integers on which the 6-dp round is the identity. Any
+    // inequality would mean the implementation is not the claimed
+    // plan-side constant matrix
+    val dIn = 8; val dOut = 4
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      def vec(): Seq[Float] = Seq.fill(dIn)((rnd.nextInt(7) - 3).toFloat)
+      val a = vec(); val b = vec()
+      val rows = Seq(
+        (0L, a), (1L, b), (2L, a.zip(b).map { case (x, y) => x + y }))
+        .toDF("vec_id", "embedding")
+      val p = graft.ops.Similarity.randomProject(rows, dIn, dOut)
+        .orderBy("vec_id").collect()
+        .map(r => (1 to dOut).map(r.getDouble))
+      (0 until dOut).foreach { j =>
+        assert(p(2)(j) == p(0)(j) + p(1)(j),
+          s"seed=$seed dim=$j: ${p(2)(j)} != ${p(0)(j)} + ${p(1)(j)}")
+      }
+    }
+  }
 }
