@@ -40,6 +40,97 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
         .as("approx_distinct"))
 
+  /** KMV ("k minimum values" / theta) sketch per group: the `k` smallest
+    * xxhash64 values of the group's DISTINCT `valueCol`s, sorted
+    * ascending. This is the sketch family HLL cannot replace: because it
+    * keeps an actual uniform SAMPLE of the hashed universe below a
+    * threshold, two groups' sketches support INTERSECTION (and Jaccard)
+    * estimates, not just union — the "how many users did both X and Y"
+    * question at 100 TB.
+    *
+    * Scale shape: one distinct-combine on (group, hash) — map-side
+    * partial, duplicate values collapse before the exchange — then a
+    * per-group bounded top-k (window over at most the distinct hashes;
+    * the sort input per group is its distinct count, the output ≤ k).
+    * The sketch row is ≤ k longs: thousands of groups' sketches fit in
+    * one broadcast.
+    *
+    * A sketch with FEWER than `k` entries saw its whole universe —
+    * every estimate built on it is exact by construction (pinned in
+    * SketchesSpec); the approximate regime begins at distinct > k.
+    */
+  def kmvSketches(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__h").asc)
+    df.select(col(groupCol), xxhash64(col(valueCol)).as("__h")).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"),
+        count(lit(1)).cast("int").as("kmv_n"))
+  }
+
+  /** Map a signed 64-bit hash to its uniform position in [0, 1). */
+  private def u(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    h.cast("double") / lit(math.pow(2.0, 64)) + lit(0.5)
+
+  /** Distinct-count estimate from a [[kmvSketches]] row: exact (= kmv_n)
+    * while the sketch is not full; `(k-1)/θ` once it is, θ = the k-th
+    * smallest normalized hash.
+    */
+  def kmvDistinct(sketches: DataFrame, k: Int = 256): DataFrame =
+    sketches.withColumn("est_distinct",
+      when(col("kmv_n") < k, col("kmv_n").cast("double"))
+        .otherwise(lit(k - 1) / u(element_at(col("kmv"), k))))
+
+  /** Pairwise set-operation estimates between every two groups' sketches
+    * (the theta-sketch combine): cut both samples at θ = min(θ_A, θ_B),
+    * then `|A∩B| ≈ |common hashes below θ| / θ`, same for the union, and
+    * Jaccard as their ratio. Output one row per unordered group pair
+    * (g1 < g2). The join is sketch×sketch — bounded by the number of
+    * GROUPS, never by the data.
+    */
+  def kmvOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val theta = (n: String, arr: String) =>
+      when(col(n) < k, lit(1.0)).otherwise(u(element_at(col(arr), k)))
+    val a = sketches.select(col(sketches.columns.head).as("g1"),
+      col("kmv").as("kmv1"), col("kmv_n").as("n1"))
+    val b = sketches.select(col(sketches.columns.head).as("g2"),
+      col("kmv").as("kmv2"), col("kmv_n").as("n2"))
+    val thetaCol = least(theta("n1", "kmv1"), theta("n2", "kmv2"))
+    a.join(b, col("g1") < col("g2"))
+      .withColumn("__theta", thetaCol)
+      .withColumn("__a", expr(
+        s"filter(kmv1, h -> cast(h as double) / ${math.pow(2.0, 64)} + 0.5 < __theta)"))
+      .withColumn("__b", expr(
+        s"filter(kmv2, h -> cast(h as double) / ${math.pow(2.0, 64)} + 0.5 < __theta)"))
+      .withColumn("est_intersection",
+        round(size(array_intersect(col("__a"), col("__b"))) / col("__theta"), 3))
+      .withColumn("est_union",
+        round(size(array_union(col("__a"), col("__b"))) / col("__theta"), 3))
+      .withColumn("est_jaccard",
+        when(col("est_union") > 0,
+          round(col("est_intersection") / col("est_union"), 6))
+          .otherwise(lit(0.0)))
+      .select("g1", "g2", "est_intersection", "est_union", "est_jaccard")
+  }
+
+  /** Merge per-(group, shard) KMV sketches into per-group sketches:
+    * union the samples, drop duplicate hashes, keep the k smallest.
+    * "k smallest of a union" is associative, so shard-built-then-merged
+    * is IDENTICAL to one-pass (array equality, pinned in SketchesSpec) —
+    * the same operational property the HLL path proves: days/sources
+    * sketch independently and combine later.
+    */
+  def kmvMergeShards(
+      shardSketches: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    shardSketches.groupBy(col(groupCol))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+        1, k).as("kmv"))
+      .withColumn("kmv_n", size(col("kmv")))
+
   /** Count-Min frequency estimates for `probes`, from one pass over the
     * data. The sketch is a single O(1/eps · ln(1/conf)) aggregate row —
     * collecting IT (not the data) to the driver for probing is the

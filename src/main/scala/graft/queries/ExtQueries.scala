@@ -1017,6 +1017,53 @@ object ExtQueries {
       },
       None),
 
+    // Exact pairwise audience overlap between event types — the "how
+    // many users did both X and Y" question, exact form: one distinct
+    // (type, user) projection self-joined on user, counted per pair.
+    Q("ext_user_overlap",
+      (s, dir) => {
+        val tu = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
+        tu.toDF("g1", "user_id")
+          .join(tu.toDF("g2", "user_id"), Seq("user_id"))
+          .filter(col("g1") < col("g2"))
+          .groupBy("g1", "g2")
+          .agg(count(lit(1)).as("n_common"))
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS g1, b.event_type AS g2, count(*) AS n_common
+        |FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // KMV/theta-sketch audience overlap: intersection/union/Jaccard
+    // estimates between every two event types' user sets. At this corpus
+    // scale the k=4096 sketches are NOT FULL, so every estimate is exact
+    // by construction (θ = 1, the sample is the whole hashed universe) —
+    // which is what makes this oracle-checkable at BOTH verify scales;
+    // SketchesSpec pins the approximate regime (30k-distinct groups,
+    // k=256) against exact replays, plus the shard-merge identity.
+    Q("ext_sketch_theta",
+      (s, dir) => {
+        val k = 4096
+        val sk = Sketches.kmvSketches(
+          Tables.events(s, dir).select(col("event_type"), col("user_id")),
+          "event_type", "user_id", k)
+        Sketches.kmvOverlap(sk, k)
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |inter AS (
+        |  SELECT a.event_type AS g1, b.event_type AS g2, count(*) AS ni
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |card AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1)
+        |SELECT g1, g2,
+        |  round(CAST(ni AS DOUBLE), 3) AS est_intersection,
+        |  round(CAST(ca.n + cb.n - ni AS DOUBLE), 3) AS est_union,
+        |  round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 6) AS est_jaccard
+        |FROM inter
+        |JOIN card ca ON ca.event_type = g1
+        |JOIN card cb ON cb.event_type = g2""".stripMargin)),
+
     // JSON extraction from the events props column: path extraction as
     // string and schema-full parse to a typed value.
     Q("ext_json_extract",

@@ -165,4 +165,67 @@ class SketchesSpec extends AnyFunSuite {
         s"n=$n q=$q: element-rank error $elemRankErr exceeds eps*n+1 = $bound (p=$p)")
     }
   }
+
+  test("KMV not-full regime: overlap estimates are exactly the true set counts") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
+    val k = 4096
+    val got = Sketches.kmvOverlap(
+        Sketches.kmvSketches(ev, "event_type", "user_id", k), k)
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // exact replay
+    val sets = ev.distinct().as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    val pairs = sets.keys.toSeq.sorted.combinations(2).toSeq
+    assert(got.size == pairs.size && pairs.nonEmpty)
+    pairs.foreach { case Seq(g1, g2) =>
+      val (i, un, j) = got((g1, g2))
+      val ti = (sets(g1) intersect sets(g2)).size
+      val tu = (sets(g1) union sets(g2)).size
+      assert(i == ti.toDouble, s"($g1,$g2) intersection: $i != $ti")
+      assert(un == tu.toDouble, s"($g1,$g2) union: $un != $tu")
+      assert(j == BigDecimal(ti.toDouble / tu)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("KMV approximate regime: 30k-distinct groups within 15% at k=256") {
+    import spark.implicits._
+    // planted: A = [0, 30000), B = [20000, 50000) -> |A∩B| = 10000,
+    // |A∪B| = 50000, J = 0.2
+    val rows = ((0 until 30000).map(i => ("A", i.toLong)) ++
+      (20000 until 50000).map(i => ("B", i.toLong))).toDF("g", "v")
+      .repartition(8)
+    val k = 256
+    val est = Sketches.kmvOverlap(Sketches.kmvSketches(rows, "g", "v", k), k)
+      .as[(String, String, Double, Double, Double)].collect().head
+    info(f"est inter=${est._3}%.0f (true 10000), union=${est._4}%.0f " +
+      f"(true 50000), jaccard=${est._5}%.4f (true 0.2)")
+    assert(math.abs(est._3 - 10000) / 10000.0 <= 0.15, s"intersection ${est._3}")
+    assert(math.abs(est._4 - 50000) / 50000.0 <= 0.15, s"union ${est._4}")
+    assert(math.abs(est._5 - 0.2) / 0.2 <= 0.25, s"jaccard ${est._5}")
+    // distinct estimates from the same sketches
+    val d = Sketches.kmvDistinct(
+        Sketches.kmvSketches(rows, "g", "v", k), k)
+      .select($"g", $"est_distinct").as[(String, Double)].collect().toMap
+    assert(math.abs(d("A") - 30000) / 30000.0 <= 0.15, s"A ${d("A")}")
+    assert(math.abs(d("B") - 30000) / 30000.0 <= 0.15, s"B ${d("B")}")
+  }
+
+  test("KMV shard merge: shard-built-then-merged equals the one-pass sketch") {
+    import spark.implicits._
+    val rows = (0 until 20000).map(i => ("G", i.toLong)).toDF("g", "v")
+    val k = 256
+    val onePass = Sketches.kmvSketches(rows, "g", "v", k)
+      .as[(String, Seq[Long], Int)].collect().head
+    val shards = Sketches.kmvSketches(
+      rows.withColumn("g_shard", concat($"g", lit(":"), ($"v" % 4).cast("string"))),
+      "g_shard", "v", k)
+      .withColumn("g", split(col("g_shard"), ":").getItem(0))
+    val merged = Sketches.kmvMergeShards(shards, "g", k)
+      .select($"g", $"kmv", $"kmv_n")
+      .as[(String, Seq[Long], Int)].collect().head
+    assert(merged == onePass, "k-smallest-of-union must be associative")
+  }
 }
