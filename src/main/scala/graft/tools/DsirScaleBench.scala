@@ -53,12 +53,20 @@ object DsirScaleBench {
     // the production geometry: target fixed at the 1x English sample
     val target = docs1.filter(col("lang") === "en")
 
+    // the production deployment shape: the model is fit ONCE on the 1x
+    // sample (fit cost does not scale with the scored corpus) and frozen
+    val frozen = Curation.importanceModel(docs1, target, buckets = 10000)
+      .persist()
+    frozen.count()
+
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     Seq(1, reps).foreach { r =>
       val raw = if (r == 1) docs1 else replicated(r)
       val n = raw.count()
       out(s"weights_${r}x") = median(force(
         Curation.importanceWeights(raw, target, buckets = Some(10000))))
+      out(s"frozen_score_${r}x") = median(force(
+        Curation.scoreImportance(raw, frozen, buckets = 10000)))
       out(s"select_topk_${r}x") = median(force(
         Curation.dsirSelect(raw, target, k = 1000, buckets = Some(10000))))
       out(s"select_threshold_${r}x") = median(force(
@@ -66,6 +74,7 @@ object DsirScaleBench {
           buckets = Some(10000))))
       println(s"[dsir-scale] ${r}x: n=$n " +
         s"weights=${fmt3(out(s"weights_${r}x"))}s " +
+        s"frozen_score=${fmt3(out(s"frozen_score_${r}x"))}s " +
         s"topk=${fmt3(out(s"select_topk_${r}x"))}s " +
         s"threshold=${fmt3(out(s"select_threshold_${r}x"))}s")
     }
