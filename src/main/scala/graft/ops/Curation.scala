@@ -229,7 +229,23 @@ object Curation {
       docs: DataFrame,
       n: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    ngramOccurrences(docs, n, idCol, textCol)
+      .groupBy(col(idCol), col("feat"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The ONE copy of the occurrence extraction (map-only: tokenize,
+    * filter empties, window, explode — one output row per n-gram
+    * OCCURRENCE). [[ngramTf]] aggregates it to counts; [[scoreImportance]]
+    * consumes it raw so its single aggregation stays streaming-legal. A
+    * tokenization tweak edited here cannot desynchronize the batch
+    * weights from the frozen-model stream scores.
+    */
+  private def ngramOccurrences(
+      docs: DataFrame,
+      n: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     docs
       .select(col(idCol),
@@ -238,8 +254,19 @@ object Curation {
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(graft_ws) - $n), " +
           s"i -> array_join(slice(graft_ws, i + 1, $n), ' '))")).as("feat"))
-      .groupBy(col(idCol), col("feat"))
-      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** The ONE copy of the seeded Gumbel perturbation: u in (0,1) from 40
+    * xxhash64 bits centered in their bucket, g = −ln(−ln u). Shared by
+    * [[dsirSelect]] and [[dsirSelectThreshold]] so their keys stay
+    * bit-identical (the documented "same seeded keys" contract between
+    * the exact and threshold draws).
+    */
+  private def gumbelKey(idCol: String, seed: String): Column = {
+    val span = (1L << 40).toDouble
+    val u = (pmod(xxhash64(concat(col(idCol).cast("string"), lit(seed))),
+      lit(1L << 40)).cast("double") + lit(0.5)) / lit(span)
+    -log(-log(u))
   }
 
   /** DSIR-style importance weights — data selection via importance
@@ -390,19 +417,15 @@ object Curation {
       docs: DataFrame,
       model: DataFrame,
       n: Int = 2,
-      buckets: Int = 10000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val occ = docs
-      .select(col(idCol),
-        filter(split(col(textCol), " "), w => length(w) > 0).as("graft_ws"))
-      .filter(size(col("graft_ws")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(graft_ws) - $n), " +
-          s"i -> array_join(slice(graft_ws, i + 1, $n), ' '))")).as("feat"))
-      .select(col(idCol),
-        pmod(xxhash64(col("feat")), lit(buckets.toLong)).as("feat"))
+    // the bucket count is a property of the FITTED model (it is dense:
+    // one row per bucket), so it is derived, never re-supplied — a
+    // mismatched caller value would silently hash occurrences into
+    // bucket ids the join cannot match, biasing every score
+    val buckets = model.count()
+    val occ = ngramOccurrences(docs, n, idCol, textCol)
+      .select(col(idCol), pmod(xxhash64(col("feat")), lit(buckets)).as("feat"))
     occ.join(broadcast(model), Seq("feat"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
@@ -444,13 +467,8 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     val w = importanceWeights(raw, target, n, buckets, alpha, idCol, textCol)
       .select(col(idCol), col("log_w"))
-    // u in (0,1): 40 hash bits centered in their bucket; g = -ln(-ln u)
-    val span = (1L << 40).toDouble
-    val u = (pmod(xxhash64(concat(col(idCol).cast("string"), lit(seed))),
-      lit(1L << 40)).cast("double") + lit(0.5)) / lit(span)
-    val g = -log(-log(u))
     raw.join(w, Seq(idCol))
-      .withColumn("gumbel_key", round(col("log_w") + g, 6))
+      .withColumn("gumbel_key", round(col("log_w") + gumbelKey(idCol, seed), 6))
       .orderBy(col("gumbel_key").desc, col(idCol).asc)
       .limit(k)
   }
@@ -462,10 +480,14 @@ object Curation {
     * at or above it. The sample size is k ± the quantile-sketch error
     * (`accuracy` trades memory for tightness; keys are continuous, so
     * ties at the threshold are measure-zero). Same weights, same seeded
-    * Gumbel keys, same determinism contract as the exact form — only the
-    * cut changes from "rank k" to "estimated rank-k key value", which is
-    * what makes it a filter (map-only after the one-row broadcast) rather
-    * than an ordered merge.
+    * Gumbel keys as the exact form — but NOT the same reproducibility
+    * contract: `percentile_approx` is a compressing sketch whose merged
+    * result depends on partition boundaries once it compresses (beyond
+    * ~`accuracy` rows per partition), so the estimated cut — and with it
+    * the ±ε membership at the boundary — can shift across reshards at
+    * production scale. The KEYS are deterministic; only the cut floats.
+    * For a bit-reproducible sample use [[dsirSelect]]; this form trades
+    * that for never merging k rows on the driver.
     *
     * @return the ≈k sampled rows of `raw` plus (log_w, gumbel_key,
     *         key_threshold).
@@ -483,15 +505,18 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     val w = importanceWeights(raw, target, n, buckets, alpha, idCol, textCol)
       .select(col(idCol), col("log_w"))
-    val span = (1L << 40).toDouble
-    val u = (pmod(xxhash64(concat(col(idCol).cast("string"), lit(seed))),
-      lit(1L << 40)).cast("double") + lit(0.5)) / lit(span)
+    // eager DISK-backed localCheckpoint, not persist(): three consumers
+    // (count, sketch, filter) reuse it, the lineage is cut, and the
+    // blocks are released by the context cleaner when the result is
+    // dropped — a persist() here would pin a corpus-sized cache for the
+    // life of the session with no unpersist hook for the caller
     val keyed = raw.join(w, Seq(idCol))
-      .withColumn("gumbel_key", round(col("log_w") - log(-log(u)), 6))
-      .persist()
+      .withColumn("gumbel_key", round(col("log_w") + gumbelKey(idCol, seed), 6))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // percentile_approx needs a FOLDABLE percentage, so the scored count
-    // is one scalar job over the persisted keys (at pipeline scale N is
-    // usually already known — the count is bookkeeping, not a scan tax)
+    // is one scalar job over the checkpointed keys (at pipeline scale N
+    // is usually already known — the count is bookkeeping, not a scan tax)
     val nRows = keyed.count()
     val frac = math.max(0.0, 1.0 - k.toDouble / nRows)
     // one mergeable sketch pass for the cut, broadcast back as one row

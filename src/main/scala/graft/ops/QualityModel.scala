@@ -81,7 +81,10 @@ object QualityModel {
       trained: Trained,
       textCol: String = "text"): DataFrame = {
     val feats = featurize(docs, trained.numFeatures, textCol)
-    trained.model
+    // score a COPY: the column setters mutate the model's param map, and
+    // mutating the caller's shared instance would race concurrent
+    // scorers (batch + stream over one Trained) and side-effect it
+    trained.model.copy(org.apache.spark.ml.param.ParamMap.empty)
       .setProbabilityCol("graft_prob")
       .setPredictionCol("quality_pred")
       .setRawPredictionCol("graft_raw")

@@ -60,16 +60,23 @@ object Sketches {
     * SketchesSpec); the approximate regime begins at distinct > k.
     */
   def kmvSketches(
-      df: DataFrame, groupCol: String, valueCol: String, k: Int = 256): DataFrame = {
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 256,
+      buildShards: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // two-stage build — per-(group, hash-shard) top-k, then k-smallest-
+    // of-union (associative, the kmvMergeShards identity): a hot group's
+    // distinct hashes never sort through ONE task; the per-task sort
+    // input is distinct/buildShards and the merge input is ≤ shards·k
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("__h").asc)
+      .partitionBy(col(groupCol), col("__s")).orderBy(col("__h").asc)
     df.select(col(groupCol), xxhash64(col(valueCol)).as("__h")).distinct()
+      .withColumn("__s", pmod(col("__h"), lit(buildShards.toLong)))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .groupBy(col(groupCol))
-      .agg(sort_array(collect_list(col("__h"))).as("kmv"),
-        count(lit(1)).cast("int").as("kmv_n"))
+      .agg(slice(sort_array(collect_list(col("__h"))), 1, k).as("kmv"))
+      .withColumn("kmv_n", size(col("kmv")))
+      .withColumn("kmv_k", lit(k))
   }
 
   /** Map a signed 64-bit hash to its uniform position in [0, 1). */
@@ -78,12 +85,15 @@ object Sketches {
 
   /** Distinct-count estimate from a [[kmvSketches]] row: exact (= kmv_n)
     * while the sketch is not full; `(k-1)/θ` once it is, θ = the k-th
-    * smallest normalized hash.
+    * smallest normalized hash. k is read from the sketch row (`kmv_k`),
+    * never re-supplied — a mismatched caller value would silently flip
+    * full sketches into the "exact" branch and return kmv_n for a set
+    * orders of magnitude larger.
     */
-  def kmvDistinct(sketches: DataFrame, k: Int = 256): DataFrame =
+  def kmvDistinct(sketches: DataFrame): DataFrame =
     sketches.withColumn("est_distinct",
-      when(col("kmv_n") < k, col("kmv_n").cast("double"))
-        .otherwise(lit(k - 1) / u(element_at(col("kmv"), k))))
+      when(col("kmv_n") < col("kmv_k"), col("kmv_n").cast("double"))
+        .otherwise((col("kmv_k") - lit(1)) / u(element_at(col("kmv"), col("kmv_k")))))
 
   /** Pairwise set-operation estimates between every two groups' sketches
     * (the theta-sketch combine): cut both samples at θ = min(θ_A, θ_B),
@@ -92,14 +102,15 @@ object Sketches {
     * (g1 < g2). The join is sketch×sketch — bounded by the number of
     * GROUPS, never by the data.
     */
-  def kmvOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
-    val theta = (n: String, arr: String) =>
-      when(col(n) < k, lit(1.0)).otherwise(u(element_at(col(arr), k)))
+  def kmvOverlap(sketches: DataFrame): DataFrame = {
+    val theta = (n: String, arr: String, kc: String) =>
+      when(col(n) < col(kc), lit(1.0))
+        .otherwise(u(element_at(col(arr), col(kc))))
     val a = sketches.select(col(sketches.columns.head).as("g1"),
-      col("kmv").as("kmv1"), col("kmv_n").as("n1"))
+      col("kmv").as("kmv1"), col("kmv_n").as("n1"), col("kmv_k").as("k1"))
     val b = sketches.select(col(sketches.columns.head).as("g2"),
-      col("kmv").as("kmv2"), col("kmv_n").as("n2"))
-    val thetaCol = least(theta("n1", "kmv1"), theta("n2", "kmv2"))
+      col("kmv").as("kmv2"), col("kmv_n").as("n2"), col("kmv_k").as("k2"))
+    val thetaCol = least(theta("n1", "kmv1", "k1"), theta("n2", "kmv2", "k2"))
     a.join(b, col("g1") < col("g2"))
       .withColumn("__theta", thetaCol)
       .withColumn("__a", expr(
@@ -128,7 +139,17 @@ object Sketches {
       shardSketches: DataFrame, groupCol: String, k: Int = 256): DataFrame =
     shardSketches.groupBy(col(groupCol))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
-        1, k).as("kmv"))
+        1, k).as("kmv"),
+        min(col("kmv_k")).as("__mn_k"), max(col("kmv_k")).as("__mx_k"))
+      // merging to k demands every input sketch held AT LEAST the k
+      // smallest of its shard — a shard built with a smaller k may have
+      // already dropped hashes the merged sketch needs
+      .withColumn("kmv_k",
+        when(col("__mn_k") === col("__mx_k") && col("__mn_k") >= k, lit(k))
+          .otherwise(raise_error(concat(lit(
+            s"kmvMergeShards(k=$k) needs uniform shard k >= $k, got min="),
+            col("__mn_k"), lit(" max="), col("__mx_k")))))
+      .drop("__mn_k", "__mx_k")
       .withColumn("kmv_n", size(col("kmv")))
 
   /** Count-Min frequency estimates for `probes`, from one pass over the

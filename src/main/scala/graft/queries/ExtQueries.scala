@@ -1048,7 +1048,7 @@ object ExtQueries {
         val sk = Sketches.kmvSketches(
           Tables.events(s, dir).select(col("event_type"), col("user_id")),
           "event_type", "user_id", k)
-        Sketches.kmvOverlap(sk, k)
+        Sketches.kmvOverlap(sk)
       },
       Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
         |inter AS (

@@ -41,4 +41,47 @@ private[graft] object BenchUtil {
     f.delete()
     ()
   }
+
+  /** The ONE copy of the scale-bench session (DedupScaleBench,
+    * DsirScaleBench, TextScaleBench): local[`SPARK_GRAFT_CPUS`], AQE on,
+    * ANSI off, UTC, UI off — a config fix here lands on every bench at
+    * once instead of silently leaving one measuring something different.
+    */
+  def scaleSession(): org.apache.spark.sql.SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Median-of-trials with the cache cleared between trials — the shared
+    * measurement loop of the scale benches. */
+  def medianTrials(spark: org.apache.spark.sql.SparkSession, trials: Int)(
+      body: => Unit): Double =
+    median((1 to trials).map { _ =>
+      val t = time(body)
+      spark.sharedState.cacheManager.clearCache()
+      t
+    })
+
+  /** Replicate a table `r`× with ids shifted by the table's id span —
+    * the shared worst-case-duplication corpus builder of the scale
+    * benches. */
+  def replicateById(df: DataFrame, idCol: String, r: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (r <= 1) df
+    else {
+      val span = df.agg(max(col(idCol))).head().getLong(0) + 1
+      (0 until r).map(i => df.withColumn(idCol, col(idCol) + lit(i * span)))
+        .reduce(_.unionAll(_))
+    }
+  }
 }

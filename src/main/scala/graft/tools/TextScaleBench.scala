@@ -25,31 +25,14 @@ object TextScaleBench {
     val sfDir = args(0)
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
     val trials = args.lift(2).map(_.toInt).getOrElse(3)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchUtil.scaleSession()
 
     def median(body: => Unit): Double =
-      BenchUtil.median((1 to trials).map { _ =>
-        val t = time(body)
-        spark.sharedState.cacheManager.clearCache()
-        t
-      })
+      BenchUtil.medianTrials(spark, trials)(body)
 
     val docs1 = Tables.documents(spark, sfDir)
-    val idSpan = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
     def replicated(r: Int): DataFrame =
-      (0 until r).map(i =>
-        docs1.withColumn("doc_id", col("doc_id") + lit(i * idSpan)))
-        .reduce(_.unionAll(_))
+      BenchUtil.replicateById(docs1, "doc_id", r)
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     Seq(1, reps).foreach { r =>

@@ -209,7 +209,7 @@ class CurationSpec extends AnyFunSuite {
     // the occurrence-sum score equals the tf-weighted score of the
     // fit-on-the-same-corpus path, doc for doc (6-dp ulp tolerance)
     val w1 = Curation.importanceWeights(docs, target, buckets = Some(b))
-    val w2 = Curation.scoreImportance(docs, model, buckets = b)
+    val w2 = Curation.scoreImportance(docs, model)
     val joined = w1.select($"doc_id", $"n_feats".as("nf1"), $"log_w".as("lw1"))
       .join(w2.select($"doc_id", $"n_feats".as("nf2"), $"log_w".as("lw2")), "doc_id")
       .cache()
@@ -241,14 +241,14 @@ class CurationSpec extends AnyFunSuite {
     val schema = "doc_id LONG, text STRING"
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).csv(streamDir)
-    val q = Curation.scoreImportance(stream, model, buckets = b)
+    val q = Curation.scoreImportance(stream, model)
       .writeStream.format("memory").queryName("dsir_stream_out")
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("dsir_stream_out")
       .as[(Long, Long, Double, Double)].collect().toSet
     val batch = Curation.scoreImportance(
-        spark.read.schema(schema).csv(streamDir), model, buckets = b)
+        spark.read.schema(schema).csv(streamDir), model)
       .as[(Long, Long, Double, Double)].collect().toSet
     assert(streamed == batch)
     assert(streamed.map(_._1) == rows.map(_._1).toSet)

@@ -171,7 +171,7 @@ class SketchesSpec extends AnyFunSuite {
     val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
     val k = 4096
     val got = Sketches.kmvOverlap(
-        Sketches.kmvSketches(ev, "event_type", "user_id", k), k)
+        Sketches.kmvSketches(ev, "event_type", "user_id", k))
       .as[(String, String, Double, Double, Double)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
     // exact replay
@@ -198,7 +198,7 @@ class SketchesSpec extends AnyFunSuite {
       (20000 until 50000).map(i => ("B", i.toLong))).toDF("g", "v")
       .repartition(8)
     val k = 256
-    val est = Sketches.kmvOverlap(Sketches.kmvSketches(rows, "g", "v", k), k)
+    val est = Sketches.kmvOverlap(Sketches.kmvSketches(rows, "g", "v", k))
       .as[(String, String, Double, Double, Double)].collect().head
     info(f"est inter=${est._3}%.0f (true 10000), union=${est._4}%.0f " +
       f"(true 50000), jaccard=${est._5}%.4f (true 0.2)")
@@ -207,7 +207,7 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est._5 - 0.2) / 0.2 <= 0.25, s"jaccard ${est._5}")
     // distinct estimates from the same sketches
     val d = Sketches.kmvDistinct(
-        Sketches.kmvSketches(rows, "g", "v", k), k)
+        Sketches.kmvSketches(rows, "g", "v", k))
       .select($"g", $"est_distinct").as[(String, Double)].collect().toMap
     assert(math.abs(d("A") - 30000) / 30000.0 <= 0.15, s"A ${d("A")}")
     assert(math.abs(d("B") - 30000) / 30000.0 <= 0.15, s"B ${d("B")}")
@@ -218,14 +218,24 @@ class SketchesSpec extends AnyFunSuite {
     val rows = (0 until 20000).map(i => ("G", i.toLong)).toDF("g", "v")
     val k = 256
     val onePass = Sketches.kmvSketches(rows, "g", "v", k)
-      .as[(String, Seq[Long], Int)].collect().head
+      .select($"g", $"kmv", $"kmv_n", $"kmv_k")
+      .as[(String, Seq[Long], Int, Int)].collect().head
     val shards = Sketches.kmvSketches(
       rows.withColumn("g_shard", concat($"g", lit(":"), ($"v" % 4).cast("string"))),
       "g_shard", "v", k)
       .withColumn("g", split(col("g_shard"), ":").getItem(0))
     val merged = Sketches.kmvMergeShards(shards, "g", k)
-      .select($"g", $"kmv", $"kmv_n")
-      .as[(String, Seq[Long], Int)].collect().head
+      .select($"g", $"kmv", $"kmv_n", $"kmv_k")
+      .as[(String, Seq[Long], Int, Int)].collect().head
     assert(merged == onePass, "k-smallest-of-union must be associative")
+    // a shard built with a SMALLER k cannot legally merge to k
+    val ex = intercept[Exception] {
+      Sketches.kmvMergeShards(
+        Sketches.kmvSketches(rows, "g", "v", k / 2), "g", k).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("kmvMergeShards")),
+      s"expected the uniform-k guard, got: $ex")
   }
 }
