@@ -489,8 +489,12 @@ object Curation {
     * For a bit-reproducible sample use [[dsirSelect]]; this form trades
     * that for never merging k rows on the driver.
     *
+    * @param knownN corpus row count when the caller already has it (a
+    *               pipeline usually does) — skips the extra count() job;
+    *               `None` counts the scored frame.
     * @return the ≈k sampled rows of `raw` plus (log_w, gumbel_key,
-    *         key_threshold).
+    *         key_threshold); empty input returns the empty keyed frame
+    *         (no NaN percentage reaches the quantile sketch).
     */
   def dsirSelectThreshold(
       raw: DataFrame,
@@ -501,6 +505,7 @@ object Curation {
       buckets: Option[Int] = Some(10000),
       alpha: Double = 1.0,
       accuracy: Int = 10000,
+      knownN: Option[Long] = None,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = importanceWeights(raw, target, n, buckets, alpha, idCol, textCol)
@@ -515,9 +520,11 @@ object Curation {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // percentile_approx needs a FOLDABLE percentage, so the scored count
-    // is one scalar job over the checkpointed keys (at pipeline scale N
-    // is usually already known — the count is bookkeeping, not a scan tax)
-    val nRows = keyed.count()
+    // is one scalar job over the checkpointed keys unless the caller
+    // supplied it (at pipeline scale N is usually already known)
+    val nRows = knownN.getOrElse(keyed.count())
+    if (nRows == 0L)
+      return keyed.withColumn("key_threshold", lit(null).cast("double"))
     val frac = math.max(0.0, 1.0 - k.toDouble / nRows)
     // one mergeable sketch pass for the cut, broadcast back as one row
     val cut = keyed.agg(

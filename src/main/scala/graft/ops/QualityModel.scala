@@ -33,15 +33,18 @@ object QualityModel {
 
   final case class Trained(model: LogisticRegressionModel, numFeatures: Int)
 
-  /** Tokenized hashed-TF features for `textCol`, appended as `features`.
-    * Tokens are the engine's standard whitespace split with empties
-    * dropped (the [[Curation.ngramTf]] convention).
+  /** Tokenized hashed-TF features for `textCol`, appended as
+    * `graft_features` (the graft_ prefix, like every internal temporary
+    * here, so scoring a frame that already carries a `features` column —
+    * a common name on ML-adjacent tables — neither throws in HashingTF
+    * nor silently collides). Tokens are the engine's standard whitespace
+    * split with empties dropped (the [[Curation.ngramTf]] convention).
     */
   private def featurize(docs: DataFrame, numFeatures: Int, textCol: String): DataFrame = {
     val toks = docs.withColumn("graft_toks",
       filter(split(col(textCol), " "), w => length(w) > 0))
     new HashingTF()
-      .setInputCol("graft_toks").setOutputCol("features")
+      .setInputCol("graft_toks").setOutputCol("graft_features")
       .setNumFeatures(numFeatures)
       .transform(toks)
       .drop("graft_toks")
@@ -67,20 +70,24 @@ object QualityModel {
       labeled.withColumn(labelCol, col(labelCol).cast("double")),
       numFeatures, textCol)
     val lr = new LogisticRegression()
-      .setFeaturesCol("features").setLabelCol(labelCol)
+      .setFeaturesCol("graft_features").setLabelCol(labelCol)
       .setRegParam(regParam).setMaxIter(maxIter)
     Trained(lr.fit(feats), numFeatures)
   }
 
   /** Score `docs` with a fitted model: appends `quality_prob` (P(label=1))
-    * and `quality_pred` (0/1 at the 0.5 boundary). Map-only over the
+    * and `quality_pred` (0/1 at the 0.5 boundary) — pre-existing columns
+    * with those names are REPLACED (dropped first; the output contract
+    * owns them, and appending a duplicate name would make every
+    * downstream col("quality_prob") ambiguous). Map-only over the
     * corpus — the model is a plan-side constant.
     */
   def score(
       docs: DataFrame,
       trained: Trained,
       textCol: String = "text"): DataFrame = {
-    val feats = featurize(docs, trained.numFeatures, textCol)
+    val feats = featurize(
+      docs.drop("quality_prob", "quality_pred"), trained.numFeatures, textCol)
     // score a COPY: the column setters mutate the model's param map, and
     // mutating the caller's shared instance would race concurrent
     // scorers (batch + stream over one Trained) and side-effect it
@@ -90,7 +97,7 @@ object QualityModel {
       .setRawPredictionCol("graft_raw")
       .transform(feats)
       .withColumn("quality_prob", element_at(vector_to_array(col("graft_prob")), 2))
-      .drop("features", "graft_prob", "graft_raw")
+      .drop("graft_features", "graft_prob", "graft_raw")
   }
 
   /** Persist a fitted model as a reusable artifact (Spark ML's parquet

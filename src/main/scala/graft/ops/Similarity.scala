@@ -348,41 +348,114 @@ object Similarity {
     * that loses all members drops out (k may shrink); fixed `maxIter`
     * rounds, no convergence probe — the assignment argmax stabilizes long
     * before the means stop drifting at the precision that matters here.
+    * Seeding defaults to [[kmeansInitParallel]] (constant cluster rounds).
     *
     * Returns (assignments: id, embedding, cluster; centroids: c_id, c_emb).
     */
-  /** Deterministic farthest-point (maximin) k-means seeding: start from
-    * the vector with the smallest xxhash64(id), then greedily add the
-    * vector maximizing its minimum angular distance to the seeds picked
-    * so far (ties to the smaller id). On well-separated data this picks
-    * one seed per true cluster — the property hash-sampled seeding lacks
-    * (two same-cell seeds make Lloyd's split one true cluster and merge
-    * two others; measured purity 0.8 vs 1.0 in SemDedupSpec). Costs k−1
-    * bounded driver rounds of one broadcast-scored corpus scan each —
-    * the deterministic stand-in for k-means++'s sampled seeding.
+  /** Deterministic k-means‖-style seeding (Bahmani et al. 2012, VLDB —
+    * "Scalable k-means++" — with the random distance-proportional draw
+    * replaced by a deterministic farthest-batch selection):
+    *
+    *   1. seed 0 = the vector with the smallest xxhash64(id);
+    *   2. `rounds` (fixed, default 3) oversampling passes, each drawing
+    *      `oversample·k` vectors by DISTANCE-PROPORTIONAL priority
+    *      sampling in ONE broadcast-scored corpus scan: priority =
+    *      (1 − closest cosine)² / u(id) with u a seeded md5-uniform in
+    *      (0, 1] (the [[DatasetSplit.sampleWeighted]] idiom) — the
+    *      deterministic stand-in for k-means‖'s ℓ·d²/φ Bernoulli draw.
+    *      Proportional sampling is load-bearing, not a nicety: taking
+    *      the `oversample·k` FARTHEST points instead collapses the whole
+    *      batch into the single most anti-aligned cluster (tight
+    *      clusters ⇒ near-identical distances per cluster; measured
+    *      purity 0.7 on SemDedupSpec's planted 10-center corpus),
+    *      while d²-mass sampling spreads each batch across every far
+    *      cluster ∝ its size — exactly why Bahmani et al. sample;
+    *   3. a local maximin refine over the ≤ 1 + rounds·oversample·k
+    *      collected candidates picks the final k (greedy farthest-point,
+    *      ties to the smaller id) — bounded driver work, no corpus scan.
+    *
+    * This keeps the purity property the old sequential maximin seeding
+    * had (SemDedupSpec pins ≥ 0.95) while cutting the driver-blocking
+    * cluster rounds from k−1 to a CONSTANT: at SemDedup-scale k
+    * (thousands of cells) the old loop was thousands of sequential
+    * jobs, this is always `rounds`+1. Fully deterministic at any
+    * partitioning: the draw is a global sort-limit on a pure function
+    * of (id, distances) with a unique id tie-break, the refine is pure
+    * driver arithmetic on sorted candidates.
     */
-  def kmeansInitFarthest(emb: DataFrame, k: Int, idCol: String = "vec_id"): DataFrame = {
+  def kmeansInitParallel(
+      emb: DataFrame, k: Int,
+      rounds: Int = 3, oversample: Int = 4,
+      idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
     val sel = emb.select(col(idCol).as("c_id"), col("embedding").as("c_emb"),
       xxhash64(col(idCol)).as("h"))
-    var seeds = Seq(sel.orderBy(col("h"), col("c_id")).limit(1).drop("h").head())
-    val schema = org.apache.spark.sql.types.StructType(
-      sel.drop("h").schema.fields)
-    def seedFrame = s.createDataFrame(
-      s.sparkContext.parallelize(seeds, 1), schema)
-    while (seeds.size < k) {
-      val next = emb.select(col(idCol), col("embedding"))
-        .crossJoin(broadcast(seedFrame))
+    val schema = org.apache.spark.sql.types.StructType(sel.drop("h").schema.fields)
+    var cands = Seq(sel.orderBy(col("h"), col("c_id")).limit(1).drop("h").head())
+    def candFrame = s.createDataFrame(s.sparkContext.parallelize(cands, 1), schema)
+    val perRound = math.max(1, oversample * k)
+    var round = 0
+    while (round < rounds) {
+      val batch = emb.select(col(idCol), col("embedding"))
+        // exclude already-picked candidates so a tiny corpus cannot
+        // re-select them (their distance weight is ~0 anyway, but an
+        // exact re-pick would shrink the effective candidate pool)
+        .join(candFrame.select(col("c_id").as(idCol)), Seq(idCol), "left_anti")
+        .crossJoin(broadcast(candFrame))
         .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
         .groupBy(col(idCol), col("embedding"))
         .agg(max("c_cos").as("closest"))
-        .orderBy(asc("closest"), asc(idCol))
-        .limit(1)
+        // priority = d² / u: u = md5-uniform in (0, 1], d = angular gap
+        .withColumn("graft_u",
+          (conv(substring(md5(concat(lit("kmeanspar:"), col(idCol).cast("string"))),
+            1, 4), 16, 10).cast("double") + 1.0) / 65536.0)
+        .withColumn("graft_priority",
+          pow(greatest(lit(0.0), lit(1.0) - col("closest")), 2) / col("graft_u"))
+        .orderBy(desc("graft_priority"), asc(idCol))
+        .limit(perRound)
         .select(col(idCol).as("c_id"), col("embedding").as("c_emb"))
-        .head()
-      seeds = seeds :+ next
+        .collect()
+      cands = cands ++ batch
+      round += 1
     }
-    seedFrame
+    // local maximin refine: greedy farthest-point over the bounded
+    // candidate set, starting from the hash-smallest seed already at
+    // position 0. O(k · |cands| · dim) driver flops, no cluster jobs.
+    def vec(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val byId = cands.sortBy(r => r.getLong(0)).toArray
+    val vs = byId.map(vec)
+    val taken = new Array[Boolean](byId.length)
+    val seed0 = byId.indexWhere(_.getLong(0) == cands.head.getLong(0))
+    taken(seed0) = true
+    val chosen = scala.collection.mutable.ArrayBuffer(byId(seed0))
+    val closest = Array.tabulate(byId.length)(i => cos(vs(i), vs(seed0)))
+    while (chosen.size < math.min(k, byId.length)) {
+      var best = -1
+      var i = 0
+      while (i < byId.length) {
+        if (!taken(i) && (best < 0 || closest(i) < closest(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      chosen += byId(best)
+      i = 0
+      while (i < byId.length) {
+        val c = cos(vs(i), vs(best))
+        if (c > closest(i)) closest(i) = c
+        i += 1
+      }
+    }
+    s.createDataFrame(s.sparkContext.parallelize(chosen.toSeq, 1), schema)
   }
 
   def kmeans(
@@ -393,7 +466,7 @@ object Similarity {
       initCentroids: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val s = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    var centroids = initCentroids.getOrElse(kmeansInitFarthest(emb, k, idCol))
+    var centroids = initCentroids.getOrElse(kmeansInitParallel(emb, k, idCol = idCol))
     val meanCols = (0 until dim).map(i =>
       (sum(col("embedding").getItem(i).cast("decimal(38,18)")) / count(lit(1)))
         .cast("double").as(s"m$i"))
@@ -444,9 +517,10 @@ object Similarity {
       tau: Double,
       kmeansIter: Int = 3,
       probe: Int = 2,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      initCentroids: Option[DataFrame] = None): DataFrame = {
     val s = emb.sparkSession
-    val (assigned, centroids) = kmeans(emb, k, kmeansIter, idCol)
+    val (assigned, centroids) = kmeans(emb, k, kmeansIter, idCol, initCentroids)
     val probed = emb.select(col(idCol), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))

@@ -102,21 +102,27 @@ object Sketches {
     * (g1 < g2). The join is sketch×sketch — bounded by the number of
     * GROUPS, never by the data.
     */
-  def kmvOverlap(sketches: DataFrame): DataFrame = {
+  def kmvOverlap(sketches: DataFrame, groupCol: String): DataFrame = {
     val theta = (n: String, arr: String, kc: String) =>
       when(col(n) < col(kc), lit(1.0))
         .otherwise(u(element_at(col(arr), col(kc))))
-    val a = sketches.select(col(sketches.columns.head).as("g1"),
+    val a = sketches.select(col(groupCol).as("g1"),
       col("kmv").as("kmv1"), col("kmv_n").as("n1"), col("kmv_k").as("k1"))
-    val b = sketches.select(col(sketches.columns.head).as("g2"),
+    val b = sketches.select(col(groupCol).as("g2"),
       col("kmv").as("kmv2"), col("kmv_n").as("n2"), col("kmv_k").as("k2"))
     val thetaCol = least(theta("n1", "kmv1", "k1"), theta("n2", "kmv2", "k2"))
+    // θ = 1.0 (both sketches not-full) short-circuits the cut entirely,
+    // making the not-full ⇒ exact property airtight: without it, a hash
+    // within ~1024 of Long.MaxValue maps through the 53-bit double
+    // mantissa to u = 1.0 and the strict < would drop it (measure-zero
+    // ≈5e-17 per value, but "provably exact" should not carry asterisks)
+    val keep = (arr: String) => expr(
+      s"filter($arr, h -> __theta >= 1.0d OR " +
+        s"cast(h as double) / ${math.pow(2.0, 64)} + 0.5 < __theta)")
     a.join(b, col("g1") < col("g2"))
       .withColumn("__theta", thetaCol)
-      .withColumn("__a", expr(
-        s"filter(kmv1, h -> cast(h as double) / ${math.pow(2.0, 64)} + 0.5 < __theta)"))
-      .withColumn("__b", expr(
-        s"filter(kmv2, h -> cast(h as double) / ${math.pow(2.0, 64)} + 0.5 < __theta)"))
+      .withColumn("__a", keep("kmv1"))
+      .withColumn("__b", keep("kmv2"))
       .withColumn("est_intersection",
         round(size(array_intersect(col("__a"), col("__b"))) / col("__theta"), 3))
       .withColumn("est_union",

@@ -2,17 +2,17 @@ package graft.tools
 
 /** Machine-readable trust chains for the rows-only catalog queries.
   *
-  * 14 of the 144 registered queries have no DuckDB-portable oracle
-  * (xxhash64 sketches, ANN, BPE), so the driver's `CORRECTNESS_r{N}.json`
-  * records them as `no_oracle` — indistinguishable from "unchecked" to a
-  * reader of that file alone. Each such query IS pinned by a named
-  * ScalaTest assertion that chains it to an oracle-checked exact variant
-  * (COVERAGE.md "Trust chain" table); this object makes that chain
-  * machine-readable: the pinning test calls [[record]] after its
-  * assertions pass, which (re)writes `ROWSONLY_EVIDENCE.json` at the repo
-  * root. A full `sbt test` therefore regenerates the file with every
-  * entry `pass`; `RowsOnlyEvidenceSpec` keeps the registry, the catalog,
-  * and the test sources from drifting apart.
+  * Round 14 graduated 14 of the 15 former `no_oracle` queries to the
+  * DuckDB hash gate via verdict rows ([[graft.queries.Verdicts]] — exact
+  * counts the oracle recomputes plus invariant flags it asserts), so only
+  * `ext_bpe_merges` remains outside it (an argmax-ordered iterative
+  * training loop with no SQL-expressible invariant that isn't circular);
+  * its correctness rests on the closed-form Sennrich-corpus pin named
+  * here. The pinning test calls [[record]] after its assertions pass,
+  * which (re)writes `ROWSONLY_EVIDENCE.json` at the repo root. A full
+  * `sbt test` therefore regenerates the file with every entry `pass`;
+  * `RowsOnlyEvidenceSpec` keeps the registry, the catalog, and the test
+  * sources from drifting apart.
   *
   * Partial runs (`testOnly`) merge with the on-disk file instead of
   * clobbering it, so evidence recorded by a previous full run survives;
@@ -41,66 +41,10 @@ object RowsOnlyEvidence {
       invariant: String)
 
   val registry: Seq[Entry] = Seq(
-    Entry("ext_dedup_minhash", "graft.DedupSpec",
-      "MinHash/LSH pairs (128 perms, r=4) equal the exact Jaccard pairs at tau=0.8",
-      Seq("ext_dedup_jaccard"),
-      "LSH-banded candidate pair set == the exact (oracle-checked) Jaccard pair set at tau=0.8; aggregator signatures bit-identical to the column-min form"),
-    Entry("ext_dedup_simhash", "graft.DedupSpec",
-      "SimHash(64) within hamming<=7 recalls the high-Jaccard pairs",
-      Seq("ext_dedup_jaccard"),
-      "recall >= 0.85 of the high-Jaccard (oracle-checked) pairs within hamming distance 7"),
-    Entry("ext_ann_lsh", "graft.SimilaritySpec",
-      "LSH pairs are a verified subset of brute force, with measured recall",
-      Seq("ext_ann_cosine_pairs"),
-      "LSH pairs are a subset of the brute-force (oracle-checked) cosine pairs; recall >= 0.9 multi-probe / >= 0.5 plain"),
-    Entry("ext_ann_ivf", "graft.SimilaritySpec",
-      "IVF top-k recall@10 vs exact top-k",
-      Seq("ext_ann_topk"),
-      "recall@10 vs the exact (oracle-checked) brute-force top-k"),
-    Entry("ext_ann_ivf_indexed", "graft.SimilaritySpec",
-      "persisted IVF index: probe results equal in-memory IVF; lists are partition dirs",
-      Seq("ext_ann_ivf", "ext_ann_topk"),
-      "probe over the on-disk index is result-identical to in-memory IVF (itself recall-pinned vs exact top-k); probe plan shows dynamic partition pruning on list_id"),
-    Entry("ext_ann_pq", "graft.SimilaritySpec",
-      "PQ ADC top-k with exact re-rank: recall@10 vs brute force",
-      Seq("ext_ann_topk"),
-      "recall@10 >= 0.6 vs exact (oracle-checked) top-k; every returned cosine equals the brute-force score (re-rank exact); codes/codebooks bit-identical across repartitionings"),
-    Entry("ext_ann_ivf_pq", "graft.SimilaritySpec",
-      "IVFPQ: probed-list ADC + exact re-rank — recall pinned, both scans pruned",
-      Seq("ext_ann_topk"),
-      "recall@10 vs exact (oracle-checked) top-k; re-rank scores exactly equal brute force; plan shows dynamic partition pruning on BOTH the code scan and the raw-list re-rank fetch"),
-    Entry("ext_ann_ivf_pq_probe", "graft.SimilaritySpec",
-      "ext_ann_ivf_pq_probe equals the build-included IVFPQ catalog query",
-      Seq("ext_ann_ivf_pq", "ext_ann_topk"),
-      "probe over the cross-process cached prebuilt index is result-identical to the build-included IVFPQ query (deterministic build), which is recall-pinned and re-rank-exact vs the oracle-checked exact top-k"),
-    Entry("ext_sketch_cms", "graft.SketchesSpec",
-      "count-min estimates dominate exact counts within the eps*N envelope",
-      Seq("ext_heavy_hitters"),
-      "estimate >= exact (oracle-checked heavy-hitter counts) and estimate - exact <= eps*N for every probed key"),
-    Entry("ext_sketch_hll", "graft.SketchesSpec",
-      "HLL: per-source estimates within 5% of exact; sharded union == one-pass global",
-      Seq("a2_count_distinct"),
-      "per-group estimates within 5% of the exact countDistinct recomputed in-spec (the oracle-checked A2 operator shape); sharded-union sketch == one-pass global sketch (merge identity)"),
-    Entry("ext_semdedup", "graft.SemDedupSpec",
-      "semDedup removals are a subset of the exact graph's, probe=3 recall >= 0.9",
-      Seq("ext_dedup_embed"),
-      "removals are a subset of the exact (oracle-checked) embedding-dedup removals at the same tau; probe=3 recall pinned; centroids bit-identical across repartitionings"),
     Entry("ext_bpe_merges", "graft.TextAndJsonSpec",
       "bpeMerges: closed-form merge order on the classic corpus",
       Seq.empty,
       "closed-form: exact merge order on the classic Sennrich corpus incl. count-tie lexicographic break; greedy leftmost non-overlap; minPairCount stop"),
-    Entry("ext_bpe_encode", "graft.TextAndJsonSpec",
-      "bpeEncode: replays the merge table in rank order, word boundaries are hard",
-      Seq.empty,
-      "closed-form: exact token sequence under a learned merge table; hard word boundaries; lossless concatenation back to the source characters"),
-    Entry("ext_quality_model", "graft.QualityModelSpec",
-      "trained classifier recovers planted separable labels; scoring is map-only",
-      Seq.empty,
-      "closed-form: planted vocabulary-separable labels recovered on a held-out set with accuracy >= 0.95; corpus scoring plan contains no Exchange (model rides with the plan, no shuffle/join)"),
-    Entry("ext_dsir_select", "graft.CurationSpec",
-      "dsirSelect: deterministic Gumbel-top-k, keys recomputed closed-form, hashed weights rank-track exact",
-      Seq("ext_dsir_weights"),
-      "selected set == independent top-k recomputation of log_w + inverse-Gumbel(seeded-hash) keys; hashed-bucket log_w rank-correlates with the exact (oracle-checked) feature weights; draw invariant under repartitioning"),
   )
 
   /** sbt forks the test JVM with cwd = repo root, so the artifact lands

@@ -193,7 +193,6 @@ class CurationSpec extends AnyFunSuite {
     assert(hashedPlan.contains("BroadcastHashJoin"),
       s"hashed model join must broadcast:\n$hashedPlan")
     exact.unpersist(); hashed.unpersist()
-    graft.tools.RowsOnlyEvidence.record("ext_dsir_select")
   }
 
   test("frozen DSIR model: dense buckets; scoreImportance equals importanceWeights") {

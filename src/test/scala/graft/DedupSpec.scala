@@ -34,7 +34,6 @@ class DedupSpec extends AnyFunSuite {
     // construction; at this operating point (P[collide|j=0.8] ≈ 1-5e-8)
     // recall is exact equality on this corpus
     assert(lsh == exact)
-    graft.tools.RowsOnlyEvidence.record("ext_dedup_minhash")
   }
 
   test("MinHash/LSH stays lossless under heavy replication (no df-cap recall trade)") {
@@ -140,7 +139,6 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     val recall = (exact intersect sim).size.toDouble / exact.size
     assert(recall >= 0.85, s"simhash recall $recall of ${exact.size} pairs")
-    graft.tools.RowsOnlyEvidence.record("ext_dedup_simhash")
   }
 
   test("duplicatedSpans: per-doc window counts and shared-span fractions") {

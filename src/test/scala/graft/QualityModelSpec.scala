@@ -51,7 +51,6 @@ class QualityModelSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
     scored.unpersist()
-    graft.tools.RowsOnlyEvidence.record("ext_quality_model")
   }
 
   test("filterByModel keeps exactly the docs at/above the probability gate") {

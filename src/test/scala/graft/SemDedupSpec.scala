@@ -75,6 +75,5 @@ class SemDedupSpec extends AnyFunSuite {
     assert(sem.subsetOf(exact), s"phantom removals: ${sem.diff(exact).take(5)}")
     val recall = sem.size.toDouble / exact.size
     assert(recall >= 0.9, s"semdedup recall $recall of ${exact.size} removals")
-    graft.tools.RowsOnlyEvidence.record("ext_semdedup")
   }
 }

@@ -48,7 +48,6 @@ class SimilaritySpec extends AnyFunSuite {
     // p=4, L=8: P[collide | cos=0.4] ≈ 0.75 plain; ≈ 0.998 with 1-bit probes
     assert(recallPlain >= 0.5, s"plain recall $recallPlain of ${brute.size}")
     assert(recallProbed >= 0.9, s"probed recall $recallProbed of ${brute.size}")
-    graft.tools.RowsOnlyEvidence.record("ext_ann_lsh")
   }
 
   test("lshPairs with a reliable checkpoint dir equals the default path") {
@@ -68,7 +67,6 @@ class SimilaritySpec extends AnyFunSuite {
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"ivf recall@10 $recall")
-    graft.tools.RowsOnlyEvidence.record("ext_ann_ivf")
   }
 
   test("persisted IVF index: probe results equal in-memory IVF; lists are partition dirs") {
@@ -91,7 +89,6 @@ class SimilaritySpec extends AnyFunSuite {
     assert(listDirs.nonEmpty)
     val nCentroids = spark.read.parquet(s"$idx/centroids").count()
     assert(listDirs.size <= nCentroids)
-    graft.tools.RowsOnlyEvidence.record("ext_ann_ivf_indexed")
   }
 
   test("PQ codes: m codes per vector, all inside [0, ks), stable under repartitioning") {
@@ -136,7 +133,6 @@ class SimilaritySpec extends AnyFunSuite {
       .foreach { case (q, n, c) =>
         assert(math.abs(bruteScores((q, n)) - c) < 1e-12, s"($q,$n) score drift")
       }
-    graft.tools.RowsOnlyEvidence.record("ext_ann_pq")
   }
 
   test("IVFPQ: probed-list ADC + exact re-rank — recall pinned, both scans pruned") {
@@ -175,7 +171,6 @@ class SimilaritySpec extends AnyFunSuite {
     assert("dynamicpruning".r.findAllIn(plan).length >= 2,
       s"expected dynamic partition pruning on codes AND lists:\n$plan")
     out.unpersist()
-    graft.tools.RowsOnlyEvidence.record("ext_ann_ivf_pq")
   }
 
   test("ext_ann_ivf_pq_probe equals the build-included IVFPQ catalog query") {
@@ -193,7 +188,6 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probe == full,
       "probe over the prebuilt cached index diverged from the build-included query")
     assert(probeAgain == probe, "second (cache-served) probe diverged")
-    graft.tools.RowsOnlyEvidence.record("ext_ann_ivf_pq_probe")
   }
 
   test("IVFPQ property: recall floor and exact re-rank hold on adversarial geometry") {

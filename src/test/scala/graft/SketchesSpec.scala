@@ -95,7 +95,6 @@ class SketchesSpec extends AnyFunSuite {
       assert(est(w) - ex <= (0.001 * n).ceil.toLong,
         s"CMS error for $w: est ${est(w)} vs exact $ex, N=$n")
     }
-    graft.tools.RowsOnlyEvidence.record("ext_sketch_cms")
   }
 
   test("HLL: per-source estimates within 5% of exact; sharded union == one-pass global") {
@@ -114,7 +113,6 @@ class SketchesSpec extends AnyFunSuite {
       hll_sketch_estimate(hll_sketch_agg(col("word"), lit(12))))
       .as[Long].collect().head
     assert(sharded == onePass, "HLL union over shards must equal the one-pass sketch")
-    graft.tools.RowsOnlyEvidence.record("ext_sketch_hll")
   }
 
   test("approx quantile sketch: returned values sit within a 2% rank envelope of target") {
@@ -171,7 +169,7 @@ class SketchesSpec extends AnyFunSuite {
     val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
     val k = 4096
     val got = Sketches.kmvOverlap(
-        Sketches.kmvSketches(ev, "event_type", "user_id", k))
+        Sketches.kmvSketches(ev, "event_type", "user_id", k), "event_type")
       .as[(String, String, Double, Double, Double)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
     // exact replay
@@ -198,7 +196,7 @@ class SketchesSpec extends AnyFunSuite {
       (20000 until 50000).map(i => ("B", i.toLong))).toDF("g", "v")
       .repartition(8)
     val k = 256
-    val est = Sketches.kmvOverlap(Sketches.kmvSketches(rows, "g", "v", k))
+    val est = Sketches.kmvOverlap(Sketches.kmvSketches(rows, "g", "v", k), "g")
       .as[(String, String, Double, Double, Double)].collect().head
     info(f"est inter=${est._3}%.0f (true 10000), union=${est._4}%.0f " +
       f"(true 50000), jaccard=${est._5}%.4f (true 0.2)")

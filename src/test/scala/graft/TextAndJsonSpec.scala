@@ -328,7 +328,6 @@ class TextAndJsonSpec extends AnyFunSuite {
     // tokenization is lossless: concatenating tokens restores the
     // original non-space characters
     assert(enc._1.mkString == "lowest newest".replace(" ", ""))
-    graft.tools.RowsOnlyEvidence.record("ext_bpe_encode")
   }
 
   test("invertedIndex: numeric-sorted postings, true df, maxPostings truncation") {
