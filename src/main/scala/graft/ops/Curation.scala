@@ -52,6 +52,37 @@ object Curation {
       TextDedup.jaccardPairs(good, k = 2, tau = dedupTau, maxShingleDf = maxShingleDf))
   }
 
+  /** Ingest-side document length cap — the guard every downstream
+    * dedup/shingling bound assumes (a single pathological multi-MB doc
+    * explodes `TextDedup.verifyJaccard`'s per-pair shingle sets and any
+    * per-doc window; see TextDedup.scala's verify note). Map-only, no
+    * shuffle.
+    *
+    * `truncate = true` (default): every row survives; text is cut to its
+    * first `maxTokens` whitespace tokens. `truncate = false`: over-long
+    * rows are REJECTED (dropped). Either way the audit rides on the
+    * output — `n_tokens_orig` and the 0/1 `capped` flag (in reject mode
+    * `capped` marks nothing downstream but keeps the schema stable for
+    * pipelines that log both modes), so a curation report can count and
+    * attribute what the cap touched without a second scan.
+    */
+  def lengthCap(
+      docs: DataFrame,
+      maxTokens: Int,
+      truncate: Boolean = true,
+      textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val ws = split(col(textCol), " ")
+    val base = docs
+      .withColumn("n_tokens_orig", size(ws).cast("long"))
+      .withColumn("capped", (col("n_tokens_orig") > maxTokens).cast("int"))
+    if (truncate)
+      base.withColumn(textCol,
+        when(col("capped") === 1, concat_ws(" ", slice(ws, 1, maxTokens)))
+          .otherwise(col(textCol)))
+    else base.filter(col("capped") === 0)
+  }
+
   /** The quality-gate stage alone: docs plus (n_words, quality_score),
     * filtered to the passing rows.
     */

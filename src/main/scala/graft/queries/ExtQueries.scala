@@ -482,6 +482,21 @@ object ExtQueries {
         |WHERE tr.split = 'train'
         |  AND tr.s IN (SELECT s FROM shingle WHERE split = 'test')""".stripMargin)),
 
+    // Ingest-side length cap (truncate mode): the guard the dedup
+    // family's per-doc memory bounds assume. Map-only; the md5 of the
+    // capped text pins the exact truncation point, not just the counts.
+    Q("ext_length_cap",
+      (s, dir) => Curation.lengthCap(Tables.documents(s, dir), maxTokens = 50)
+        .select(col("doc_id"), col("n_tokens_orig"), col("capped"),
+          md5(col("text")).as("text_md5")),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_orig,
+        |  CAST(CASE WHEN len(ws) > 50 THEN 1 ELSE 0 END AS INT) AS capped,
+        |  md5(CASE WHEN len(ws) > 50 THEN array_to_string(ws[1:50], ' ')
+        |      ELSE text END) AS text_md5
+        |FROM t""".stripMargin)),
+
     // MinHash/LSH near-dup pairs, graduated to the oracle gate: at this
     // operating point (128 perms, r=4, P[collide | j=0.8] ≈ 1−5e-8) the
     // banded pair set EQUALS the exact Jaccard τ≥0.8 set (the DedupSpec

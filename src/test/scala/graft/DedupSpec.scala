@@ -439,4 +439,34 @@ class DedupSpec extends AnyFunSuite {
     assert(roundRobins(docs.coalesce(1).localCheckpoint()) == 1,
       "single-partition input must be spread across the cluster")
   }
+
+  test("lengthCap bounds a pathological doc before jaccardPairs") {
+    // the ingest guard verifyJaccard's memory note defers to: a single
+    // multi-thousand-token doc (here ~50k tokens of repeated boilerplate,
+    // which also near-dups an honest doc's vocabulary) is truncated
+    // BEFORE shingling, so per-pair verification sets stay bounded and
+    // the pipeline still finds the corpus' planted near-dup pairs.
+    val bomb = Seq((90001L, Seq.fill(25000)("aa bb").mkString(" ")))
+      .toDF("doc_id", "text")
+    val input = docs.select("doc_id", "text").unionByName(bomb)
+    val capped = graft.ops.Curation.lengthCap(input, maxTokens = 200)
+    // audit: exactly the bomb is flagged, and its text is truncated
+    val audit = capped.filter(col("capped") === 1)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .as[(Long, Int)].collect()
+    assert(audit.toSeq == Seq((90001L, 200)))
+    // the capped corpus still yields the natural corpus' pair set; the
+    // bomb's self-similar shingles cannot dominate any verification set
+    val exact = pairSet(TextDedup.jaccardPairs(docs, k = 2, tau = 0.8,
+      maxShingleDf = Long.MaxValue))
+    val under = pairSet(TextDedup.jaccardPairs(
+      capped.select("doc_id", "text"), k = 2, tau = 0.8,
+      maxShingleDf = Long.MaxValue))
+    assert(exact.subsetOf(under), s"cap lost pairs: ${(exact -- under).take(3)}")
+    // reject mode drops the bomb and keeps everything else
+    val kept = graft.ops.Curation.lengthCap(input, maxTokens = 200,
+      truncate = false)
+    assert(kept.count() == docs.count())
+    assert(kept.filter($"doc_id" === 90001L).isEmpty)
+  }
 }
