@@ -340,7 +340,7 @@ object StreamingPipeline {
       }
   }
 
-  private def cycleTimeStep(
+  private[streaming] def cycleTimeStep(
       machine: String, st: CycleOpenState, e: CleanedEvent,
       out: scala.collection.mutable.ArrayBuffer[StreamCycleTime]): CycleOpenState =
     e.event_name match {

@@ -2,10 +2,11 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.fixtures.{FixtureGen, Fixtures}
-import graft.streaming.{CycleSeqTws, StreamingPipeline}
+import graft.streaming.{CycleSeqTws, CycleTimesTws, StreamingPipeline}
 
 /** transformWithState cycle counter (streaming/CycleSeqTws): the v2
   * arbitrary-state API under the RocksDB provider produces EXACTLY the
@@ -70,5 +71,62 @@ class CycleSeqTwsSpec extends AnyFunSuite {
     assert(tws.count() == v1.count() && tws.count() > 0)
     assert(v1.exceptAll(tws).count() == 0 && tws.exceptAll(v1).count() == 0,
       "v2 transformWithState output must equal the v1 flatMapGroupsWithState output")
+  }
+
+  test("v2 reorder-buffered cycleTimes equals v1 under out-of-order delivery") {
+    // cycles arrive out of event-time order ACROSS micro-batches (newer
+    // file first) — the case the reorder buffer exists for; a sentinel
+    // machine far in the future pushes the watermark so held events
+    // release via the timer path as well as the fresh-input path
+    def cyc(hhmm: String): Seq[String] = {
+      val base = s"2024-10-16T$hhmm"
+      Seq(
+        s"$base:00.000Z,M1,Cycle_Start,,",
+        s"$base:00.100Z,M1,Pick_Check,PP_Force,80.0",
+        s"$base:00.500Z,M1,Cycle_End,,")
+    }
+    val header = "timestamp,machine_id,event_name,parameter_name,value"
+    val sentinel = "2024-10-20T00:00:00.000Z,M_FLUSH,Cycle_Start,,"
+    val dir = Files.createTempDirectory("graft_tws_reorder").toString
+    val base = System.currentTimeMillis()
+    Seq(
+      header +: cyc("00:10"),
+      header +: cyc("00:00"),
+      (header +: cyc("00:20")) :+ sentinel
+    ).zipWithIndex.foreach { case (lines, i) =>
+      FixtureGen.writeCsv(s"$dir/f$i.csv", lines)
+      new java.io.File(s"$dir/f$i.csv").setLastModified(base + i * 2000L): Unit
+    }
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val clean = StreamingPipeline.cleanse(
+        StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+      val q = CycleTimesTws.cycleTimesOrdered(clean, "1 hour").toDF()
+        .writeStream.format("memory").queryName("tws_ct_out")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+
+    val clean1 = StreamingPipeline.cleanse(
+      StreamingPipeline.readCsvStream(spark, dir, maxFilesPerTrigger = 1))
+    val q1 = StreamingPipeline.cycleTimesOrdered(clean1, "1 hour").toDF()
+      .writeStream.format("memory").queryName("v1_ct_out")
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    val tws = spark.table("tws_ct_out").filter(col("machine_id") === "M1")
+    val v1 = spark.table("v1_ct_out").filter(col("machine_id") === "M1")
+    // all three out-of-order cycles must close, in the right order
+    assert(tws.count() == 3, s"expected 3 closed cycles, got ${tws.count()}")
+    assert(v1.exceptAll(tws).count() == 0 && tws.exceptAll(v1).count() == 0,
+      "v2 ListState+timer reorder buffer must equal the v1 " +
+        "flatMapGroupsWithState reorder buffer on the same replay")
   }
 }
