@@ -53,10 +53,14 @@ object TextDedup {
     // spread it across the cluster first. But ONLY when actually
     // under-split: a 100 TB input already has thousands of healthy
     // partitions, and an unconditional repartition would full-shuffle the
-    // raw text column for nothing. getNumPartitions is a plan property —
-    // reading it runs no job.
+    // raw text column for nothing. queryExecution.toRdd reuses the
+    // frame's own cached physical plan (no job; `.rdd` would build a
+    // second QueryExecution plus a deserializer stage just to read the
+    // partition count).
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val spread =
+      if (docs.queryExecution.toRdd.getNumPartitions < par) docs.repartition(par)
+      else docs
     spread
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .select(col(idCol) +: col("word") +: leadCols: _*)
@@ -122,7 +126,10 @@ object TextDedup {
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leadCols = (1 until w).map(i => lead(col("word"), i).over(win).as(s"w$i"))
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // same conditional spread as [[shingles]], same no-job plan probe
+    val spread =
+      if (docs.queryExecution.toRdd.getNumPartitions < par) docs.repartition(par)
+      else docs
     spread
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .select(col(idCol) +: col("word") +: leadCols: _*)
@@ -417,18 +424,26 @@ object TextDedup {
     val exactBase = bloomBits match {
       case Some(m) =>
         // Bloom prefilter (opt-in): one bounded driver-held bit table
-        // (m/8 bytes) built distributed over the corpus hashes. A
-        // negative probe is definitive, so those rows are new WITHOUT
-        // touching the anti-join's shuffle; only the ~fpp-sized "maybe"
-        // slice pays the exact check. Result is EXACTLY the anti-join's
-        // — the filter changes cost, never the answer.
+        // (m/8 bytes) built over the BATCH hashes — the SMALL side — and
+        // used to prune the CORPUS side of the anti-join. Size `m` for
+        // the batch, not the corpus (a batch-sized table is KBs, so the
+        // plan literal the probe embeds stays negligible). A corpus hash
+        // the filter rejects cannot equal any batch hash, so dropping it
+        // cannot change the anti-join — the filter changes cost, never
+        // the answer. This is the side that matters: the anti-join's
+        // dominant cost is shuffling the CORPUS hash set (O(corpus)),
+        // and the pruned corpus side shrinks to ~|dups| + fpp·|corpus|.
+        // (The first cut of this operator bloomed the batch-side rows
+        // against a corpus-sized table instead — measured STRICTLY worse
+        // at every corpus scale up to 1M docs, 4.7×→1.5×, because the
+        // corpus shuffle it was supposed to save survived untouched and
+        // the MB-sized literal inflated every task binary ~7×.)
         val bloom = graft.functions.BloomFilter.build(
-          corpusHashes, col("__h"), m, bloomHashes)
-        val maybe = graft.functions.BloomFilter.mightContain(
-          bloom, col("__h"), m, bloomHashes)
-        newHashed.filter(!maybe)
-          .unionByName(newHashed.filter(maybe)
-            .join(corpusHashes, Seq("__h"), "left_anti"))
+          newHashed.select(col("__h")), col("__h"), m, bloomHashes)
+        val corpusMaybe = corpusHashes.filter(
+          graft.functions.BloomFilter.mightContain(
+            bloom, col("__h"), m, bloomHashes))
+        newHashed.join(corpusMaybe, Seq("__h"), "left_anti")
       case None => newHashed.join(corpusHashes, Seq("__h"), "left_anti")
     }
     val exactSurvivors = exactBase.drop("__h").persist()

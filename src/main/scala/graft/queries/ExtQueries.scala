@@ -375,9 +375,10 @@ object ExtQueries {
       Some(incrementalOracle)),
 
     // Same incremental dedup with the Bloom prefilter switched on: the
-    // filter only reroutes definitively-new rows around the exact
-    // anti-join, so the oracle is IDENTICAL — hash-matching it proves
-    // the prefilter is invisible to the result.
+    // batch-side filter only prunes corpus rows that provably match no
+    // batch hash from the anti-join's corpus side, so the oracle is
+    // IDENTICAL — hash-matching it proves the prefilter is invisible to
+    // the result.
     Q("ext_bloom_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -387,7 +388,9 @@ object ExtQueries {
             .select((col("doc_id") + 10000).as("doc_id"), col("text")))
         TextDedup.incrementalSurvivors(newBatch, corpus, k = 2, tau = 0.8,
           maxShingleDf = Long.MaxValue,
-          bloomBits = Some(1 << 17), bloomHashes = 5).select("doc_id")
+          // sized for the BATCH (the build side): ~110 hashes in 4096
+          // bits ≈ 0.03% fpp, a 512-byte plan literal
+          bloomBits = Some(1 << 12), bloomHashes = 5).select("doc_id")
       },
       Some(incrementalOracle)),
 

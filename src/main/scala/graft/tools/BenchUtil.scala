@@ -84,4 +84,39 @@ private[graft] object BenchUtil {
         .reduce(_.unionAll(_))
     }
   }
+
+  /** [[replicateById]] for LARGE r: one `explode(sequence(...))` instead
+    * of an r-way union (a 2000-branch union plan chokes the analyzer
+    * long before the data moves). Same id-shift layout. */
+  def replicateExplode(df: DataFrame, idCol: String, r: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (r <= 1) df
+    else {
+      val span = df.agg(max(col(idCol))).head().getLong(0) + 1
+      df.withColumn("__rep",
+          explode(sequence(lit(0L), lit(r - 1L))))
+        .withColumn(idCol, col(idCol) + col("__rep") * lit(span))
+        .drop("__rep")
+    }
+  }
+
+  /** Zipf-duplicated corpus: row with rank i (1-based, by ascending id)
+    * appears ~C/i times, C chosen so the total lands near `targetRows`.
+    * The realistic web-scale dup profile — a huge boilerplate head and a
+    * long unique tail — and the adversarial input for any per-group
+    * quadratic (the head group alone is ~targetRows/H_n rows). */
+  def replicateZipf(df: DataFrame, idCol: String, targetRows: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = df.count()
+    val hn = (1 to n.toInt).map(1.0 / _).sum
+    val c = targetRows / hn
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val span = df.agg(max(col(idCol))).head().getLong(0) + 1
+    df.withColumn("__rank", row_number().over(w))
+      .withColumn("__copies",
+        greatest(lit(1L), round(lit(c) / col("__rank")).cast("long")))
+      .withColumn("__rep", explode(sequence(lit(0L), col("__copies") - 1)))
+      .withColumn(idCol, col(idCol) + col("__rep") * lit(span))
+      .drop("__rank", "__copies", "__rep")
+  }
 }
