@@ -404,6 +404,17 @@ object TextDedup {
     * duplicates are NOT removed here — run [[jaccardPairs]]/[[clusters]]
     * on the batch first if the batch itself can contain dups.
     *
+    * `bloomBits` (opt-in): batch-side Bloom prefilter for the exact
+    * anti-join's corpus side; size it for the BATCH key count (~23 bits
+    * per key for 1% fpp at 5 hashes). When to enable, measured
+    * (IncrementalBloomBench, 5.5k-doc batch, 3-trial medians): the
+    * filter costs one extra batch aggregate plus a per-corpus-row probe
+    * and saves the corpus-hash shuffle, so it LOSES while the corpus
+    * hash set is small (-0.7 s at 5k corpus docs, -2.1 s at 100k) and
+    * wins once the avoided shuffle dominates (+15% at 1M; the gap grows
+    * with the corpus). Rule of thumb: enable at ≥ ~0.5–1M corpus rows
+    * per ingest tick, keep the default off below.
+    *
     * @return the surviving rows of `newDocs`, unchanged.
     */
   def incrementalSurvivors(
