@@ -239,13 +239,15 @@ object Similarity {
     */
   private def ivfAssign(emb: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
     val s = emb.sparkSession
-    emb.crossJoin(broadcast(centroids))
+    // max-struct argmax (see kmeansAssign): map-side-combined, one row
+    // per vector crosses the exchange instead of one per centroid
+    emb.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-          .orderBy(desc("c_cos"), asc("c_id"))))
-      .filter(col("rk") === 1)
-      .select(col(idCol).as("n_id"), col("embedding").as("n_emb"), col("c_id").as("list_id"))
+      .groupBy(col(idCol))
+      .agg(first(col("embedding")).as("n_emb"),
+        max(struct(col("c_cos"), (-col("c_id")).as("nid"))).as("m"))
+      .select(col(idCol).as("n_id"), col("n_emb"), (-col("m.nid")).as("list_id"))
   }
 
   /** Rank the coarse centroids per query and keep the top `nProbe`
@@ -258,14 +260,20 @@ object Similarity {
       centroids: DataFrame, queries: DataFrame, nProbe: Int,
       idCol: String): DataFrame = {
     val s = queries.sparkSession
+    // top-nProbe via the bounded mergeable TopByAggregator, not a rank
+    // window: each map task pre-reduces a query's candidate cells to
+    // <= nProbe pairs, so the exchange carries O(queries·nProbe) rows
+    // instead of O(queries·centroids) — same (cos DESC, id ASC) order
+    val topby = udaf(new graft.functions.TopByAggregator(nProbe),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("q_emb"), col("c_emb")))
-      .withColumn("prk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(desc("c_cos"), asc("c_id"))))
-      .filter(col("prk") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("list_id"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        topby(col("c_cos"), col("c_id")).as("cells"))
+      .select(col("q_id"), col("q_emb"), explode(col("cells")).as("cell"))
+      .select(col("q_id"), col("q_emb"), col("cell._2").as("list_id"))
   }
 
   /** Each query probes its `nProbe` nearest lists; candidates are scored
@@ -319,14 +327,24 @@ object Similarity {
     */
   def kmeansAssign(emb: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame = {
     val s = emb.sparkSession
+    // argmax as a MAX-STRUCT aggregation, not a row_number window: both
+    // need the n·k scored rows, but max() partial-aggregates map-side,
+    // so what crosses the wire is ONE row per vector instead of k rows
+    // each dragging the embedding — at production k (thousands of cells)
+    // the window form's exchange is k× this one. Struct comparison is
+    // field-lexicographic: highest cosine first, then highest -c_id =
+    // smallest centroid id — the identical tie-break.
     emb.select(col(idCol), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-          .orderBy(desc("c_cos"), asc("c_id"))))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("embedding"), col("c_id").as("cluster"))
+      // group by the SCALAR id only — an array-typed grouping key would
+      // force a sort-based aggregate over the whole n·k cross product
+      // (measured 2× slower than even the window form); the embedding
+      // rides along as first() since every candidate row carries it
+      .groupBy(col(idCol))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("c_cos"), (-col("c_id")).as("nid"))).as("m"))
+      .select(col(idCol), col("embedding"), (-col("m.nid")).as("cluster"))
   }
 
   /** Lloyd's k-means over the embedding column (cosine assignment,
@@ -521,15 +539,22 @@ object Similarity {
       initCentroids: Option[DataFrame] = None): DataFrame = {
     val s = emb.sparkSession
     val (assigned, centroids) = kmeans(emb, k, kmeansIter, idCol, initCentroids)
+    // top-probe cells via the mergeable TopByAggregator (see
+    // probeAssignments): the exchange carries O(n·probe) rows, not the
+    // O(n·k) the rank-window form shuffles — at production k this stage
+    // was the family's last corpus×cells exchange
+    val topby = udaf(new graft.functions.TopByAggregator(probe),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     val probed = emb.select(col(idCol), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-          .orderBy(desc("c_cos"), asc("c_id"))))
-      .filter(col("rk") <= probe)
+      .groupBy(col(idCol))
+      .agg(first(col("embedding")).as("embedding"),
+        topby(col("c_cos"), col("c_id")).as("cells"))
       .select(col(idCol), col("embedding"),
-        norm(s)(col("embedding")).as("nrm"), col("c_id").as("cell"))
+        norm(s)(col("embedding")).as("nrm"), explode(col("cells")).as("cell0"))
+      .select(col(idCol), col("embedding"), col("nrm"),
+        col("cell0._2").as("cell"))
     val a = probed.select(col("cell"), col(idCol).as("d1"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = probed.select(col("cell"), col(idCol).as("d2"),
@@ -574,14 +599,15 @@ object Similarity {
     */
   private def assignCodes(subs: DataFrame, codebooks: DataFrame, idCol: String): DataFrame = {
     val s = subs.sparkSession
+    // min-struct argmin (see kmeansAssign's max-struct note): one row
+    // per (vector, subspace) crosses the exchange instead of one per
+    // codebook entry — ks× less shuffle at any corpus size
     subs.join(broadcast(codebooks), Seq("sub_id"))
       .withColumn("d2", l2sq(s)(col("sub_vec"), col("c_vec")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol), col("sub_id"))
-          .orderBy(asc("d2"), asc("code"))))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("sub_id"), col("sub_vec"), col("code"))
+      .groupBy(col(idCol), col("sub_id"))
+      .agg(first(col("sub_vec")).as("sub_vec"),
+        min(struct(col("d2"), col("code"))).as("m"))
+      .select(col(idCol), col("sub_id"), col("sub_vec"), col("m.code"))
   }
 
   /** Train per-subspace codebooks: independent Lloyd's k-means (L2, the
