@@ -474,16 +474,9 @@ object TextDedup {
       // also fills exactSurvivors' cache transitively
       shNew.count()
       shOld.count()
-      val rareOld = shOld.join(
-        shOld.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("shingle"),
-        Seq("shingle"))
-      val candidates = shNew.select(col(idCol).as("d1"), col("shingle"))
-        .join(rareOld.select(col(idCol).as("d2"), col("shingle")), Seq("shingle"))
-        .select("d1", "d2").distinct()
-      val losers = verifyJaccard(candidates, shNew.unionByName(shOld), tau, idCol)
-        .select(col("d1").as(idCol)).distinct()
-      eager(exactSurvivors.join(losers, Seq(idCol), "left_anti"), checkpointDir)
+      val dfOld = shOld.groupBy("shingle").agg(count(lit(1)).as("df"))
+      nearDupSurvivors(exactSurvivors, shNew, shOld, dfOld,
+        tau, maxShingleDf, idCol, checkpointDir)
     } finally {
       shNew.unpersist()
       shOld.unpersist()
@@ -491,6 +484,103 @@ object TextDedup {
       ()
     }
   }
+
+  /** Shared near-dup layer of the incremental forms: candidates from
+    * batch-shingles ⋈ df-capped corpus posting lists, full-set verify,
+    * anti-join the losers out. `shOld`/`dfOld` may be cached frames (the
+    * self-contained form) or parquet scans (the indexed form).
+    */
+  private def nearDupSurvivors(
+      exactSurvivors: DataFrame, shNew: DataFrame, shOld: DataFrame,
+      dfOld: DataFrame, tau: Double, maxShingleDf: Long, idCol: String,
+      checkpointDir: Option[String]): DataFrame = {
+    val rareOld = shOld.join(
+      dfOld.filter(col("df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"))
+    val candidates = shNew.select(col(idCol).as("d1"), col("shingle"))
+      .join(rareOld.select(col(idCol).as("d2"), col("shingle")), Seq("shingle"))
+      .select("d1", "d2").distinct()
+    val losers = verifyJaccard(candidates, shNew.unionByName(shOld), tau, idCol)
+      .select(col("d1").as(idCol)).distinct()
+    eager(exactSurvivors.join(losers, Seq(idCol), "left_anti"), checkpointDir)
+  }
+
+  /** Persist the corpus side of [[incrementalSurvivors]] as an on-disk
+    * index — the deployment shape the operator's scaladoc promises: the
+    * corpus is hashed and shingled ONCE per corpus version, and every
+    * ingest tick afterwards reads three parquet tables instead of
+    * re-scanning and re-shingling the whole corpus. Layout:
+    * `hashes/` (distinct md5), `shingles/` (id, shingle), `df/`
+    * (shingle, df — the document frequencies the cap consults; a corpus
+    * property, so it belongs in the index, not the tick).
+    */
+  def writeIncrementalIndex(
+      corpus: DataFrame, dir: String, k: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    corpus.select(md5(col(textCol)).as("__h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    val sh = shingles(corpus, k, idCol, textCol)
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    corpus.sparkSession.read.parquet(s"$dir/shingles")
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+  }
+
+  /** [[incrementalSurvivors]] over a [[writeIncrementalIndex]] index —
+    * result-identical to the self-contained form on the same corpus
+    * (same oracle in the catalog; pinned in BloomFilterSpec), but the
+    * per-tick cost drops to batch work + three index scans: no corpus
+    * re-shingle, no per-tick df recount. The shingle width `k` is the
+    * one baked into the index.
+    */
+  def incrementalSurvivorsIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexDir: String,
+      tau: Double = 0.8,
+      maxShingleDf: Long = 1000L,
+      k: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointDir: Option[String] = None,
+      bloomBits: Option[Int] = None,
+      bloomHashes: Int = 5): DataFrame = {
+    val corpusHashes = spark.read.parquet(s"$indexDir/hashes")
+    val shOld = spark.read.parquet(s"$indexDir/shingles")
+      .withColumnRenamed(shOldIdCol(spark, s"$indexDir/shingles", idCol), idCol)
+    val dfOld = spark.read.parquet(s"$indexDir/df")
+    val newHashed = newDocs.withColumn("__h", md5(col(textCol)))
+    val exactBase = bloomBits match {
+      case Some(m) =>
+        val bloom = graft.functions.BloomFilter.build(
+          newHashed.select(col("__h")), col("__h"), m, bloomHashes)
+        val corpusMaybe = corpusHashes.filter(
+          graft.functions.BloomFilter.mightContain(
+            bloom, col("__h"), m, bloomHashes))
+        newHashed.join(corpusMaybe, Seq("__h"), "left_anti")
+      case None => newHashed.join(corpusHashes, Seq("__h"), "left_anti")
+    }
+    val exactSurvivors = exactBase.drop("__h").persist()
+    val shNew = shingles(exactSurvivors, k, idCol, textCol).persist()
+    try {
+      shNew.count()
+      nearDupSurvivors(exactSurvivors, shNew, shOld, dfOld,
+        tau, maxShingleDf, idCol, checkpointDir)
+    } finally {
+      shNew.unpersist()
+      exactSurvivors.unpersist()
+      ()
+    }
+  }
+
+  /** The id column name the index's shingle table was written with —
+    * normally `idCol` already; tolerate an index built under a different
+    * id name by taking the non-`shingle` column. */
+  private def shOldIdCol(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): String =
+    spark.read.parquet(path).columns.filter(_ != "shingle").headOption
+      .getOrElse(idCol)
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * sets — as collected arrays + codegen'd `array_intersect`, not a

@@ -374,6 +374,26 @@ object ExtQueries {
       },
       Some(incrementalOracle)),
 
+    // Incremental dedup over the PERSISTED corpus index
+    // (writeIncrementalIndex: hashes/shingles/df parquet — built once
+    // per corpus version, read per ingest tick): the deployment shape.
+    // Result-identical to the self-contained form by construction, so
+    // the oracle is the same exact-semantics SQL — hash-matching it
+    // proves the index path changes cost, never the answer.
+    Q("ext_dedup_incr_indexed",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 400)
+        val newBatch = docs.filter(col("doc_id") >= 400)
+          .unionByName(corpus.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val idx = graft.core.TmpDirs.scoped("incr_index")
+        TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+        TextDedup.incrementalSurvivorsIndexed(s, newBatch, idx, tau = 0.8,
+          maxShingleDf = Long.MaxValue, k = 2).select("doc_id")
+      },
+      Some(incrementalOracle)),
+
     // Same incremental dedup with the Bloom prefilter switched on: the
     // batch-side filter only prunes corpus rows that provably match no
     // batch hash from the anti-join's corpus side, so the oracle is

@@ -78,4 +78,31 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(bloomed == plain)
     assert(!plain.contains(2000L), "exact dup must be dropped")
   }
+
+  test("indexed incremental dedup equals the self-contained form (with and without bloom)") {
+    // the deployment shape: corpus hashed/shingled once into a parquet
+    // index, ticks read the index — must be result-identical to the
+    // self-contained operator on the same corpus, under every knob
+    val corpus = ((0 until 60).map(i => (i.toLong, s"corpus doc number $i with words"))
+      ++ (900 until 903).map(i => (i.toLong, s"corpus doc number 1 with words extra")))
+      .toDF("doc_id", "text")
+    val batch = (
+      (100 until 130).map(i => (i.toLong, s"fresh doc $i unlike anything")) ++
+      (0 until 10).map(i => (1000L + i, s"corpus doc number $i with words")) ++   // exact dups
+      Seq((3000L, "corpus doc number 7 with words also")))                        // near dup
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_incr_idx").toString
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val direct = ids(TextDedup.incrementalSurvivors(batch, corpus, k = 2, tau = 0.8))
+    val indexed = ids(TextDedup.incrementalSurvivorsIndexed(spark, batch, idx, tau = 0.8))
+    assert(indexed == direct)
+    val indexedBloom = ids(TextDedup.incrementalSurvivorsIndexed(spark, batch, idx,
+      tau = 0.8, bloomBits = Some(1 << 12)))
+    assert(indexedBloom == direct)
+    // semantics: exact dups (1000–1009) and the J≈0.83 near-dup (3000)
+    // dropped, all 30 fresh docs kept
+    assert(direct == (100L until 130L).toSet)
+  }
 }
