@@ -409,11 +409,14 @@ object TextDedup {
     * per key for 1% fpp at 5 hashes). When to enable, measured
     * (IncrementalBloomBench, 5.5k-doc batch, 3-trial medians): the
     * filter costs one extra batch aggregate plus a per-corpus-row probe
-    * and saves the corpus-hash shuffle, so it LOSES while the corpus
-    * hash set is small (-0.7 s at 5k corpus docs, -2.1 s at 100k) and
-    * wins once the avoided shuffle dominates (+15% at 1M; the gap grows
-    * with the corpus). Rule of thumb: enable at ≥ ~0.5–1M corpus rows
-    * per ingest tick, keep the default off below.
+    * and saves the corpus-hash shuffle — it clearly LOSES below ~100k
+    * corpus rows (-0.7 s at 5k, -2.1 s at 100k) and trades inside host
+    * noise at 1M (+15% one capture, -13% another); treat ≥ ~1M corpus
+    * rows as the earliest defensible enable point and measure in place.
+    * The structurally bigger per-tick lever is
+    * [[incrementalSurvivorsIndexed]] (measured 2.5× at 1M: 10.2 s vs
+    * 26.0 s per tick, after a 13.8 s once-per-corpus-version index
+    * build) — the bloom composes with it on the same knob.
     *
     * @return the surviving rows of `newDocs`, unchanged.
     */

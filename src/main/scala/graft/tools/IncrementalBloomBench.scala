@@ -63,8 +63,17 @@ object IncrementalBloomBench {
       // sized for the BATCH build side: 128 Ki bits = 16 KiB for ~5.5k
       // batch hashes (~0.5% fpp) — corpus size does not size the filter
       out(s"bloom_${r}x") = run(Some(1 << 17))
+      // the deployment shape: corpus index built ONCE (timed separately),
+      // each tick reads it — the per-tick number to compare with plain
+      val idxDir = graft.core.TmpDirs.scoped(s"bloom_idx_$r")
+      out(s"index_build_${r}x") = BenchUtil.time(
+        TextDedup.writeIncrementalIndex(corpus, idxDir))
+      out(s"indexed_tick_${r}x") = BenchUtil.medianTrials(spark, trials)(force(
+        TextDedup.incrementalSurvivorsIndexed(spark, batch, idxDir)))
       System.err.println(s"[bloom-bench] ${r}x (n=$n) done: " +
-        s"plain=${fmt3(out(s"plain_${r}x"))} bloom=${fmt3(out(s"bloom_${r}x"))}")
+        s"plain=${fmt3(out(s"plain_${r}x"))} bloom=${fmt3(out(s"bloom_${r}x"))} " +
+        s"idx_build=${fmt3(out(s"index_build_${r}x"))} " +
+        s"idx_tick=${fmt3(out(s"indexed_tick_${r}x"))}")
     }
 
     val qs = (out.map { case (k, v) => "\"" + k + "\":" + fmt3(v) } ++
