@@ -519,14 +519,46 @@ object TextDedup {
     */
   def writeIncrementalIndex(
       corpus: DataFrame, dir: String, k: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    corpus.select(md5(col(textCol)).as("__h")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/hashes")
-    val sh = shingles(corpus, k, idCol, textCol)
-    sh.write.mode("overwrite").parquet(s"$dir/shingles")
-    corpus.sparkSession.read.parquet(s"$dir/shingles")
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/df")
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndexSlice(corpus, dir, "base", k, idCol, textCol)
+
+  /** Append one ingest batch's survivors to a [[writeIncrementalIndex]]
+    * index — the corpus-GROWTH half of the ingest loop. Each append
+    * lands in its own `batch=<tag>` partition directory with OVERWRITE
+    * semantics, so a replayed micro-batch (the foreachBatch retry
+    * contract) rewrites its own slice instead of duplicating it —
+    * idempotent per tag by construction. Readers see the union of all
+    * slices through ordinary partition discovery; the df table is
+    * per-slice partial counts that [[incrementalSurvivorsIndexed]] sums
+    * at read time (shingle-level rows — far smaller than the shingle
+    * table — so the per-tick re-aggregate is cheap; compact slices
+    * offline if the tag count ever grows pathological).
+    *
+    * Only call with rows that SURVIVED against this index (the loop in
+    * `DedupStream.incrementalIngest` does): survivors are new content by
+    * construction, so slices never overlap on hash or shingle ownership.
+    */
+  def appendIncrementalIndex(
+      survivors: DataFrame, dir: String, batchTag: String, k: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndexSlice(survivors, dir, batchTag, k, idCol, textCol)
+
+  private def writeIndexSlice(
+      docs: DataFrame, dir: String, tag: String, k: Int,
+      idCol: String, textCol: String): Unit = {
+    require(!tag.contains("/") && tag.nonEmpty, s"bad index batch tag: $tag")
+    docs.select(md5(col(textCol)).as("__h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=$tag")
+    val sh = shingles(docs, k, idCol, textCol).persist()
+    try {
+      sh.count()
+      sh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$tag")
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")
+    } finally {
+      sh.unpersist()
+      ()
+    }
   }
 
   /** [[incrementalSurvivors]] over a [[writeIncrementalIndex]] index —
@@ -547,11 +579,29 @@ object TextDedup {
       textCol: String = "text",
       checkpointDir: Option[String] = None,
       bloomBits: Option[Int] = None,
-      bloomHashes: Int = 5): DataFrame = {
-    val corpusHashes = spark.read.parquet(s"$indexDir/hashes")
-    val shOld = spark.read.parquet(s"$indexDir/shingles")
+      bloomHashes: Int = 5,
+      excludeBatchTag: Option[String] = None): DataFrame = {
+    // excludeBatchTag: a REPLAYED ingest tick must not see its own
+    // earlier append — against an index containing its own slice every
+    // batch doc is an exact dup of itself and survivors collapse to
+    // empty, breaking replay idempotency. Excluding the tag is a
+    // partition-directory prune (batch= is the slice partition column),
+    // so the exclusion costs nothing at read time.
+    def excl(df: DataFrame): DataFrame = excludeBatchTag match {
+      case Some(t) if df.columns.contains("batch") =>
+        df.filter(col("batch") =!= t)
+      case _ => df
+    }
+    val corpusHashes =
+      excl(spark.read.parquet(s"$indexDir/hashes")).select("__h")
+    val shOld = excl(spark.read.parquet(s"$indexDir/shingles"))
       .withColumnRenamed(shOldIdCol(spark, s"$indexDir/shingles", idCol), idCol)
-    val dfOld = spark.read.parquet(s"$indexDir/df")
+      .select(col(idCol), col("shingle"))
+    // slices hold partial counts (one row per (shingle, slice)); the df
+    // a cap decision needs is their sum — a shingle-level aggregate,
+    // orders of magnitude smaller than the shingle table itself
+    val dfOld = excl(spark.read.parquet(s"$indexDir/df"))
+      .groupBy("shingle").agg(sum("df").as("df"))
     val newHashed = newDocs.withColumn("__h", md5(col(textCol)))
     val exactBase = bloomBits match {
       case Some(m) =>
@@ -582,7 +632,8 @@ object TextDedup {
   private def shOldIdCol(
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String): String =
-    spark.read.parquet(path).columns.filter(_ != "shingle").headOption
+    spark.read.parquet(path).columns
+      .filter(c => c != "shingle" && c != "batch").headOption
       .getOrElse(idCol)
 
   /** Exact-Jaccard verification of candidate pairs against the shingle

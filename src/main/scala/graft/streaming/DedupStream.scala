@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ops.TextDedup
 
 /** Streaming exact deduplication — the ingest-time form of the batch
   * `TextDedup.exactGroups` stage: keep the FIRST arrival of each exact
@@ -51,4 +53,103 @@ object DedupStream {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** One tick of the continuously-growing-deduped-corpus loop, as a
+    * plain batch function (the `foreachBatch` body of
+    * [[incrementalIngest]], and directly callable for scheduled-batch
+    * ingest). Three dedup layers, then the corpus grows:
+    *
+    *   1. intra-batch EXACT: min-id keeper per content hash — a
+    *      batch-internal duplicate pair both survives the corpus checks
+    *      (neither is in the index yet), so without this layer both
+    *      copies would enter the corpus;
+    *   2. vs-corpus exact + near (Jaccard ≥ τ):
+    *      [[TextDedup.incrementalSurvivorsIndexed]] over the persisted
+    *      index — per-tick cost scales with the BATCH, never corpus²;
+    *   3. intra-batch NEAR: [[TextDedup.jaccardPairs]] +
+    *      [[TextDedup.clusters]] over the (batch-bounded) survivors of
+    *      layer 2 — min-id keeper per near-dup cluster.
+    *
+    * Survivors are then appended to the index
+    * ([[TextDedup.appendIncrementalIndex]], one `batch=<tag>` slice per
+    * layer table) and written to `outDir/batch=<tag>`. Every write is
+    * OVERWRITE into the tag's own partition directory, so replaying a
+    * tag (the foreachBatch retry contract) rewrites its slices instead
+    * of duplicating them — the whole tick is idempotent per tag.
+    *
+    * Bootstrap: the index must exist before the first tick — call
+    * [[TextDedup.writeIncrementalIndex]] with the seed corpus (or an
+    * EMPTY frame carrying the right schema to start from nothing).
+    *
+    * @return number of surviving documents appended this tick.
+    */
+  def ingestTick(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexDir: String,
+      outDir: String,
+      batchTag: String,
+      k: Int = 2,
+      tau: Double = 0.8,
+      maxShingleDf: Long = 1000L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bloomBits: Option[Int] = None): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val wExact = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
+    val intraExact = batch
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+    val vsCorpus = TextDedup.incrementalSurvivorsIndexed(
+      spark, intraExact, indexDir, tau, maxShingleDf, k, idCol, textCol,
+      bloomBits = bloomBits, excludeBatchTag = Some(batchTag))
+    val intraPairs =
+      TextDedup.jaccardPairs(vsCorpus, k, tau, maxShingleDf, idCol)
+    val losers = TextDedup.clusters(intraPairs)
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as(idCol))
+    // consumed three times (index hashes, index shingles+df, output) —
+    // localCheckpoint once; batch-bounded by construction
+    val keepers = vsCorpus.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    TextDedup.appendIncrementalIndex(
+      keepers, indexDir, batchTag, k, idCol, textCol)
+    keepers.write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+    keepers.count()
+  }
+
+  /** The streaming form of the growing corpus: every micro-batch runs
+    * [[ingestTick]] against the shared persisted index, so each batch
+    * is deduplicated against the seed corpus PLUS every earlier batch's
+    * survivors, and the deduped corpus accumulates under `outDir` as
+    * `batch=b<id>` partitions. Tick idempotency (overwrite-per-tag) plus
+    * the checkpointed source offsets make restarts safe: a replayed
+    * micro-batch has the same batchId, hence the same tag, hence
+    * rewrites its own slices.
+    *
+    * Unlike [[dedupExact]] this form needs NO watermark and holds NO
+    * stream state — the index IS the state, on disk and unbounded-safe:
+    * per-tick cost is batch work + index scans, never corpus².
+    */
+  def incrementalIngest(
+      stream: DataFrame,
+      indexDir: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 2,
+      tau: Double = 0.8,
+      maxShingleDf: Long = 1000L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bloomBits: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        ingestTick(df.sparkSession, df, indexDir, outDir, s"b$batchId",
+          k, tau, maxShingleDf, idCol, textCol, bloomBits): Unit
+      }
+      .start()
 }

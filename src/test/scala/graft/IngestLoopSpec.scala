@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextDedup
+import graft.streaming.DedupStream
+
+/** The continuously-growing deduped corpus loop
+  * (DedupStream.ingestTick / incrementalIngest): each tick dedups a
+  * batch intra-batch (exact + near), against the persisted index
+  * (exact + near), appends its survivors to the index, and writes them
+  * to the output — so later ticks see earlier survivors as corpus.
+  * Replay of a tag must be a no-op (overwrite-per-slice idempotency).
+  *
+  * Texts follow the BloomFilterSpec fixture: "... with words" vs
+  * "... with words also" is J = 5/6 ≈ 0.83 ≥ τ=0.8 on word bigrams.
+  */
+class IngestLoopSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  private def freshDirs(): (String, String) = (
+    Files.createTempDirectory("graft_ingest_idx").toString,
+    Files.createTempDirectory("graft_ingest_out").toString)
+
+  private val corpus =
+    (0 until 40).map(i => (i.toLong, s"corpus doc number $i with words"))
+      .toDF("doc_id", "text")
+
+  test("ingestTick: three dedup layers, and survivors become corpus for the next tick") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val b0 = (
+      (100 until 110).map(i => (i.toLong, s"fresh doc $i unlike anything")) ++
+      Seq(
+        (200L, "corpus doc number 3 with words"),        // exact dup of corpus
+        (201L, "corpus doc number 7 with words also"),   // near dup of corpus
+        (210L, "intra exact pair payload with words"),   // intra-batch exact pair:
+        (211L, "intra exact pair payload with words"),   //   only min-id 210 survives
+        (220L, "intra near pair payload with words"),    // intra-batch near pair:
+        (221L, "intra near pair payload with words also") //  only min-id 220 survives
+      )).toDF("doc_id", "text")
+    val n0 = DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8)
+    val kept0 = (100L until 110L).toSet ++ Set(210L, 220L)
+    assert(n0 == kept0.size.toLong)
+    assert(ids(spark.read.parquet(out)) == kept0)
+
+    // tick 2: dups of TICK-1 SURVIVORS must now be dropped — the only way
+    // that happens is the b0 append actually grew the index
+    val b1 = Seq(
+      (300L, "fresh doc 105 unlike anything"),         // exact dup of a b0 survivor
+      (301L, "intra near pair payload with words also"), // near dup of b0 survivor 220
+      (302L, "corpus doc number 5 with words"),        // still dropped vs seed corpus
+      (310L, "genuinely new material with words")
+    ).toDF("doc_id", "text")
+    val n1 = DedupStream.ingestTick(spark, b1, idx, out, "b1", k = 2, tau = 0.8)
+    assert(n1 == 1L)
+    assert(ids(spark.read.parquet(out)) == kept0 + 310L)
+  }
+
+  test("ingestTick equals the self-contained operator over seed ∪ earlier survivors") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val b0 = (100 until 115).map(i => (i.toLong, s"settled doc $i from batch zero"))
+      .toDF("doc_id", "text")
+    DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8): Unit
+    val grown = corpus.unionByName(
+      spark.read.parquet(out).select("doc_id", "text"))
+    val b1 = (
+      (400 until 410).map(i => (i.toLong, s"second wave doc $i with payload")) ++
+      Seq((500L, "settled doc 103 from batch zero"),      // exact vs b0 survivor
+        (501L, "settled doc 104 from batch zero also"),   // near vs b0 survivor
+        (502L, "corpus doc number 2 with words"))         // exact vs seed
+      ).toDF("doc_id", "text")
+    val expected = ids(
+      TextDedup.incrementalSurvivors(b1, grown, k = 2, tau = 0.8))
+    DedupStream.ingestTick(spark, b1, idx, out, "b1", k = 2, tau = 0.8): Unit
+    val got = ids(spark.read.parquet(out)
+      .filter($"batch" === "b1").select("doc_id"))
+    assert(got == expected)
+    assert(expected == (400L until 410L).toSet)
+  }
+
+  test("replaying a tag is a no-op: index slices and output are rewritten, not duplicated") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val b0 = ((100 until 108).map(i => (i.toLong, s"replay test doc $i with body")) :+
+      (200L, "corpus doc number 1 with words")).toDF("doc_id", "text")
+    val n1 = DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8)
+    def snapshot(): (Long, Long, Long, Set[Long]) = (
+      spark.read.parquet(s"$idx/hashes").count(),
+      spark.read.parquet(s"$idx/shingles").count(),
+      spark.read.parquet(s"$idx/df").groupBy("shingle")
+        .agg(org.apache.spark.sql.functions.sum("df")).count(),
+      ids(spark.read.parquet(out)))
+    val before = snapshot()
+    // the foreachBatch retry contract: same data, same tag, run again
+    val n2 = DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8)
+    assert(n2 == n1)
+    assert(snapshot() == before,
+      "a replayed tag must overwrite its own slices, never duplicate them")
+  }
+
+  test("bootstrap from an empty seed corpus, and an empty tick is harmless") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus.limit(0), idx, k = 2)
+    val b0 = (100 until 105).map(i => (i.toLong, s"first ever doc $i of corpus"))
+      .toDF("doc_id", "text")
+    val n0 = DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8)
+    assert(n0 == 5L)
+    val nEmpty = DedupStream.ingestTick(
+      spark, b0.limit(0), idx, out, "b1", k = 2, tau = 0.8)
+    assert(nEmpty == 0L)
+    // the index still serves after an empty slice landed
+    val b2 = Seq((200L, "first ever doc 102 of corpus"),
+      (201L, "unrelated new text entirely")).toDF("doc_id", "text")
+    DedupStream.ingestTick(spark, b2, idx, out, "b2", k = 2, tau = 0.8): Unit
+    assert(ids(spark.read.parquet(out)) == (100L until 105L).toSet + 201L)
+  }
+
+  test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
+    val (idx, out) = freshDirs()
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DedupStream.incrementalIngest(
+      source.toDF().toDF("doc_id", "text"), idx, out, ckpt, k = 2, tau = 0.8)
+    try {
+      source.addData(
+        (100L, "streamed doc one hundred with body"),
+        (101L, "streamed doc one oh one with body"),
+        (102L, "corpus doc number 4 with words"))        // dup vs seed -> dropped
+      q.processAllAvailable()
+      source.addData(
+        (200L, "streamed doc one hundred with body"),    // exact dup vs batch-0 survivor
+        (201L, "streamed doc one oh one with body also"),// near dup vs batch-0 survivor
+        (202L, "stream wave two novel content"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val outDf = spark.read.parquet(out)
+    assert(ids(outDf) == Set(100L, 101L, 202L))
+    // batch provenance: survivors landed under their own micro-batch tag
+    assert(outDf.filter($"batch" === "b1").count() == 1L)
+  }
+}
