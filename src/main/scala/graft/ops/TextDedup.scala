@@ -549,9 +549,10 @@ object TextDedup {
     require(!tag.contains("/") && tag.nonEmpty, s"bad index batch tag: $tag")
     docs.select(md5(col(textCol)).as("__h")).distinct()
       .write.mode("overwrite").parquet(s"$dir/hashes/batch=$tag")
+    // the shingle write itself fills the persist cache, so the df
+    // aggregate reads cached blocks — no separate materializing count
     val sh = shingles(docs, k, idCol, textCol).persist()
     try {
-      sh.count()
       sh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$tag")
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")

@@ -53,6 +53,105 @@ object ExtQueries {
       |  WHERE CAST(ni AS DOUBLE) / (szn.sz + szo.sz - ni) >= 0.8)
       |SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT d1 FROM losers)""".stripMargin
 
+  /** One `DedupStream.ingestTick` in DuckDB SQL, CTE-name-prefixed with
+    * `p` so two ticks can coexist in one WITH list: intra-batch exact
+    * (min-id per md5, QUALIFY), exact vs corpus (md5 anti-join), near vs
+    * corpus (word-bigram Jaccard >= 0.8, as [[incrementalOracle]]), then
+    * intra-batch near-dup connected components (recursive label
+    * propagation, min-id keeper — the `ext_dedup_clusters` oracle shape).
+    * `<p>surv` is the tick's surviving (doc_id, text) set.
+    *
+    * Every non-recursive CTE is `MATERIALIZED`: DuckDB inlines CTEs by
+    * default, and tick 2's corpus references tick 1's whole chain — with
+    * each multiply-referenced CTE re-expanded, evaluation goes
+    * combinatorial (>6 min at sf0.01; 0.15 s materialized).
+    */
+  private def tickSql(p: String, batch: String, corpus: String): String =
+    s"""${p}ie AS MATERIALIZED (
+       |  SELECT doc_id, text FROM $batch
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |${p}ex AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ${p}ie
+       |  WHERE md5(text) NOT IN (SELECT md5(text) FROM $corpus)),
+       |${p}shn AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ${p}ex
+       |        WHERE len(string_split(text, ' ')) >= 2),
+       |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+       |${p}sho AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $corpus
+       |        WHERE len(string_split(text, ' ')) >= 2),
+       |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+       |${p}szn AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM ${p}shn GROUP BY doc_id),
+       |${p}szo AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM ${p}sho GROUP BY doc_id),
+       |${p}vsi AS MATERIALIZED (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+       |  FROM ${p}shn a JOIN ${p}sho b ON a.shingle = b.shingle GROUP BY 1, 2),
+       |${p}vsl AS MATERIALIZED (
+       |  SELECT DISTINCT d1 FROM ${p}vsi
+       |  JOIN ${p}szn ON d1 = ${p}szn.doc_id JOIN ${p}szo ON d2 = ${p}szo.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (${p}szn.sz + ${p}szo.sz - ni) >= 0.8),
+       |${p}vs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ${p}ex
+       |  WHERE doc_id NOT IN (SELECT d1 FROM ${p}vsl)),
+       |${p}ii AS MATERIALIZED (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+       |  FROM ${p}shn a JOIN ${p}shn b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM ${p}vs)
+       |    AND b.doc_id IN (SELECT doc_id FROM ${p}vs)
+       |  GROUP BY 1, 2),
+       |${p}ip AS MATERIALIZED (
+       |  SELECT d1, d2 FROM ${p}ii
+       |  JOIN ${p}szn s1 ON d1 = s1.doc_id JOIN ${p}szn s2 ON d2 = s2.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (s1.sz + s2.sz - ni) >= 0.8),
+       |${p}edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM ${p}ip
+       |              UNION ALL SELECT d2, d1 FROM ${p}ip),
+       |${p}reach AS (
+       |  SELECT id, id AS label
+       |  FROM (SELECT DISTINCT src AS id FROM ${p}edges)
+       |  UNION
+       |  SELECT e.src AS id, r.label
+       |  FROM ${p}edges e JOIN ${p}reach r ON e.dst = r.id),
+       |${p}losers AS MATERIALIZED (
+       |  SELECT id FROM ${p}reach GROUP BY id HAVING min(label) <> id),
+       |${p}surv AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ${p}vs
+       |  WHERE doc_id NOT IN (SELECT id FROM ${p}losers))""".stripMargin
+
+  /** `ext_ingest_loop`: tick b0 against the seed, then tick b1 against
+    * seed UNION tick-b0 survivors — the SQL replay of the persisted-index
+    * growth loop. Batch construction mirrors the Spark side exactly.
+    */
+  private val ingestLoopOracle = {
+    val t1 = tickSql("a", "b0", "corpus")
+    val t2 = tickSql("b", "b1", "corpus2")
+    s"""WITH RECURSIVE corpus AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |b0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= 300 AND doc_id < 400
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 6
+       |  UNION ALL
+       |  SELECT doc_id + 21000, text FROM documents
+       |  WHERE doc_id >= 300 AND doc_id < 303),
+       |$t1,
+       |corpus2 AS MATERIALIZED (SELECT doc_id, text FROM corpus
+       |            UNION ALL SELECT doc_id, text FROM asurv),
+       |b1 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= 400 AND doc_id < 500
+       |  UNION ALL
+       |  SELECT doc_id + 30000, text FROM documents
+       |  WHERE doc_id >= 300 AND doc_id < 310),
+       |$t2
+       |SELECT doc_id, 'b0' AS batch FROM asurv
+       |UNION ALL
+       |SELECT doc_id, 'b1' AS batch FROM bsurv""".stripMargin
+  }
+
   /** Shared by the `ext_ann_*` recall-verdict entries ([[Verdicts.annRecall]]):
     * one row per query vector asserting k rows returned, rank dominance by
     * the exact top-k, cosine identity vs raw vectors, and the corpus-wide
@@ -413,6 +512,44 @@ object ExtQueries {
           bloomBits = Some(1 << 12), bloomHashes = 5).select("doc_id")
       },
       Some(incrementalOracle)),
+
+    // The full ingest LOOP (DedupStream.ingestTick, twice): seed index ->
+    // tick b0 -> survivors appended -> tick b1 sees seed PLUS b0
+    // survivors. The oracle replays both ticks' three dedup layers in SQL
+    // (intra-batch exact min-id, exact+near vs the growing corpus,
+    // intra-batch near-dup clusters via recursive label propagation), so
+    // a hash match proves the persisted-index growth path end-to-end:
+    // slice appends, replay-safe reads, and cross-tick dedup semantics.
+    // Batches are id-pinned windows so the entry costs the same at every
+    // scale; relabeled copies plant exact dups vs the seed (+20000),
+    // intra-batch exact pairs (+21000), and dups of tick-1 survivors
+    // (+30000) — the last is the growth proof: those rows only disappear
+    // if the b0 append really grew the index.
+    Q("ext_ingest_loop",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val b0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .unionByName(docs.filter(col("doc_id") < 6)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 303)
+            .select((col("doc_id") + 21000).as("doc_id"), col("text")))
+        val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        // fresh dirs per invocation: a bench re-trial in the same JVM must
+        // not see the previous trial's appended slices as corpus
+        val run = java.util.UUID.randomUUID.toString.take(8)
+        val idx = graft.core.TmpDirs.scoped(s"ingest_loop_idx_$run")
+        val out = graft.core.TmpDirs.scoped(s"ingest_loop_out_$run")
+        TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+        graft.streaming.DedupStream.ingestTick(s, b0, idx, out, "b0",
+          k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
+        graft.streaming.DedupStream.ingestTick(s, b1, idx, out, "b1",
+          k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
+        s.read.parquet(out).select(col("doc_id"), col("batch"))
+      },
+      Some(ingestLoopOracle)),
 
     // Deterministic content-hash dataset split (train/val/test) — a pure
     // function of md5(text), reproducible across engines and reruns.

@@ -110,14 +110,16 @@ object DedupStream {
     val losers = TextDedup.clusters(intraPairs)
       .filter(col("cluster_id") =!= col("id"))
       .select(col("id").as(idCol))
-    // consumed three times (index hashes, index shingles+df, output) —
-    // localCheckpoint once; batch-bounded by construction
+    // keepers are consumed four times (index hashes, shingles, df,
+    // count): compute the plan ONCE into the output partition, then feed
+    // the index appends and the count from the written parquet — the
+    // re-reads are batch-bounded files, and the count is footer-only
     val keepers = vsCorpus.join(losers, Seq(idCol), "left_anti")
-      .localCheckpoint()
-    TextDedup.appendIncrementalIndex(
-      keepers, indexDir, batchTag, k, idCol, textCol)
     keepers.write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
-    keepers.count()
+    val written = spark.read.parquet(s"$outDir/batch=$batchTag")
+    TextDedup.appendIncrementalIndex(
+      written, indexDir, batchTag, k, idCol, textCol)
+    written.count()
   }
 
   /** The streaming form of the growing corpus: every micro-batch runs
