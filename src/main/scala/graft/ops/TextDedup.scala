@@ -543,6 +543,40 @@ object TextDedup {
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     writeIndexSlice(survivors, dir, batchTag, k, idCol, textCol)
 
+  /** Merge every slice of a sliced incremental index into a single fresh
+    * `base` slice at `dstDir` — the offline compaction the slice
+    * layout's scaladoc defers to. After thousands of ingest ticks the
+    * per-tick costs that scale with SLICE COUNT (partition discovery
+    * over `batch=` dirs, one parquet footer per slice file, the df
+    * partial-count re-aggregate) creep up even though the data volume is
+    * unchanged; compaction resets them to one slice per table.
+    *
+    * Writes to a NEW directory rather than in place so a concurrently
+    * running tick never sees a half-compacted index: build the compacted
+    * copy offline, then swap the directory (or the index-path config)
+    * between ticks. Slices are disjoint by construction (each tick
+    * appends only docs that survived against everything before it), so
+    * compaction is a pure re-layout — hashes stay distinct and shingle
+    * rows unique without a dedup shuffle; df partials are summed once
+    * here instead of on every future tick read.
+    */
+  def compactIncrementalIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String): Unit = {
+    require(
+      new java.io.File(srcDir).getAbsolutePath !=
+        new java.io.File(dstDir).getAbsolutePath,
+      "compaction must target a fresh directory, not the live index")
+    spark.read.parquet(s"$srcDir/hashes").select("__h")
+      .write.mode("overwrite").parquet(s"$dstDir/hashes/batch=base")
+    val idCol = shOldIdCol(spark, s"$srcDir/shingles", "doc_id")
+    spark.read.parquet(s"$srcDir/shingles").select(col(idCol), col("shingle"))
+      .write.mode("overwrite").parquet(s"$dstDir/shingles/batch=base")
+    spark.read.parquet(s"$srcDir/df")
+      .groupBy("shingle").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$dstDir/df/batch=base")
+  }
+
   private def writeIndexSlice(
       docs: DataFrame, dir: String, tag: String, k: Int,
       idCol: String, textCol: String): Unit = {

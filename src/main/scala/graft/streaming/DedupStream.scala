@@ -134,6 +134,14 @@ object DedupStream {
     * Unlike [[dedupExact]] this form needs NO watermark and holds NO
     * stream state — the index IS the state, on disk and unbounded-safe:
     * per-tick cost is batch work + index scans, never corpus².
+    *
+    * Composition notes: bound pathological documents UPSTREAM with
+    * `Curation.lengthCap` (a plain transform — `lengthCap(stream, n)`
+    * before this call), which is the ingest-side guard
+    * `TextDedup.verifyJaccard`'s memory bound relies on; and after many
+    * ticks, reset slice-count creep offline with
+    * [[TextDedup.compactIncrementalIndex]] and swap the index dir
+    * between ticks.
     */
   def incrementalIngest(
       stream: DataFrame,

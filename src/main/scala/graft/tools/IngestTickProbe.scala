@@ -74,6 +74,34 @@ object IngestTickProbe {
       DedupStream.ingestTick(spark, b1, idx, out, "b1",
         k = 2, tau = 0.8, maxShingleDf = Long.MaxValue)
     }
+
+    // slice-count creep: a long-lived loop accumulates one slice per tick;
+    // measure the pure serving read (incrementalSurvivorsIndexed) against
+    // a many-slice index vs its compacted copy
+    if (args.length > 1) {
+      val nSlices = args(1).toInt
+      val probe = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      (0 until nSlices).foreach { i =>
+        val sl = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select((col("doc_id") + lit(40000L + i * 1000L)).as("doc_id"),
+            col("text"))
+        TextDedup.appendIncrementalIndex(sl, idx, s"s$i", k = 2)
+      }
+      def serve(dir: String): Long = TextDedup.incrementalSurvivorsIndexed(
+        spark, probe, dir, 0.8, Long.MaxValue, 2).count()
+      def med(label: String, dir: String): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); serve(dir): Unit
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[probe] $label%-28s ${ts(1)}%.2f s (trials ${ts.map(x => f"$x%.2f").mkString(",")})")
+      }
+      med(s"serve with ${nSlices + 2} slices", idx)
+      val dst = graft.core.TmpDirs.scoped("tickprobe_compacted")
+      t("compactIncrementalIndex")(
+        TextDedup.compactIncrementalIndex(spark, idx, dst))
+      med("serve compacted (1 slice)", dst)
+    }
     spark.stop()
   }
 }

@@ -125,6 +125,65 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(out)) == (100L until 105L).toSet + 201L)
   }
 
+  test("compactIncrementalIndex: one base slice, identical serving results") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val b0 = (100 until 110).map(i => (i.toLong, s"compacted doc $i with words"))
+      .toDF("doc_id", "text")
+    val b1 = (200 until 210).map(i => (i.toLong, s"second slice doc $i with body"))
+      .toDF("doc_id", "text")
+    DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8): Unit
+    DedupStream.ingestTick(spark, b1, idx, out, "b1", k = 2, tau = 0.8): Unit
+    val dst = Files.createTempDirectory("graft_ingest_compact").toString
+    TextDedup.compactIncrementalIndex(spark, idx, dst)
+    // re-layout only: every table collapses to the single base slice...
+    def slices(table: String): Set[String] =
+      new java.io.File(s"$dst/$table").list().filter(_.startsWith("batch=")).toSet
+    assert(slices("hashes") == Set("batch=base"))
+    assert(slices("shingles") == Set("batch=base"))
+    assert(slices("df") == Set("batch=base"))
+    // ...with identical content as the reader sees it
+    assert(spark.read.parquet(s"$dst/hashes").select("__h").as[String].collect().sorted.toSeq ==
+      spark.read.parquet(s"$idx/hashes").select("__h").as[String].collect().sorted.toSeq)
+    assert(spark.read.parquet(s"$dst/df").select("shingle", "df")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq ==
+      spark.read.parquet(s"$idx/df").groupBy("shingle")
+        .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+        .as[(String, Long)].collect().sortBy(_._1).toSeq)
+    // an identical next tick serves the same survivors from either copy
+    val b2 = Seq(
+      (300L, "compacted doc 103 with words"),      // exact dup of a b0 survivor
+      (301L, "second slice doc 204 with body also"), // near dup of a b1 survivor
+      (302L, "corpus doc number 9 with words"),    // exact dup of seed
+      (310L, "untouched novel payload with words")
+    ).toDF("doc_id", "text")
+    val outSrc = Files.createTempDirectory("graft_ingest_osrc").toString
+    val outDst = Files.createTempDirectory("graft_ingest_odst").toString
+    val nSrc = DedupStream.ingestTick(spark, b2, idx, outSrc, "b2", k = 2, tau = 0.8)
+    val nDst = DedupStream.ingestTick(spark, b2, dst, outDst, "b2", k = 2, tau = 0.8)
+    assert(nSrc == nDst)
+    assert(ids(spark.read.parquet(outSrc)) == ids(spark.read.parquet(outDst)))
+    assert(ids(spark.read.parquet(outDst)) == Set(310L))
+  }
+
+  test("lengthCap upstream bounds a pathological doc before the tick") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val huge = (0 until 200000).map(i => s"w$i").mkString(" ")
+    val batch = Seq(
+      (100L, huge),
+      (101L, "ordinary sized doc with words")).toDF("doc_id", "text")
+    val capped = graft.ops.Curation.lengthCap(batch, maxTokens = 64)
+      .select("doc_id", "text")
+    val n = DedupStream.ingestTick(spark, capped, idx, out, "b0", k = 2, tau = 0.8)
+    assert(n == 2L)
+    // the capped doc entered the index truncated: its shingle footprint
+    // is bounded by maxTokens, not the original 200k tokens
+    val sh = spark.read.parquet(s"$idx/shingles")
+      .filter($"doc_id" === 100L).count()
+    assert(sh <= 63L)
+  }
+
   test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
