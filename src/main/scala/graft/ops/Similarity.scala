@@ -221,6 +221,17 @@ object Similarity {
     probeLists(ivfAssign(emb, centroids, idCol), centroids, queries, k, nProbe, idCol)
   }
 
+  /** [[ivfTopK]] with an EXPLICIT (frozen) centroid table instead of a
+    * freshly sampled one — the in-memory reference for a grown index
+    * ([[appendIvfIndex]] keeps the base build's centroids, so "index
+    * after appends" must equal "this, over the whole corpus, with the
+    * persisted centroids"; pinned in SimilaritySpec).
+    */
+  def ivfTopKWithCentroids(
+      emb: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 2, idCol: String = "vec_id"): DataFrame =
+    probeLists(ivfAssign(emb, centroids, idCol), centroids, queries, k, nProbe, idCol)
+
   /** Deterministic coarse quantizer: hash-based centroid sampling
     * (id-value independent: works for non-contiguous / 1-based / hashed
     * id spaces), with a fallback so a tiny or unlucky table still yields
@@ -783,10 +794,57 @@ object Similarity {
     // fragment file PER (task, list) pair — tasks x lists tiny files
     // (measured 7.2 s for a 2000-row index; ~2x faster clustered, and at
     // corpus scale fragment counts are what kill the probe-side scan)
+    //
+    // lists live under a batch=base slice so [[appendIvfIndex]] can grow
+    // the index with idempotent per-batch slices (same layout contract
+    // as the dedup index); list_id stays a partition level, so probe
+    // pruning skips unprobed list dirs inside EVERY slice
+    writeIvfSlice(emb, centroids, dir, "base", idCol)
+  }
+
+  private def writeIvfSlice(
+      emb: DataFrame, centroids: DataFrame, dir: String, tag: String,
+      idCol: String): Unit = {
+    require(!tag.contains("/") && tag.nonEmpty, s"bad index batch tag: $tag")
     ivfAssign(emb, centroids, idCol)
       .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/lists/batch=$tag")
   }
+
+  /** Append a batch of NEW vectors to a persisted [[writeIvfIndex]]
+    * index under the index's FROZEN coarse centroids — the
+    * embedding-corpus twin of the dedup ingest loop's index growth
+    * (`TextDedup.appendIncrementalIndex`). The batch is assigned with
+    * the same argmax as the base build and lands in its own
+    * `batch=<tag>` slice with OVERWRITE semantics, so a replayed ingest
+    * batch rewrites its slice instead of duplicating it; probes read the
+    * union of slices through partition discovery, still pruned by
+    * `list_id` inside every slice.
+    *
+    * Frozen centroids are the standard serving trade-off: recall
+    * degrades only if the NEW data's distribution drifts away from the
+    * centroids' training distribution. Watch [[ivfListStats]] for
+    * hot-list skew (drifted data piles into few lists, making probes
+    * scan more than |corpus|·nProbe/nLists) and rebuild on cadence —
+    * the analog of dedup-index compaction.
+    */
+  def appendIvfIndex(
+      spark: SparkSession, newEmb: DataFrame, dir: String,
+      batchTag: String, idCol: String = "vec_id"): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    writeIvfSlice(newEmb, centroids, dir, batchTag, idCol)
+  }
+
+  /** Rows per (slice, list) of a persisted IVF index — the monitoring
+    * hook for frozen-centroid drift: rising `n` concentration in few
+    * lists across recent slices means new data has drifted from the
+    * centroid training distribution and the index wants a rebuild.
+    */
+  def ivfListStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lists")
+      .groupBy(col("batch"), col("list_id"))
+      .agg(count(lit(1)).as("n"))
 
   /** Top-k over a persisted [[writeIvfIndex]] index — result-identical to
     * [[ivfTopK]] on the same corpus/stride (pinned in SimilaritySpec),
@@ -816,15 +874,37 @@ object Similarity {
     writeIvfIndex(emb, dir, centroidStride, idCol)
     val cb = pqCodebooks(emb, m, ks, maxIter, idCol, trainSample)
     cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-    // read the assignment back from the written lists (not recomputed):
+    writeCodesSlice(emb, cb, dir, "base", idCol)
+  }
+
+  private def writeCodesSlice(
+      emb: DataFrame, cb: DataFrame, dir: String, tag: String,
+      idCol: String): Unit = {
+    // read the assignment back from the written slice (not recomputed):
     // codes and lists are guaranteed consistent even if the quantizer
     // implementation changes between the two writes
-    val lists = emb.sparkSession.read.parquet(s"$dir/lists")
+    val lists = emb.sparkSession.read.parquet(s"$dir/lists/batch=$tag")
       .select(col("n_id").as(idCol), col("list_id"))
     pqEncode(emb, cb, idCol)
       .join(lists, Seq(idCol))
       .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/codes/batch=$tag")
+  }
+
+  /** [[appendIvfIndex]] for the full IVFPQ layout: the batch lands as a
+    * `batch=<tag>` slice of BOTH the raw lists (re-rank side) and the
+    * PQ codes (ADC side), encoded with the index's FROZEN codebooks.
+    * Same idempotency and drift caveats as [[appendIvfIndex]] — PQ adds
+    * one more frozen artifact (codebooks), so codebook-era drift is a
+    * second rebuild trigger.
+    */
+  def appendIvfPqIndex(
+      spark: SparkSession, newEmb: DataFrame, dir: String,
+      batchTag: String, idCol: String = "vec_id"): Unit = {
+    appendIvfIndex(spark, newEmb, dir, batchTag, idCol)
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    writeCodesSlice(newEmb, cb, dir, batchTag, idCol)
   }
 
   /** IVF-pruned ADC top-k over a persisted [[writeIvfPqIndex]] index —

@@ -859,6 +859,33 @@ object ExtQueries {
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM embeddings WHERE vec_id < 5""".stripMargin)),
 
+    // Grown IVF index: base built on HALF the corpus, the other half
+    // APPENDED as a frozen-centroid batch slice (appendIvfIndex — the
+    // embedding twin of the dedup ingest loop's index growth). Verdict:
+    // probes over the grown index are IDENTICAL to in-memory IVF over
+    // the whole corpus under the same persisted centroids — growth
+    // changes layout, never answers. Fresh dirs per invocation keep a
+    // bench re-trial from hitting the JVM file-listing cache of its
+    // predecessor's overwritten slices.
+    Q("ext_ann_ivf_append",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") < 5)
+        val run = java.util.UUID.randomUUID.toString.take(8)
+        val idx = graft.core.TmpDirs.scoped(s"ivf_append_$run")
+        Similarity.writeIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), idx, centroidStride = 50L)
+        Similarity.appendIvfIndex(
+          s, emb.filter(col("vec_id") % 2 =!= 0), idx, "b0")
+        val centroids = s.read.parquet(s"$idx/centroids")
+        Verdicts.annIdentity(qs,
+          Similarity.ivfTopKIndexed(s, idx, qs, k = 10, nProbe = 3),
+          Similarity.ivfTopKWithCentroids(emb, centroids, qs, k = 10, nProbe = 3))
+      },
+      Some("""SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_ret,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings WHERE vec_id < 5""".stripMargin)),
+
     // IVFPQ: the standard 100 TB ANN service layout — coarse lists prune
     // the partitioned CODE scan (dynamic partition pruning), ADC scores
     // only probed lists' codes, exact re-rank fetches raw vectors from

@@ -82,13 +82,69 @@ class SimilaritySpec extends AnyFunSuite {
       "indexed probe must trigger dynamic partition pruning on list_id")
     assert(inMemory.exceptAll(indexed).count() == 0)
     assert(indexed.exceptAll(inMemory).count() == 0)
-    // the on-disk layout is one directory per inverted list — the unit of
-    // partition pruning a probe reads
-    val listDirs = new java.io.File(s"$idx/lists").listFiles()
+    // the on-disk layout is one directory per inverted list inside each
+    // batch slice — the unit of partition pruning a probe reads
+    val listDirs = new java.io.File(s"$idx/lists/batch=base").listFiles()
       .filter(_.getName.startsWith("list_id=")).map(_.getName).toSeq
     assert(listDirs.nonEmpty)
     val nCentroids = spark.read.parquet(s"$idx/centroids").count()
     assert(listDirs.size <= nCentroids)
+  }
+
+  test("appendIvfIndex: grown index equals frozen-centroid in-memory IVF; replay idempotent") {
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    val queries = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.writeIvfIndex(half1, idx, centroidStride = 50L)
+    Similarity.appendIvfIndex(spark, half2, idx, "b0")
+    // materialize before any slice rewrite: a replay swaps the slice's
+    // files, so a pre-replay lazy plan must not be re-evaluated after it
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val grown = rows(
+      Similarity.ivfTopKIndexed(spark, idx, queries, k = 10, nProbe = 3))
+    // reference: the whole corpus assigned in memory under the index's
+    // FROZEN centroids (appends never retrain)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val ref = rows(Similarity.ivfTopKWithCentroids(
+      emb, centroids, queries, k = 10, nProbe = 3))
+    assert(grown == ref)
+    // replaying the same tag overwrites its slice — identical results,
+    // identical list-stat profile
+    val statsBefore = Similarity.ivfListStats(spark, idx)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    Similarity.appendIvfIndex(spark, half2, idx, "b0")
+    spark.catalog.refreshByPath(s"$idx/lists")
+    val statsAfter = Similarity.ivfListStats(spark, idx)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(statsAfter == statsBefore)
+    val replayed = rows(
+      Similarity.ivfTopKIndexed(spark, idx, queries, k = 10, nProbe = 3))
+    assert(replayed == grown)
+  }
+
+  test("appendIvfPqIndex: grown IVFPQ serves appended vectors; codes consistent with lists") {
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    val queries = emb.filter($"vec_id" < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.writeIvfPqIndex(half1, idx, centroidStride = 50L, m = 8, ks = 16, maxIter = 3)
+    Similarity.appendIvfPqIndex(spark, half2, idx, "b0")
+    // every appended vector is servable: codes and lists slices agree row-for-row
+    val lists = spark.read.parquet(s"$idx/lists").select($"n_id".as("vec_id"), $"list_id", $"batch")
+    val codes = spark.read.parquet(s"$idx/codes").select($"vec_id", $"list_id", $"batch")
+    assert(lists.count() == emb.count())
+    assert(codes.count() == emb.count())
+    assert(lists.exceptAll(codes.select($"vec_id".as("n_id"), $"list_id", $"batch")
+      .withColumnRenamed("n_id", "vec_id")).count() == 0)
+    // grown-index ADC search returns k rows per query including odd
+    // (appended) neighbors — the appended slice is really probed
+    val res = Similarity.ivfPqTopKIndexed(spark, idx, queries, k = 10, nProbe = 3)
+    val perQ = res.groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(perQ.length == 10 && perQ.forall(_._2 == 10L))
+    assert(res.filter($"n_id" % 2 =!= 0).count() > 0,
+      "appended (odd-id) vectors must be reachable through the grown index")
   }
 
   test("PQ codes: m codes per vector, all inside [0, ks), stable under repartitioning") {
