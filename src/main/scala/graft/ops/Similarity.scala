@@ -787,8 +787,8 @@ object Similarity {
   def writeIvfIndex(
       emb: DataFrame, dir: String,
       centroidStride: Long = 100L, idCol: String = "vec_id"): Unit = {
-    val centroids = ivfCentroids(emb, centroidStride, idCol)
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    writeIvfCentroids(emb, dir, centroidStride, idCol)
+    val centroids = emb.sparkSession.read.parquet(s"$dir/centroids")
     // cluster by the partition column before the partitioned write:
     // without it every write task holds rows of every list and emits one
     // fragment file PER (task, list) pair — tasks x lists tiny files
@@ -801,6 +801,18 @@ object Similarity {
     // pruning skips unprobed list dirs inside EVERY slice
     writeIvfSlice(emb, centroids, dir, "base", idCol)
   }
+
+  /** Train and persist ONLY the coarse quantizer — the bootstrap half of
+    * [[writeIvfIndex]], split out so an ingest loop can train centroids
+    * from its first batch and then grow the index purely through
+    * [[appendIvfIndex]] slices (no `base` slice that a tag replay could
+    * not rewrite).
+    */
+  def writeIvfCentroids(
+      emb: DataFrame, dir: String,
+      centroidStride: Long = 100L, idCol: String = "vec_id"): Unit =
+    ivfCentroids(emb, centroidStride, idCol)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
 
   private def writeIvfSlice(
       emb: DataFrame, centroids: DataFrame, dir: String, tag: String,
@@ -853,9 +865,18 @@ object Similarity {
     */
   def ivfTopKIndexed(
       spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nProbe: Int = 2, idCol: String = "vec_id"): DataFrame = {
+      k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+      excludeBatchTag: Option[String] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val assigned = spark.read.parquet(s"$dir/lists")
+    // excludeBatchTag: a replayed ingest tick must not probe its OWN
+    // earlier slice (every batch vector is an exact dup of itself there);
+    // batch= is a partition level, so exclusion is a directory prune
+    val assigned0 = spark.read.parquet(s"$dir/lists")
+    val assigned = excludeBatchTag match {
+      case Some(t) if assigned0.columns.contains("batch") =>
+        assigned0.filter(col("batch") =!= t)
+      case _ => assigned0
+    }
     probeLists(assigned, centroids, queries, k, nProbe, idCol)
   }
 

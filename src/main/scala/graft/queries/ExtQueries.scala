@@ -152,6 +152,83 @@ object ExtQueries {
        |SELECT doc_id, 'b1' AS batch FROM bsurv""".stripMargin
   }
 
+  /** One `EmbedIngest.ingestTick` in DuckDB SQL (CTE-prefixed, all
+    * non-recursive CTEs MATERIALIZED — see [[tickSql]]): intra-batch
+    * semantic dedup (connected components over exact cosine ≥ 0.8
+    * pairs, min-id keeper), then drop keepers with an exact cosine ≥
+    * 0.8 partner in the corpus. The Spark side's vs-corpus check is an
+    * IVF PROBE; the catalog entry's batches are constructed so probe ≡
+    * exact — every true dup is an exact COPY (cosine 1: an identical
+    * vector ranks centroids identically, so its twin's list is always
+    * probed) and every non-dup is a NEGATED corpus vector (measured max
+    * cosine vs corpus ≤ 0.47 at all three testdata scales, 0.33 under
+    * τ) — so the exact SQL is a legitimate oracle for the approximate
+    * path on THIS construction.
+    */
+  private def embedTickSql(p: String, batch: String, corpus: String): String =
+    s"""${p}ip AS MATERIALIZED (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2 FROM $batch a, $batch b
+       |  WHERE a.vec_id < b.vec_id
+       |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8),
+       |${p}edges AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM ${p}ip
+       |  UNION ALL SELECT d2, d1 FROM ${p}ip),
+       |${p}reach AS (
+       |  SELECT id, id AS label
+       |  FROM (SELECT DISTINCT src AS id FROM ${p}edges)
+       |  UNION
+       |  SELECT e.src AS id, r.label
+       |  FROM ${p}edges e JOIN ${p}reach r ON e.dst = r.id),
+       |${p}losers AS MATERIALIZED (
+       |  SELECT id FROM ${p}reach GROUP BY id HAVING min(label) <> id),
+       |${p}ie AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM $batch
+       |  WHERE vec_id NOT IN (SELECT id FROM ${p}losers)),
+       |${p}vsl AS MATERIALIZED (
+       |  SELECT DISTINCT e.vec_id FROM ${p}ie e, $corpus c
+       |  WHERE list_cosine_similarity(e.embedding, c.embedding) >= 0.8),
+       |${p}surv AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM ${p}ie
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM ${p}vsl))""".stripMargin
+
+  /** `ext_embed_ingest_loop`: tick b0 against the seed embedding corpus,
+    * then tick b1 against seed UNION tick-b0 survivors. */
+  private val embedLoopOracle = {
+    val t1 = embedTickSql("a", "b0", "corpus")
+    val t2 = embedTickSql("b", "b1", "corpus2")
+    s"""WITH RECURSIVE corpus AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+       |b0 AS MATERIALIZED (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_transform(embedding, x -> -x) AS embedding
+       |  FROM embeddings WHERE vec_id < 50
+       |  UNION ALL
+       |  SELECT vec_id + 110000, embedding FROM embeddings WHERE vec_id < 5
+       |  UNION ALL
+       |  SELECT vec_id + 120000, list_transform(embedding, x -> -x)
+       |  FROM embeddings WHERE vec_id = 60
+       |  UNION ALL
+       |  SELECT vec_id + 121000, list_transform(embedding, x -> -x)
+       |  FROM embeddings WHERE vec_id = 60),
+       |$t1,
+       |corpus2 AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM corpus
+       |  UNION ALL SELECT vec_id, embedding FROM asurv),
+       |b1 AS MATERIALIZED (
+       |  SELECT vec_id + 130000 AS vec_id,
+       |    list_transform(embedding, x -> -x) AS embedding
+       |  FROM embeddings WHERE vec_id >= 50 AND vec_id < 100
+       |  UNION ALL
+       |  SELECT vec_id + 140000, list_transform(embedding, x -> -x)
+       |  FROM embeddings WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT vec_id + 150000, embedding FROM embeddings WHERE vec_id = 7),
+       |$t2
+       |SELECT vec_id, 'b0' AS batch FROM asurv
+       |UNION ALL
+       |SELECT vec_id, 'b1' AS batch FROM bsurv""".stripMargin
+  }
+
   /** Shared by the `ext_ann_*` recall-verdict entries ([[Verdicts.annRecall]]):
     * one row per query vector asserting k rows returned, rank dominance by
     * the exact top-k, cosine identity vs raw vectors, and the corpus-wide
@@ -550,6 +627,43 @@ object ExtQueries {
         s.read.parquet(out).select(col("doc_id"), col("batch"))
       },
       Some(ingestLoopOracle)),
+
+    // The embedding-side ingest LOOP (EmbedIngest.ingestTick, twice):
+    // seed IVF index -> tick b0 (intra semantic dedup + probe-served
+    // dedup vs the index) -> survivors appended as a slice -> tick b1
+    // sees seed PLUS b0 survivors. Batch construction makes the
+    // approximate probe provably exact (see [[embedTickSql]]), so the
+    // oracle replays both ticks with exact cosine SQL — a hash match
+    // proves index growth, replay-safe probes, and cross-tick semantic
+    // dedup end-to-end.
+    Q("ext_embed_ingest_loop",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val corpus = emb.filter(col("vec_id") < 300)
+        def neg(f: DataFrame, off: Long) = f.select(
+          (col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        def cp(f: DataFrame, off: Long) = f.select(
+          (col("vec_id") + off).as("vec_id"), col("embedding"))
+        val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
+          .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
+          .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
+          .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
+        val b1 = neg(
+            emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
+          .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
+          .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+        val run = java.util.UUID.randomUUID.toString.take(8)
+        val idx = graft.core.TmpDirs.scoped(s"embed_loop_idx_$run")
+        val out = graft.core.TmpDirs.scoped(s"embed_loop_out_$run")
+        Similarity.writeIvfIndex(corpus, idx, centroidStride = 50L)
+        graft.streaming.EmbedIngest.ingestTick(
+          s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
+        graft.streaming.EmbedIngest.ingestTick(
+          s, b1, idx, out, "b1", tau = 0.8, nProbe = 2): Unit
+        s.read.parquet(out).select(col("vec_id"), col("batch"))
+      },
+      Some(embedLoopOracle)),
 
     // Deterministic content-hash dataset split (train/val/test) — a pure
     // function of md5(text), reproducible across engines and reruns.

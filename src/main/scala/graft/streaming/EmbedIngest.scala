@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** The embedding-corpus twin of [[DedupStream]]'s growing-corpus loop:
+  * each tick semantically deduplicates a batch of vectors and grows a
+  * persisted IVF index with the survivors, so later ticks deduplicate
+  * against the seed corpus PLUS every earlier batch's survivors — a
+  * continuously-growing semantically-deduped embedding corpus whose
+  * dedup check is served by the very ANN index being grown.
+  *
+  * Scale shape: the vs-corpus check is an IVF PROBE (each batch vector
+  * scans ~nProbe/nLists of the index through dynamic partition pruning),
+  * never batch × corpus brute force — the approximation the probe buys
+  * is the standard SemDedup trade: a near-dup in an unprobed list is
+  * MISSED (kept), never the reverse, so removals are always a subset of
+  * the exact τ-graph removals (pinned in EmbedIngestSpec). Exact
+  * duplicates are immune to the approximation: an identical vector ranks
+  * the centroids identically, so its twin's list is always probed.
+  */
+object EmbedIngest {
+
+  /** One tick of the embedding ingest loop (the `foreachBatch` body of
+    * [[incrementalIngest]], directly callable for scheduled-batch
+    * ingest). Three layers, then the corpus grows:
+    *
+    *   1. intra-batch semantic dedup: connected components over the
+    *      batch's exact cosine ≥ τ pairs, min-id keeper per cluster
+    *      (batch-bounded, so the exact pair graph is affordable);
+    *   2. vs-corpus: each keeper probes the persisted IVF index
+    *      (top-1, `nProbe` lists, own tag excluded for replay safety)
+    *      and is dropped when its best probed cosine ≥ τ;
+    *   3. survivors are appended to the index as an idempotent
+    *      `batch=<tag>` slice ([[Similarity.appendIvfIndex]]) and
+    *      written to `outDir/batch=<tag>` — OVERWRITE per tag, so
+    *      foreachBatch replays rewrite their own slices.
+    *
+    * Bootstrap: if `indexDir` has no centroid table yet, the FIRST
+    * tick trains the coarse quantizer from its own intra-deduped batch
+    * ([[Similarity.writeIvfCentroids]]) — centroids are frozen from
+    * then on; monitor [[Similarity.ivfListStats]] for drift and rebuild
+    * on cadence.
+    *
+    * @return number of surviving vectors appended this tick.
+    */
+  def ingestTick(
+      spark: SparkSession,
+      batch: DataFrame,
+      indexDir: String,
+      outDir: String,
+      batchTag: String,
+      tau: Double = 0.8,
+      nProbe: Int = 2,
+      centroidStride: Long = 100L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Long = {
+    val vecs = batch.select(col(idCol), col(embCol).as("embedding"))
+    val intra = Similarity.dedupByEmbedding(vecs, tau, idCol)
+      .filter(col("is_keeper") === 1).select(idCol)
+    val keepers0 = vecs.join(intra, Seq(idCol))
+    val bootstrapped =
+      !new java.io.File(s"$indexDir/centroids").exists()
+    if (bootstrapped)
+      Similarity.writeIvfCentroids(keepers0, indexDir, centroidStride, idCol)
+    val haveLists = new java.io.File(s"$indexDir/lists").exists()
+    val survivors =
+      if (!haveLists) keepers0
+      else {
+        val dupIds = Similarity.ivfTopKIndexed(
+            spark, indexDir, keepers0, k = 1, nProbe, idCol,
+            excludeBatchTag = Some(batchTag))
+          .filter(col("cosine") >= tau)
+          .select(col("q_id").as(idCol)).distinct()
+        keepers0.join(dupIds, Seq(idCol), "left_anti")
+      }
+    // compute the survivor plan ONCE into the output partition; the
+    // index append and the count re-read the written files (same
+    // job-count economics as DedupStream.ingestTick)
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+    val written = spark.read.parquet(s"$outDir/batch=$batchTag")
+    Similarity.appendIvfIndex(spark, written, indexDir, batchTag, idCol)
+    written.count()
+  }
+
+  /** Streaming form: every micro-batch runs [[ingestTick]] against the
+    * shared persisted index. No watermark, no stream state — the on-disk
+    * index IS the state; checkpointed source offsets + overwrite-per-tag
+    * slices make restarts and replays safe (same contract as
+    * `DedupStream.incrementalIngest`).
+    */
+  def incrementalIngest(
+      stream: DataFrame,
+      indexDir: String,
+      outDir: String,
+      checkpointDir: String,
+      tau: Double = 0.8,
+      nProbe: Int = 2,
+      centroidStride: Long = 100L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        ingestTick(df.sparkSession, df, indexDir, outDir, s"b$batchId",
+          tau, nProbe, centroidStride, idCol, embCol): Unit
+      }
+      .start()
+}

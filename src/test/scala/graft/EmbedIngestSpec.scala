@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.Similarity
+import graft.streaming.EmbedIngest
+
+/** The growing embedding-corpus loop (EmbedIngest.ingestTick /
+  * incrementalIngest): intra-batch semantic dedup, probe-served dedup
+  * against the persisted IVF index, survivors appended as the next
+  * ticks' corpus. Fixtures use real corpus embeddings: exact copies
+  * (cosine 1, immune to probe approximation) as planted dups, and
+  * NEGATED vectors as fresh content (measured max |cosine| vs the
+  * corpus ≈ 0.48 across all testdata scales — far under τ=0.8).
+  */
+class EmbedIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").cache()
+
+  private def negated(df: DataFrame, offset: Long): DataFrame =
+    df.select((col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+
+  private def copies(df: DataFrame, offset: Long): DataFrame =
+    df.select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("vec_id").as[Long].collect().toSet
+
+  private def freshDirs(): (String, String) = (
+    Files.createTempDirectory("graft_embing_idx").toString,
+    Files.createTempDirectory("graft_embing_out").toString)
+
+  test("ingestTick: three layers, and survivors become corpus for the next tick") {
+    val (idx, out) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    val b0 = negated(emb.filter($"vec_id" < 20), 1000L)            // fresh
+      .unionByName(copies(emb.filter($"vec_id" === 5), 2000L))     // dup of corpus
+      .unionByName(negated(emb.filter($"vec_id" === 30), 3000L))   // intra pair a
+      .unionByName(negated(emb.filter($"vec_id" === 30), 3100L))   //   ...pair b (dropped)
+    val n0 = EmbedIngest.ingestTick(spark, b0, idx, out, "b0", tau = 0.8, nProbe = 2)
+    val kept0 = (1000L until 1020L).toSet + 3030L
+    assert(n0 == kept0.size.toLong)
+    assert(ids(spark.read.parquet(out)) == kept0)
+
+    // tick 2: dups of TICK-1 SURVIVORS drop — only possible if the b0
+    // append really grew the index
+    val b1 = negated(emb.filter($"vec_id" >= 20 && $"vec_id" < 30), 4000L)
+      .unionByName(negated(emb.filter($"vec_id" === 7), 5000L))    // dup of b0 survivor 1007
+      .unionByName(copies(emb.filter($"vec_id" === 9), 6000L))     // still dup of seed
+    val n1 = EmbedIngest.ingestTick(spark, b1, idx, out, "b1", tau = 0.8, nProbe = 2)
+    assert(n1 == 10L)
+    assert(ids(spark.read.parquet(out)) == kept0 ++ (4020L until 4030L))
+  }
+
+  test("removals are a subset of the exact tau-graph removals vs corpus ∪ earlier") {
+    val (idx, out) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    val b0 = negated(emb.filter($"vec_id" < 40), 1000L)
+      .unionByName(copies(emb.filter($"vec_id" < 6), 2000L))
+    EmbedIngest.ingestTick(spark, b0, idx, out, "b0", tau = 0.8, nProbe = 1): Unit
+    val dropped = ids(b0) -- ids(spark.read.parquet(out))
+    // exact reference: a dropped batch vector must have an exact-cosine
+    // >= tau partner in the corpus or among smaller-id batch members
+    val all = corpus.unionByName(b0)
+    val exactPairs = Similarity.bruteForcePairs(all, tau = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val partnered = exactPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(dropped.subsetOf(partnered),
+      s"probe-based removals must be exact-graph-justified; rogue: ${dropped -- partnered}")
+  }
+
+  test("replaying a tag is a no-op for index stats and output") {
+    val (idx, out) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    val b0 = negated(emb.filter($"vec_id" < 15), 1000L)
+      .unionByName(copies(emb.filter($"vec_id" === 3), 2000L))
+    val n1 = EmbedIngest.ingestTick(spark, b0, idx, out, "b0")
+    def snapshot(): (Seq[(String, Long, Long)], Set[Long]) = (
+      Similarity.ivfListStats(spark, idx)
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq,
+      ids(spark.read.parquet(out)))
+    val before = snapshot()
+    val n2 = EmbedIngest.ingestTick(spark, b0, idx, out, "b0")
+    assert(n2 == n1)
+    assert(snapshot() == before)
+  }
+
+  test("bootstrap: first tick trains the centroids from its own batch") {
+    val (idx, out) = freshDirs()
+    val b0 = emb.filter($"vec_id" < 50)
+      .unionByName(copies(emb.filter($"vec_id" === 2), 9000L)) // intra dup
+    val n0 = EmbedIngest.ingestTick(spark, b0, idx, out, "b0",
+      tau = 0.8, nProbe = 2, centroidStride = 10L)
+    assert(n0 == 50L)
+    assert(new java.io.File(s"$idx/centroids").exists())
+    // centroids are frozen afterwards: tick 2 dedups against tick 1
+    val b1 = copies(emb.filter($"vec_id" === 17), 9500L)
+      .unionByName(negated(emb.filter($"vec_id" === 17), 9600L))
+    val n1 = EmbedIngest.ingestTick(spark, b1, idx, out, "b1",
+      tau = 0.8, nProbe = 2, centroidStride = 10L)
+    assert(n1 == 1L)
+    assert(ids(spark.read.parquet(out).filter($"batch" === "b1")) == Set(9617L))
+  }
+
+  test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
+    val (idx, out) = freshDirs()
+    val ckpt = Files.createTempDirectory("graft_embing_ckpt").toString
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    val fix = negated(emb.filter($"vec_id" < 3), 1000L)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val corpusDup = copies(emb.filter($"vec_id" === 50), 2000L)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = EmbedIngest.incrementalIngest(
+      source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt,
+      tau = 0.8, nProbe = 2)
+    try {
+      source.addData(fix ++ corpusDup: _*)
+      q.processAllAvailable()
+      // wave 2: dup of a wave-1 survivor + novel content
+      source.addData((fix.head._1 + 100L, fix.head._2),
+        (negated(emb.filter($"vec_id" === 60), 3000L)
+          .select("vec_id", "embedding").as[(Long, Seq[Float])].head()))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.read.parquet(out)) == Set(1000L, 1001L, 1002L, 3060L))
+  }
+}
