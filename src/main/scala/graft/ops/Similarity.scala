@@ -858,6 +858,40 @@ object Similarity {
       .groupBy(col("batch"), col("list_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Merge every slice of an appended IVF (or IVFPQ) index into a single
+    * fresh `base` slice at `dstDir` — the embedding analog of
+    * `TextDedup.compactIncrementalIndex`, for the same reason: after
+    * many [[appendIvfIndex]] ticks, per-probe costs that scale with
+    * slice count (partition discovery, one footer per slice file per
+    * probed list) creep up at constant data volume. Centroids and
+    * codebooks copy verbatim (they are frozen — compaction never
+    * re-assigns or re-encodes); lists and codes rows re-cluster by
+    * `list_id` so each list lands in ONE file again. Writes to a NEW
+    * directory so a concurrent tick never probes a half-compacted index:
+    * build offline, swap between ticks.
+    */
+  def compactIvfIndex(
+      spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    require(
+      new java.io.File(srcDir).getAbsolutePath !=
+        new java.io.File(dstDir).getAbsolutePath,
+      "compaction must target a fresh directory, not the live index")
+    spark.read.parquet(s"$srcDir/centroids")
+      .write.mode("overwrite").parquet(s"$dstDir/centroids")
+    spark.read.parquet(s"$srcDir/lists").drop("batch")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dstDir/lists/batch=base")
+    if (new java.io.File(s"$srcDir/codebooks").exists()) {
+      spark.read.parquet(s"$srcDir/codebooks")
+        .write.mode("overwrite").parquet(s"$dstDir/codebooks")
+      spark.read.parquet(s"$srcDir/codes").drop("batch")
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dstDir/codes/batch=base")
+    }
+  }
+
   /** Top-k over a persisted [[writeIvfIndex]] index — result-identical to
     * [[ivfTopK]] on the same corpus/stride (pinned in SimilaritySpec),
     * but the corpus scan is replaced by a pruned read of the probed

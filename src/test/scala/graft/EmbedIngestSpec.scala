@@ -116,6 +116,39 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(out).filter($"batch" === "b1")) == Set(9617L))
   }
 
+  test("compactIvfIndex: one base slice per table, identical probes and ticks") {
+    val (idx, out) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfPqIndex(corpus, idx, centroidStride = 20L,
+      m = 8, ks = 16, maxIter = 3)
+    val b0 = negated(emb.filter($"vec_id" < 20), 1000L)
+    Similarity.appendIvfPqIndex(spark, b0, idx, "b0")
+    val dst = Files.createTempDirectory("graft_embing_compact").toString
+    Similarity.compactIvfIndex(spark, idx, dst)
+    def slices(dir: String, table: String): Set[String] =
+      new java.io.File(s"$dir/$table").list().filter(_.startsWith("batch=")).toSet
+    assert(slices(dst, "lists") == Set("batch=base"))
+    assert(slices(dst, "codes") == Set("batch=base"))
+    // frozen artifacts copied verbatim; probes identical on both copies
+    val queries = emb.filter($"vec_id" < 10)
+    def rows(dir: String): Set[(Long, Long, Int)] =
+      Similarity.ivfTopKIndexed(spark, dir, queries, k = 10, nProbe = 3)
+        .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(rows(dst) == rows(idx))
+    def pqRows(dir: String): Set[(Long, Long, Int)] =
+      Similarity.ivfPqTopKIndexed(spark, dir, queries, k = 10, nProbe = 3)
+        .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(pqRows(dst) == pqRows(idx))
+    // an identical next tick appends the same survivors to either copy
+    val b1 = negated(emb.filter($"vec_id" >= 20 && $"vec_id" < 30), 2000L)
+    val outSrc = Files.createTempDirectory("graft_embing_osrc").toString
+    val outDst = Files.createTempDirectory("graft_embing_odst").toString
+    val nSrc = EmbedIngest.ingestTick(spark, b1, idx, outSrc, "b1")
+    val nDst = EmbedIngest.ingestTick(spark, b1, dst, outDst, "b1")
+    assert(nSrc == nDst)
+    assert(ids(spark.read.parquet(outSrc)) == ids(spark.read.parquet(outDst)))
+  }
+
   test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_embing_ckpt").toString
