@@ -882,7 +882,10 @@ object Similarity {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dstDir/lists/batch=base")
-    if (new java.io.File(s"$srcDir/codebooks").exists()) {
+    val cbPath = new org.apache.hadoop.fs.Path(s"$srcDir/codebooks")
+    val cbExists = cbPath.getFileSystem(
+      spark.sessionState.newHadoopConf()).exists(cbPath)
+    if (cbExists) {
       spark.read.parquet(s"$srcDir/codebooks")
         .write.mode("overwrite").parquet(s"$dstDir/codebooks")
       spark.read.parquet(s"$srcDir/codes").drop("batch")

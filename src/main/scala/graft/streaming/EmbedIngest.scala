@@ -61,11 +61,16 @@ object EmbedIngest {
     val intra = Similarity.dedupByEmbedding(vecs, tau, idCol)
       .filter(col("is_keeper") === 1).select(idCol)
     val keepers0 = vecs.join(intra, Seq(idCol))
-    val bootstrapped =
-      !new java.io.File(s"$indexDir/centroids").exists()
-    if (bootstrapped)
+    // Hadoop FS, not java.io.File: the index lives wherever parquet does
+    // (HDFS/S3 at deployment) — a local-only existence check would
+    // silently skip the vs-corpus dedup there
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+    }
+    if (!exists(s"$indexDir/centroids"))
       Similarity.writeIvfCentroids(keepers0, indexDir, centroidStride, idCol)
-    val haveLists = new java.io.File(s"$indexDir/lists").exists()
+    val haveLists = exists(s"$indexDir/lists")
     val survivors =
       if (!haveLists) keepers0
       else {
