@@ -57,10 +57,13 @@ object EmbedIngest {
       centroidStride: Long = 100L,
       idCol: String = "vec_id",
       embCol: String = "embedding"): Long = {
+    // (idCol, embedding) projection for the dedup machinery; survivors
+    // are re-joined against the ORIGINAL batch before writing, so any
+    // metadata columns riding along (text, url, ...) reach the output —
+    // same contract as the text loop
     val vecs = batch.select(col(idCol), col(embCol).as("embedding"))
-    val intra = Similarity.dedupByEmbedding(vecs, tau, idCol)
+    val keeperIds = Similarity.dedupByEmbedding(vecs, tau, idCol)
       .filter(col("is_keeper") === 1).select(idCol)
-    val keepers0 = vecs.join(intra, Seq(idCol))
     // Hadoop FS, not java.io.File: the index lives wherever parquet does
     // (HDFS/S3 at deployment) — a local-only existence check would
     // silently skip the vs-corpus dedup there
@@ -69,24 +72,27 @@ object EmbedIngest {
       path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
     }
     if (!exists(s"$indexDir/centroids"))
-      Similarity.writeIvfCentroids(keepers0, indexDir, centroidStride, idCol)
-    val haveLists = exists(s"$indexDir/lists")
-    val survivors =
-      if (!haveLists) keepers0
+      Similarity.writeIvfCentroids(
+        vecs.join(keeperIds, Seq(idCol)), indexDir, centroidStride, idCol)
+    val survivorIds =
+      if (!exists(s"$indexDir/lists")) keeperIds
       else {
         val dupIds = Similarity.ivfTopKIndexed(
-            spark, indexDir, keepers0, k = 1, nProbe, idCol,
-            excludeBatchTag = Some(batchTag))
+            spark, indexDir, vecs.join(keeperIds, Seq(idCol)),
+            k = 1, nProbe, idCol, excludeBatchTag = Some(batchTag))
           .filter(col("cosine") >= tau)
           .select(col("q_id").as(idCol)).distinct()
-        keepers0.join(dupIds, Seq(idCol), "left_anti")
+        keeperIds.join(dupIds, Seq(idCol), "left_anti")
       }
     // compute the survivor plan ONCE into the output partition; the
     // index append and the count re-read the written files (same
     // job-count economics as DedupStream.ingestTick)
-    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+    batch.join(survivorIds, Seq(idCol))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
     val written = spark.read.parquet(s"$outDir/batch=$batchTag")
-    Similarity.appendIvfIndex(spark, written, indexDir, batchTag, idCol)
+    Similarity.appendIvfIndex(spark,
+      written.select(col(idCol), col(embCol).as("embedding")),
+      indexDir, batchTag, idCol)
     written.count()
   }
 

@@ -116,6 +116,18 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(out).filter($"batch" === "b1")) == Set(9617L))
   }
 
+  test("metadata columns ride through the tick to the output corpus") {
+    val (idx, out) = freshDirs()
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 100), idx, centroidStride = 20L)
+    val b0 = negated(emb.filter($"vec_id" < 5), 1000L)
+      .unionByName(copies(emb.filter($"vec_id" === 8), 2000L))
+      .withColumn("url", concat(lit("doc://"), $"vec_id"))
+    EmbedIngest.ingestTick(spark, b0, idx, out, "b0"): Unit
+    val got = spark.read.parquet(out)
+      .select("vec_id", "url").as[(Long, String)].collect().toSet
+    assert(got == (1000L until 1005L).map(i => (i, s"doc://$i")).toSet)
+  }
+
   test("compactIvfIndex: one base slice per table, identical probes and ticks") {
     val (idx, out) = freshDirs()
     val corpus = emb.filter($"vec_id" < 100)
