@@ -125,6 +125,20 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(out)) == (100L until 105L).toSet + 201L)
   }
 
+  test("metadata columns ride through the tick to the output corpus") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val b0 = ((100 until 105).map(i => (i.toLong, s"meta test doc $i with body")) :+
+      (200L, "corpus doc number 2 with words"))
+      .toDF("doc_id", "text")
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("doc://"), $"doc_id"))
+    DedupStream.ingestTick(spark, b0, idx, out, "b0", k = 2, tau = 0.8): Unit
+    val got = spark.read.parquet(out)
+      .select("doc_id", "url").as[(Long, String)].collect().toSet
+    assert(got == (100L until 105L).map(i => (i, s"doc://$i")).toSet)
+  }
+
   test("compactIncrementalIndex: one base slice, identical serving results") {
     val (idx, out) = freshDirs()
     TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
