@@ -104,6 +104,53 @@ object Bench {
       case _ => -1.0
     }
 
+  /** Blackhole for the calibration spin — a volatile write the JIT
+    * cannot prove dead, so the loop is never eliminated. Racy cross-
+    * thread updates are fine: the VALUE is garbage by design. */
+  @volatile private var canarySink: Long = 0L
+
+  /** Deterministic CPU-bound spin: xorshift64* chain summed over a fixed
+    * iteration count. No allocation, no memory traffic beyond registers
+    * — wall time is pure CPU availability. */
+  private def spin(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    acc
+  }
+
+  /** Fixed-size calibration canary, run at bench start/middle/end: the
+    * round-14 capture showed untouched entries 2–3× slow at NEAR-ZERO
+    * steal — ambient host slowdown (frequency scaling, noisy-neighbor
+    * cache/membw pressure) that steal ticks alone cannot see, because
+    * steal only accrues when THIS VM's threads are runnable-but-not-
+    * running. A constant, Spark-free workload measured inside the same
+    * window turns that into data: cross-round totals normalize by the
+    * canary ratio instead of being adjudicated by narrative.
+    * Returns (serial_sec, parallel_sec): serial = one thread (single-
+    * core speed), parallel = `cpus` threads each spinning the same count
+    * (whole-machine throughput — the axis Spark stages actually use).
+    */
+  private def canary(cpus: Int): (Double, Double) = {
+    canarySink += spin(20000000L) // JIT warm-up, untimed
+    val serialIters = 400000000L
+    val serial = time { canarySink += spin(serialIters) }
+    val perThread = 200000000L
+    val parallel = time {
+      val threads = (0 until cpus).map { _ =>
+        new Thread(() => { canarySink += spin(perThread) })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+    }
+    (serial, parallel)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -180,6 +227,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
+    val nCpus = cpus.toInt
+    val canaryStart = canary(nCpus)
+
     graft.queries.Catalog.all
       .filter(q => only.forall(_.contains(q.name)))
       .foreach { q =>
@@ -190,6 +240,8 @@ object Bench {
             failedResult
           }
       }
+
+    val canaryMid = canary(nCpus)
 
     // The reference-shaped workloads are individually selectable under
     // BENCH_ONLY like catalog queries; a full run (only empty) runs all.
@@ -510,7 +562,14 @@ object Bench {
     // dev runs must not clobber the committed full-catalog evidence:
     // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
     // the caller overrode the path explicitly
-    emit(results, sfDir, trials, fullPathForRun, isolationJson)
+    val canaryEnd = canary(nCpus)
+    val calibrationJson =
+      s"""{"serial_iters":400000000,"parallel_iters_per_thread":200000000,"threads":$nCpus,""" +
+        s""""start":{"serial_sec":${fm(canaryStart._1, 3)},"parallel_sec":${fm(canaryStart._2, 3)}},""" +
+        s""""mid":{"serial_sec":${fm(canaryMid._1, 3)},"parallel_sec":${fm(canaryMid._2, 3)}},""" +
+        s""""end":{"serial_sec":${fm(canaryEnd._1, 3)},"parallel_sec":${fm(canaryEnd._2, 3)}}}"""
+
+    emit(results, sfDir, trials, fullPathForRun, isolationJson, calibrationJson)
     finalDigest(spark, results, sfDir, fullPathForRun)
   }
 
@@ -596,7 +655,8 @@ object Bench {
       sfDir: String,
       trials: Int,
       fullPath: String,
-      isolationChecks: Seq[String] = Nil): Unit = {
+      isolationChecks: Seq[String] = Nil,
+      calibrationJson: String = ""): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fm(v.median, 3) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
@@ -618,6 +678,9 @@ object Bench {
       }.mkString(",\n")
       val streamingField =
         streamingTelemetry.map(t => s"""  "streaming": $t,\n""").getOrElse("")
+      val calibrationField =
+        if (calibrationJson.isEmpty) ""
+        else s"""  "calibration": $calibrationJson,\n"""
       val isolationField =
         if (isolationChecks.isEmpty) ""
         else isolationChecks.mkString(
@@ -628,7 +691,7 @@ object Bench {
            |  "trials_per_query": $trials,
            |  "total_median_sec": ${fm(total, 3)},
            |  "loadavg_final": ${fm(loadAvg(), 2)},
-           |${streamingField}${isolationField}  "queries": {
+           |${streamingField}${calibrationField}${isolationField}  "queries": {
            |$entries
            |  }
            |}

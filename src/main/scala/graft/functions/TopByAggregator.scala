@@ -31,9 +31,16 @@ class TopByAggregator(p: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
   require(p > 0, "top-p needs p > 0")
 
-  /** (a before b) in the kept order: higher score first, then smaller id. */
-  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (a before b) in the kept order: higher score first, then smaller id.
+    * Total under NaN: `java.lang.Double.compare` ranks NaN greatest —
+    * matching Spark's `desc` ordering (NaN first) — so zero-norm
+    * embeddings whose cosine is NaN cannot make the kept set
+    * partition-order-dependent. `+ 0.0` folds -0.0 into +0.0, matching
+    * Spark's -0.0 ≡ 0.0 sort semantics. */
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Array[(Double, Long)] = Array.empty
 

@@ -72,7 +72,12 @@ object Curation {
       truncate: Boolean = true,
       textCol: String = "text"): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    val ws = split(col(textCol), " ")
+    // drop empty tokens — the repo-wide whitespace-token convention
+    // (ngramTf/featurize do the same): runs of spaces must not count as
+    // extra tokens or shift the truncation point. Capped docs re-join
+    // with single spaces (whitespace-normalized); uncapped text passes
+    // through byte-identical.
+    val ws = filter(split(col(textCol), " "), t => length(t) > 0)
     val base = docs
       .withColumn("n_tokens_orig", size(ws).cast("long"))
       .withColumn("capped", (col("n_tokens_orig") > maxTokens).cast("int"))

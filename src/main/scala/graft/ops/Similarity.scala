@@ -282,7 +282,9 @@ object Similarity {
       .withColumn("c_cos", cosine(s)(col("q_emb"), col("c_emb")))
       .groupBy(col("q_id"))
       .agg(first(col("q_emb")).as("q_emb"),
-        topby(col("c_cos"), col("c_id")).as("cells"))
+        // cast: the aggregator's input encoder is (Double, Long); an
+        // int-typed centroid id would otherwise fail at runtime
+        topby(col("c_cos"), col("c_id").cast("long")).as("cells"))
       .select(col("q_id"), col("q_emb"), explode(col("cells")).as("cell"))
       .select(col("q_id"), col("q_emb"), col("cell._2").as("list_id"))
   }
@@ -432,8 +434,12 @@ object Similarity {
         .join(candFrame.select(col("c_id").as(idCol)), Seq(idCol), "left_anti")
         .crossJoin(broadcast(candFrame))
         .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
-        .groupBy(col(idCol), col("embedding"))
-        .agg(max("c_cos").as("closest"))
+        // group by the scalar id only: an array-typed grouping key
+        // forces a sort-based aggregate (~2× the hash-agg cost on this
+        // exact shape, AggIdiomProbe); the embedding is functionally
+        // dependent on the id, so carry it with first()
+        .groupBy(col(idCol))
+        .agg(first(col("embedding")).as("embedding"), max("c_cos").as("closest"))
         // priority = d² / u: u = md5-uniform in (0, 1], d = angular gap
         .withColumn("graft_u",
           (conv(substring(md5(concat(lit("kmeanspar:"), col(idCol).cast("string"))),
@@ -561,7 +567,9 @@ object Similarity {
       .withColumn("c_cos", cosine(s)(col("embedding"), col("c_emb")))
       .groupBy(col(idCol))
       .agg(first(col("embedding")).as("embedding"),
-        topby(col("c_cos"), col("c_id")).as("cells"))
+        // cast: see probeAssignments — the (Double, Long) input encoder
+        // would reject an int-typed centroid id at runtime
+        topby(col("c_cos"), col("c_id").cast("long")).as("cells"))
       .select(col(idCol), col("embedding"),
         norm(s)(col("embedding")).as("nrm"), explode(col("cells")).as("cell0"))
       .select(col(idCol), col("embedding"), col("nrm"),
@@ -871,14 +879,29 @@ object Similarity {
     * build offline, swap between ticks.
     */
   def compactIvfIndex(
-      spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+      spark: SparkSession, srcDir: String, dstDir: String,
+      excludeTag: Option[String] = None): Unit = {
     require(
-      new java.io.File(srcDir).getAbsolutePath !=
-        new java.io.File(dstDir).getAbsolutePath,
+      // Hadoop-qualified comparison, not java.io.File: the index lives
+      // wherever parquet does, and scheme'd URI aliases (hdfs://x vs
+      // hdfs://x/) must not slip past the guard and overwrite the live
+      // index mid-read
+      !graft.core.FsPaths.samePath(spark, srcDir, dstDir),
       "compaction must target a fresh directory, not the live index")
+    // excludeTag: see TextDedup.compactIncrementalIndex — in-loop
+    // compaction must drop a crashed attempt's own slices, not fold
+    // them into base, or the replayed tick dedups against itself
+    def slices(table: String) = {
+      val df0 = spark.read.parquet(s"$srcDir/$table")
+      excludeTag match {
+        case Some(t) if df0.columns.contains("batch") =>
+          df0.filter(col("batch") =!= t)
+        case _ => df0
+      }
+    }
     spark.read.parquet(s"$srcDir/centroids")
       .write.mode("overwrite").parquet(s"$dstDir/centroids")
-    spark.read.parquet(s"$srcDir/lists").drop("batch")
+    slices("lists").drop("batch")
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dstDir/lists/batch=base")
@@ -888,11 +911,50 @@ object Similarity {
     if (cbExists) {
       spark.read.parquet(s"$srcDir/codebooks")
         .write.mode("overwrite").parquet(s"$dstDir/codebooks")
-      spark.read.parquet(s"$srcDir/codes").drop("batch")
+      slices("codes").drop("batch")
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$dstDir/codes/batch=base")
     }
+  }
+
+  /** The (q_id, list_id) probe assignments a persisted index serves for
+    * `queries` — the cost-accounting companion to [[ivfListStats]]:
+    * joined against per-list sizes it yields the rows a probe actually
+    * scans, which is the number hot-list drift inflates (recall can stay
+    * flat while every query pays the hot list's bill).
+    */
+  def ivfProbeCells(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      nProbe: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    probeAssignments(centroids, queries, nProbe, idCol)
+      .select(col("q_id"), col("list_id"))
+  }
+
+  /** Drift response for a frozen-centroid IVF index: RETRAIN the coarse
+    * quantizer on the index's CURRENT contents and re-slice everything
+    * under the new centroids — what [[ivfListStats]] monitoring asks for
+    * once appended batches have drifted from the centroid training
+    * distribution (the frozen quantizer then can't subdivide the new
+    * mass: drifted ticks pile into few lists, and probe recall for
+    * drifted queries decays — measured ladder in PLANS.md). Writes to a
+    * fresh directory like [[compactIvfIndex]] (build offline, swap
+    * between ticks — `FsPaths.rebuildAndSwap` in the loop); unlike
+    * compaction the output is NOT probe-identical to the source by
+    * design. IVF only: a PQ index's codebooks are also distribution-
+    * trained — rebuild those with [[writeIvfPqIndex]] from the raw
+    * vectors instead.
+    */
+  def rebuildIvfIndex(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      centroidStride: Long = 100L, idCol: String = "vec_id"): Unit = {
+    require(
+      !graft.core.FsPaths.samePath(spark, srcDir, dstDir),
+      "rebuild must target a fresh directory, not the live index")
+    val vecs = spark.read.parquet(s"$srcDir/lists")
+      .select(col("n_id").as(idCol), col("n_emb").as("embedding"))
+    writeIvfIndex(vecs, dstDir, centroidStride, idCol)
   }
 
   /** Top-k over a persisted [[writeIvfIndex]] index — result-identical to

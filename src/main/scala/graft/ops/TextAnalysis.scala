@@ -438,9 +438,10 @@ object TextAnalysis {
     * (count desc, left, right) so induction is deterministic), and a
     * map-only greedy rewrite, with a `localCheckpoint` per round capping
     * lineage exactly like the connected-components loop. Driver state is
-    * one row per round. Not SQL-expressible (argmax-dependent
-    * iteration), so the registered query is rows-only with the
-    * closed-form TextAndJsonSpec pin as its trust chain.
+    * one row per round. The registered query hash-gates the full merge
+    * table against a DuckDB replay of the loop (one materialized CTE
+    * block per round — ExtQueries.bpeMergesOracleSql), on top of the
+    * closed-form TextAndJsonSpec pin.
     */
   def bpeMerges(
       docs: DataFrame,

@@ -562,17 +562,33 @@ object TextDedup {
     */
   def compactIncrementalIndex(
       spark: org.apache.spark.sql.SparkSession,
-      srcDir: String, dstDir: String): Unit = {
+      srcDir: String, dstDir: String,
+      excludeTag: Option[String] = None): Unit = {
     require(
-      new java.io.File(srcDir).getAbsolutePath !=
-        new java.io.File(dstDir).getAbsolutePath,
+      // Hadoop-qualified comparison, not java.io.File — see
+      // Similarity.compactIvfIndex: string/local-path identity misses
+      // scheme'd URI aliases of one HDFS/S3 location
+      !graft.core.FsPaths.samePath(spark, srcDir, dstDir),
       "compaction must target a fresh directory, not the live index")
-    spark.read.parquet(s"$srcDir/hashes").select("__h")
+    // excludeTag: the in-loop swap (`DedupStream` with maxSlices) runs
+    // compaction at the START of a tick, before the tick's own append —
+    // any batch=<tag> slices already present are uncommitted leftovers
+    // of a crashed attempt of THIS tick and must be dropped, not folded
+    // into base, or the replay would dedup the batch against itself
+    def slices(table: String) = {
+      val df0 = spark.read.parquet(s"$srcDir/$table")
+      excludeTag match {
+        case Some(t) if df0.columns.contains("batch") =>
+          df0.filter(col("batch") =!= t)
+        case _ => df0
+      }
+    }
+    slices("hashes").select("__h")
       .write.mode("overwrite").parquet(s"$dstDir/hashes/batch=base")
     val idCol = shOldIdCol(spark, s"$srcDir/shingles", "doc_id")
-    spark.read.parquet(s"$srcDir/shingles").select(col(idCol), col("shingle"))
+    slices("shingles").select(col(idCol), col("shingle"))
       .write.mode("overwrite").parquet(s"$dstDir/shingles/batch=base")
-    spark.read.parquet(s"$srcDir/df")
+    slices("df")
       .groupBy("shingle").agg(sum("df").as("df"))
       .write.mode("overwrite").parquet(s"$dstDir/df/batch=base")
   }

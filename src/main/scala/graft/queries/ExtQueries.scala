@@ -323,6 +323,74 @@ object ExtQueries {
   /** Word-bigram co-occurrence edges over the corpus — the graph behind
     * ext_textrank and ext_graph_triangles.
     */
+  /** Unrolled BPE-merge-induction oracle: one generated CTE block per
+    * merge round, replaying `TextAnalysis.bpeMerges` exactly —
+    *   pairs_i: frequency-weighted adjacent-pair counts over the round's
+    *     word table (1-based `syms[k], syms[k+1]`, k in range(1, len));
+    *   best_i: the (cnt DESC, l, r) tie-broken argmax, EMPTY once the
+    *     best count drops below `minPairCount` — and since the word
+    *     table then stops changing, every later best_i stays empty, so
+    *     the early-stop is replayed for free;
+    *   pos/st_i: the greedy leftmost non-overlapping rewrite of
+    *     mergePair's fold, positionally — a match starts a merge iff the
+    *     previous position didn't (matches can only be CONSECUTIVE when
+    *     l = r, so islands of consecutive matches + even-offset parity
+    *     within each island is exactly that recurrence);
+    *   w_i: drop positions consumed as a merge's right symbol
+    *     (lag(starts)), concat `l || r` at merge starts, reassemble
+    *     ordered by position.
+    * `AS MATERIALIZED` on every block for the same reason as
+    * [[textrankOracle]]: each round references the previous one several
+    * times and default CTE inlining re-expands the chain
+    * combinatorially. LEFT JOIN ... ON TRUE (not a cross join) binds the
+    * possibly-empty best_i so an exhausted merge table yields NULL l/r
+    * → zero matches → an unchanged word table.
+    */
+  private def bpeMergesOracleSql(numMerges: Int, minPairCount: Long): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |    list_filter(string_split(w, ''), s -> s <> '') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0
+        |  GROUP BY w)""".stripMargin
+    val rounds = (1 to numMerges).map { i =>
+      val p = i - 1
+      s""",
+         |pairs$i AS MATERIALIZED (
+         |  SELECT syms[k] AS l, syms[k+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM w$p, LATERAL (SELECT unnest(range(1, len(syms))) AS k)
+         |  GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (
+         |  SELECT $i AS rank, l, r, cnt FROM pairs$i
+         |  WHERE cnt >= $minPairCount ORDER BY cnt DESC, l, r LIMIT 1),
+         |pos$i AS MATERIALIZED (
+         |  SELECT w, freq, k, syms[k] AS s,
+         |    coalesce(syms[k] = b.l AND syms[k+1] = b.r, FALSE) AS m
+         |  FROM w$p LEFT JOIN best$i b ON TRUE,
+         |       LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS k)),
+         |st$i AS MATERIALIZED (
+         |  SELECT w, freq, k, s, m,
+         |    m AND (k - min(k) OVER (PARTITION BY w, m, isl)) % 2 = 0 AS starts
+         |  FROM (SELECT *, k - row_number() OVER (PARTITION BY w, m ORDER BY k) AS isl
+         |        FROM pos$i)),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    list(CASE WHEN starts THEN s || next_s ELSE s END ORDER BY k) AS syms
+         |  FROM (SELECT w, freq, k, starts, s,
+         |          lead(s) OVER (PARTITION BY w ORDER BY k) AS next_s,
+         |          lag(starts) OVER (PARTITION BY w ORDER BY k) AS prev_starts
+         |        FROM st$i)
+         |  WHERE NOT coalesce(prev_starts, FALSE)
+         |  GROUP BY w, freq)""".stripMargin
+    }.mkString
+    val union = (1 to numMerges).map { i =>
+      s"""SELECT rank, l AS "left", r AS "right", cnt AS pair_count,
+         |  l || r AS token FROM best$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head$rounds\n$union\nORDER BY rank"
+  }
+
   /** Build-once cache for the IVFPQ probe query: the index for a
     * (corpus, params) pair is built at most once per machine and reused
     * across JVMs — the quantize-once / probe-many serving contract. The
@@ -764,7 +832,9 @@ object ExtQueries {
         .select(col("doc_id"), col("n_tokens_orig"), col("capped"),
           md5(col("text")).as("text_md5")),
       Some("""WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents)
         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_orig,
         |  CAST(CASE WHEN len(ws) > 50 THEN 1 ELSE 0 END AS INT) AS capped,
         |  md5(CASE WHEN len(ws) > 50 THEN array_to_string(ws[1:50], ' ')
@@ -2046,13 +2116,18 @@ object ExtQueries {
         |ORDER BY deg DESC, node""".stripMargin)),
 
     // BPE merge induction: ordered merge table learned from the corpus
-    // word-frequency table. Rows-only (argmax-dependent iteration is not
-    // SQL-expressible); trust chain = TextAndJsonSpec's closed-form
-    // Sennrich-style pin.
+    // word-frequency table. Graduated to the full hash gate by REPLAYING
+    // the argmax-dependent merge loop in DuckDB: one generated CTE block
+    // per round (pair counts → tie-broken argmax → greedy leftmost
+    // non-overlapping rewrite via match-islands + offset parity — the
+    // SQL form of mergePair's fold), every non-recursive CTE
+    // MATERIALIZED so the 20-round chain doesn't re-expand
+    // combinatorially. Byte-matched against the engine at all three
+    // testdata scales before pinning.
     Q("ext_bpe_merges",
       (s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir),
         numMerges = 20, minPairCount = 2L),
-      None),
+      Some(bpeMergesOracleSql(numMerges = 20, minPairCount = 2L))),
 
     // BPE tokenization with the table learned above: zero-shuffle chain
     // of per-merge greedy rewrites. Graduated to the oracle gate via

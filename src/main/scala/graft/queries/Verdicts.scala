@@ -55,8 +55,13 @@ object Verdicts {
         Seq("q_id", "rk"), "left")
     val perQuery = withTrue.groupBy("q_id").agg(
       count(lit(1)).as("n_ret"),
-      min((col("cosine") <= col("ex_cos") + lit(1e-9)).cast("int")).as("dom_ok"),
-      min((abs(col("cosine") - col("true_cos")) <= lit(1e-9)).cast("int")).as("cos_ok"))
+      // coalesce(..., 0): a returned rank with NO exact counterpart
+      // (exact top-k shorter than the result — corpus <= k, or a broken
+      // ranking) must FAIL the flag, not vanish as a null min skips
+      min(coalesce((col("cosine") <= col("ex_cos") + lit(1e-9)).cast("int"),
+        lit(0))).as("dom_ok"),
+      min(coalesce((abs(col("cosine") - col("true_cos")) <= lit(1e-9)).cast("int"),
+        lit(0))).as("cos_ok"))
     // corpus-wide recall: exact pairs found by the approximate result
     val hits = r.join(exact.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))

@@ -94,10 +94,21 @@ object DedupStream {
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      bloomBits: Option[Int] = None): Long = {
+      bloomBits: Option[Int] = None,
+      maxTokens: Option[Int] = None): Long = {
     import org.apache.spark.sql.expressions.Window
+    // maxTokens: the ingest-side length cap (`Curation.lengthCap`,
+    // truncate mode) applied AT the operator boundary so the memory
+    // guard every per-doc shingle bound assumes cannot be forgotten
+    // upstream; audit columns are dropped to keep the output schema =
+    // the batch schema (run lengthCap yourself upstream to keep them)
+    val guarded = maxTokens match {
+      case Some(n) => graft.ops.Curation.lengthCap(batch, n, textCol = textCol)
+        .drop("n_tokens_orig", "capped")
+      case None => batch
+    }
     val wExact = Window.partitionBy(col("__h")).orderBy(col(idCol).asc)
-    val intraExact = batch
+    val intraExact = guarded
       .withColumn("__h", md5(col(textCol)))
       .withColumn("__rn", row_number().over(wExact))
       .filter(col("__rn") === 1)
@@ -135,13 +146,14 @@ object DedupStream {
     * stream state — the index IS the state, on disk and unbounded-safe:
     * per-tick cost is batch work + index scans, never corpus².
     *
-    * Composition notes: bound pathological documents UPSTREAM with
-    * `Curation.lengthCap` (a plain transform — `lengthCap(stream, n)`
-    * before this call), which is the ingest-side guard
-    * `TextDedup.verifyJaccard`'s memory bound relies on; and after many
-    * ticks, reset slice-count creep offline with
-    * [[TextDedup.compactIncrementalIndex]] and swap the index dir
-    * between ticks.
+    * Composition notes: `maxTokens` bounds pathological documents at
+    * the operator boundary (the ingest-side guard
+    * `TextDedup.verifyJaccard`'s memory bound relies on — default off
+    * for parity with earlier rounds; truncation audit columns need an
+    * explicit upstream `Curation.lengthCap`); `maxSlices` bounds
+    * slice-count creep by compacting the index in place between ticks
+    * ([[compactIfNeeded]]) instead of the manual offline
+    * compact-and-swap the index layout otherwise defers to.
     */
   def incrementalIngest(
       stream: DataFrame,
@@ -153,13 +165,48 @@ object DedupStream {
       maxShingleDf: Long = 1000L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      bloomBits: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      bloomBits: Option[Int] = None,
+      maxTokens: Option[Int] = None,
+      maxSlices: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        ingestTick(df.sparkSession, df, indexDir, outDir, s"b$batchId",
-          k, tau, maxShingleDf, idCol, textCol, bloomBits): Unit
+        val tag = s"b$batchId"
+        maxSlices.foreach(m =>
+          compactIfNeeded(df.sparkSession, indexDir, m, currentTag = tag))
+        ingestTick(df.sparkSession, df, indexDir, outDir, tag,
+          k, tau, maxShingleDf, idCol, textCol, bloomBits, maxTokens): Unit
       }
       .start()
+
+  /** Reset the index's slice-count creep IN the loop: when more than
+    * `maxSlices` `batch=` slices have accumulated, compact them into a
+    * single base slice in a scratch directory and swap it in
+    * ([[graft.core.FsPaths.rebuildAndSwap]] — rename-based, so a tick
+    * never reads a half-compacted index; every crash window heals via
+    * `recoverSwap`, which this method runs first). Runs at the START of
+    * a tick, before the tick's own append: any `batch=<currentTag>`
+    * slices present then are a crashed attempt's uncommitted leftovers
+    * and are DROPPED (the replay rewrites them), never folded into base
+    * — folding them would make the replayed batch dedup against itself
+    * and silently lose its documents.
+    *
+    * @return true when a compaction ran.
+    */
+  def compactIfNeeded(
+      spark: SparkSession, indexDir: String, maxSlices: Int,
+      currentTag: String): Boolean = {
+    require(maxSlices >= 1, "maxSlices must be >= 1")
+    graft.core.FsPaths.recoverSwap(spark, indexDir)
+    val n = graft.core.FsPaths.countChildren(
+      spark, s"$indexDir/hashes", "batch=")
+    if (n > maxSlices) {
+      graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
+        TextDedup.compactIncrementalIndex(
+          spark, indexDir, dst, excludeTag = Some(currentTag))
+      }
+      true
+    } else false
+  }
 }

@@ -111,13 +111,44 @@ object EmbedIngest {
       nProbe: Int = 2,
       centroidStride: Long = 100L,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+      embCol: String = "embedding",
+      maxSlices: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        ingestTick(df.sparkSession, df, indexDir, outDir, s"b$batchId",
+        val tag = s"b$batchId"
+        maxSlices.foreach(m =>
+          compactIfNeeded(df.sparkSession, indexDir, m, currentTag = tag))
+        ingestTick(df.sparkSession, df, indexDir, outDir, tag,
           tau, nProbe, centroidStride, idCol, embCol): Unit
       }
       .start()
+
+  /** IVF twin of `DedupStream.compactIfNeeded`: when more than
+    * `maxSlices` `batch=` slices have accumulated under `lists/`,
+    * compact them (centroids/codebooks copy frozen; lists/codes
+    * re-cluster to one file per list) into a scratch directory and
+    * swap it in. Same crash contract: `recoverSwap` heals interrupted
+    * swaps first, and `batch=<currentTag>` leftovers of a crashed
+    * attempt of THIS tick are dropped rather than folded into base, so
+    * the replayed batch never probes its own vectors.
+    *
+    * @return true when a compaction ran.
+    */
+  def compactIfNeeded(
+      spark: SparkSession, indexDir: String, maxSlices: Int,
+      currentTag: String): Boolean = {
+    require(maxSlices >= 1, "maxSlices must be >= 1")
+    graft.core.FsPaths.recoverSwap(spark, indexDir)
+    val n = graft.core.FsPaths.countChildren(
+      spark, s"$indexDir/lists", "batch=")
+    if (n > maxSlices) {
+      graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
+        Similarity.compactIvfIndex(
+          spark, indexDir, dst, excludeTag = Some(currentTag))
+      }
+      true
+    } else false
+  }
 }

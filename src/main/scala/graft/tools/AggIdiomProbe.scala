@@ -67,6 +67,19 @@ object AggIdiomProbe {
         .filter(col("rk") <= 2)
         .select(col("vec_id"), col("embedding"), col("c_id"))
     }
+    // the kmeansInitParallel per-round priority scan (round-15 fix):
+    // grouping by the array column forces a sort-based aggregate — the
+    // exact idiom the top1 pair above measures at ~2x; the fixed form
+    // groups by the scalar id and carries the embedding via first()
+    t("seed-scan groupBy(id,emb)") {
+      scored.groupBy(col("vec_id"), col("embedding"))
+        .agg(max("c_cos").as("closest"))
+    }
+    t("seed-scan groupBy(id)+first") {
+      scored.groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max("c_cos").as("closest"))
+    }
     t("top2 udaf TopBy") {
       val topby = udaf(new graft.functions.TopByAggregator(2),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())

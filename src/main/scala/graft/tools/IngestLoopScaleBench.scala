@@ -80,6 +80,29 @@ object IngestLoopScaleBench {
       s"[loop-bench] compact ${fmt3(results("compact"))} s, " +
       s"post-compact tick ${fmt3(results("tick_after_compact"))} s, $nC survivors")
 
+    // round-15 segment: cross the in-loop auto-compaction trigger.
+    // The live index still carries base + all tick slices; with
+    // maxSlices below that, the FIRST segment tick compacts-and-swaps in
+    // place (DedupStream.compactIfNeeded — rename-based, replay-safe)
+    // and the per-tick serving time resets to the fresh-index shape.
+    val maxSlices = math.max(2, ticks / 2)
+    (ticks + 1 to ticks + 3).foreach { i =>
+      val batch = fresh(i).localCheckpoint()
+      val tc = System.nanoTime()
+      val compacted = DedupStream.compactIfNeeded(spark, idx, maxSlices, s"b$i")
+      val dtc = (System.nanoTime() - tc) / 1e9
+      val t0 = System.nanoTime()
+      val n = DedupStream.ingestTick(spark, batch, idx, out, s"b$i")
+      val dt = (System.nanoTime() - t0) / 1e9
+      results(s"auto_tick_$i") = dt
+      if (compacted) results(s"auto_compact_$i") = dtc
+      counts(s"auto_survivors_$i") = n
+      System.err.println(f"[loop-bench] auto tick $i%2d: ${fmt3(dt)} s" +
+        (if (compacted) s" (in-loop compact ${fmt3(dtc)} s)" else "") +
+        s", $n survivors, slices=" +
+        graft.core.FsPaths.countChildren(spark, s"$idx/hashes", "batch="))
+    }
+
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) } ++
       counts.map { case (k, v) => "\"" + k + s"""\":$v""" })
       .mkString("{", ",", "}")

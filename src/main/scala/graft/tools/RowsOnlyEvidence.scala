@@ -2,21 +2,16 @@ package graft.tools
 
 /** Machine-readable trust chains for the rows-only catalog queries.
   *
-  * Round 14 graduated 14 of the 15 former `no_oracle` queries to the
-  * DuckDB hash gate via verdict rows ([[graft.queries.Verdicts]] — exact
-  * counts the oracle recomputes plus invariant flags it asserts), so only
-  * `ext_bpe_merges` remains outside it (an argmax-ordered iterative
-  * training loop with no SQL-expressible invariant that isn't circular);
-  * its correctness rests on the closed-form Sennrich-corpus pin named
-  * here. The pinning test calls [[record]] after its assertions pass,
-  * which (re)writes `ROWSONLY_EVIDENCE.json` at the repo root. A full
-  * `sbt test` therefore regenerates the file with every entry `pass`;
-  * `RowsOnlyEvidenceSpec` keeps the registry, the catalog, and the test
-  * sources from drifting apart.
-  *
-  * Partial runs (`testOnly`) merge with the on-disk file instead of
-  * clobbering it, so evidence recorded by a previous full run survives;
-  * `recorded_utc` exposes freshness.
+  * The registry is EMPTY as of round 15: round 14 graduated 14 of the 15
+  * former `no_oracle` queries to the DuckDB hash gate via verdict rows
+  * ([[graft.queries.Verdicts]]), and round 15 graduated the last one —
+  * `ext_bpe_merges` — by replaying the argmax-ordered merge loop itself
+  * in DuckDB (one materialized CTE block per round,
+  * `ExtQueries.bpeMergesOracleSql`). Every catalog query now carries a
+  * full rows+schema+hash oracle, so `ROWSONLY_EVIDENCE.json` is retired;
+  * the machinery stays so a future genuinely-non-SQL-expressible query
+  * can re-register, and `RowsOnlyEvidenceSpec` keeps the registry equal
+  * to the catalog's (now empty) no-oracle set.
   */
 object RowsOnlyEvidence {
 
@@ -40,12 +35,7 @@ object RowsOnlyEvidence {
       chainsTo: Seq[String],
       invariant: String)
 
-  val registry: Seq[Entry] = Seq(
-    Entry("ext_bpe_merges", "graft.TextAndJsonSpec",
-      "bpeMerges: closed-form merge order on the classic corpus",
-      Seq.empty,
-      "closed-form: exact merge order on the classic Sennrich corpus incl. count-tie lexicographic break; greedy leftmost non-overlap; minPairCount stop"),
-  )
+  val registry: Seq[Entry] = Seq.empty
 
   /** sbt forks the test JVM with cwd = repo root, so the artifact lands
     * next to CORRECTNESS_r{N}.json where the driver reads repo files. */

@@ -161,6 +161,72 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(outSrc)) == ids(spark.read.parquet(outDst)))
   }
 
+  test("frozen-centroid drift: ivfListStats fires, rebuild restores the probe bill") {
+    // Drift scenario (R15DriftProbe measurements, L=4 on the sf0.001
+    // embeddings): batches carry a strong shared component on axis 0
+    // that the frozen quantizer never trained on. On this uniform-
+    // direction corpus the failure mode is the probe BILL, not recall —
+    // the drifted mass piles into one hot list (hotShare 0.64 vs ~0.11
+    // balanced), so every drifted query's nProbe=1 scan covers ~37% of
+    // the index instead of ~11%. rebuildIvfIndex retrains the quantizer
+    // on current contents at a matched list count: per-probe cost falls
+    // back to ~1/nLists, and at an equal scan budget (nProbe=3 ≈ the
+    // old nProbe=1 bill) recall matches the frozen index (0.61 vs 0.60).
+    val (idx, out) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 200)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    def drifted(lo: Long, hi: Long, offset: Long): DataFrame =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select(($"vec_id" + offset).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, lit(4.0f)).otherwise(x)).as("embedding"))
+    for (t <- 0 until 3)
+      EmbedIngest.ingestTick(spark, drifted(200L + t * 100, 300L + t * 100, 10000L),
+        idx, out, s"b$t", tau = 0.99, nProbe = 2): Unit
+    // 1. the monitor fires: one list owns most of the drifted slices
+    val stats = Similarity.ivfListStats(spark, idx).filter($"batch" =!= "base")
+    val driftTotal = stats.agg(sum("n")).as[Long].head().toDouble
+    val hotShare = stats.groupBy("list_id").agg(sum("n").as("n"))
+      .agg(max("n")).as[Long].head().toDouble / driftTotal
+    assert(hotShare >= 0.5, s"drift fixture no longer concentrates: $hotShare")
+    // 2. the hot list inflates the per-query probe bill
+    val all = corpus.unionByName(
+      spark.read.parquet(out).select("vec_id", "embedding"))
+    val queries = drifted(0L, 20L, 20000L)
+    def scanFrac(dir: String, nProbe: Int): Double = {
+      val sizes = spark.read.parquet(s"$dir/lists")
+        .groupBy("list_id").agg(count(lit(1)).as("sz"))
+      val total = spark.read.parquet(s"$dir/lists").count().toDouble
+      Similarity.ivfProbeCells(spark, dir, queries, nProbe)
+        .join(sizes, Seq("list_id"))
+        .groupBy("q_id").agg(sum("sz").as("scanned"))
+        .agg(avg(col("scanned"))).as[Double].head() / total
+    }
+    def recall(dir: String, nProbe: Int): Double = {
+      val exact = Similarity.topK(all, queries, k = 10).select("q_id", "n_id")
+      val got = Similarity.ivfTopKIndexed(spark, dir, queries, k = 10, nProbe)
+        .select("q_id", "n_id")
+      got.join(exact, Seq("q_id", "n_id"), "left_semi").count().toDouble /
+        exact.count().toDouble
+    }
+    val costBefore = scanFrac(idx, 1)
+    val recallBefore = recall(idx, 1)
+    assert(costBefore >= 0.25,
+      s"drifted nProbe=1 scan should cover >2x the balanced share: $costBefore")
+    // 3. rebuild at a matched list count; the bill resets, recall holds
+    //    at the equal-cost budget (measured 0.136 / 0.61-vs-0.60; floors
+    //    carry margin per the measure-first recipe)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_embing_rebuild").toString
+    Similarity.rebuildIvfIndex(spark, idx, idx2, centroidStride = 55L)
+    assert(scanFrac(idx2, 1) <= 0.2, "rebuild must deflate the probe bill")
+    val costAfter3 = scanFrac(idx2, 3)
+    val recallAfter3 = recall(idx2, 3)
+    assert(costAfter3 <= costBefore + 0.1,
+      s"nProbe=3 on the rebuilt index should cost ~the old nProbe=1: $costAfter3")
+    assert(recallAfter3 >= recallBefore - 0.1 && recallAfter3 >= 0.5,
+      s"equal-budget recall regressed: $recallAfter3 vs $recallBefore")
+  }
+
   test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_embing_ckpt").toString

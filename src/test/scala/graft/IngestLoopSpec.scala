@@ -198,6 +198,95 @@ class IngestLoopSpec extends AnyFunSuite {
     assert(sh <= 63L)
   }
 
+  test("ingestTick maxTokens: the length cap holds at the operator boundary") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    val huge = (0 until 200000).map(i => s"w$i").mkString(" ")
+    val batch = Seq(
+      (100L, huge),
+      (101L, "ordinary sized doc with words")).toDF("doc_id", "text")
+    // no upstream lengthCap — the tick's own maxTokens must bound it
+    val n = DedupStream.ingestTick(spark, batch, idx, out, "b0",
+      k = 2, tau = 0.8, maxTokens = Some(64))
+    assert(n == 2L)
+    val sh = spark.read.parquet(s"$idx/shingles")
+      .filter($"doc_id" === 100L).count()
+    assert(sh <= 63L, "pathological doc must enter the index truncated")
+    // output schema stays the batch schema (audit columns dropped)
+    assert(spark.read.parquet(out).columns.toSet == Set("doc_id", "text", "batch"))
+  }
+
+  test("compactIfNeeded: trigger, swap, and replay idempotence across the swap") {
+    val (idx, out) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    def tick(tag: String, docs: Seq[(Long, String)]): Long =
+      DedupStream.ingestTick(spark, docs.toDF("doc_id", "text"),
+        idx, out, tag, k = 2, tau = 0.8)
+    tick("b0", Seq((100L, "first wave novel payload with words")))
+    tick("b1", Seq((200L, "second wave novel payload with words")))
+    def slices() = graft.core.FsPaths.countChildren(spark, s"$idx/hashes", "batch=")
+    assert(slices() == 3) // base + b0 + b1
+    // below the trigger: no-op
+    assert(!DedupStream.compactIfNeeded(spark, idx, maxSlices = 3, currentTag = "b2"))
+    // crashed-attempt simulation: b2's index slices were written but the
+    // tick never committed; compaction at replay start must DROP them
+    TextDedup.appendIncrementalIndex(
+      Seq((300L, "third wave novel payload with words")).toDF("doc_id", "text"),
+      idx, "b2", k = 2)
+    assert(DedupStream.compactIfNeeded(spark, idx, maxSlices = 2, currentTag = "b2"))
+    assert(slices() == 1, "compaction must fold committed slices into base")
+    assert(spark.read.parquet(s"$idx/hashes").count() ==
+      corpus.count() + 2, "the crashed b2 slice must be dropped, not folded")
+    // the replayed tick now runs against the compacted index: its docs
+    // must SURVIVE (not dedup against their own crashed write) and dups
+    // of pre-compaction survivors must still drop
+    val n2 = tick("b2", Seq(
+      (300L, "third wave novel payload with words"),
+      (301L, "first wave novel payload with words"),  // dup of b0 survivor
+      (302L, "corpus doc number 6 with words")))      // dup of seed
+    assert(n2 == 1L, "replay across the swap lost or duplicated documents")
+    assert(ids(spark.read.parquet(out)) == Set(100L, 200L, 300L))
+    // post-swap index serves the same answers: replaying b2 again is a no-op
+    assert(tick("b2", Seq(
+      (300L, "third wave novel payload with words"),
+      (301L, "first wave novel payload with words"),
+      (302L, "corpus doc number 6 with words"))) == 1L)
+    assert(ids(spark.read.parquet(out)) == Set(100L, 200L, 300L))
+  }
+
+  test("incrementalIngest stream with maxSlices matches the uncompacted run") {
+    val (idxA, outA) = freshDirs()
+    val (idxB, outB) = freshDirs()
+    TextDedup.writeIncrementalIndex(corpus, idxA, k = 2)
+    TextDedup.writeIncrementalIndex(corpus, idxB, k = 2)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val waves = Seq(
+      Seq((100L, "stream alpha novel content with words"),
+        (101L, "corpus doc number 2 with words")),
+      Seq((200L, "stream beta novel content with words"),
+        (201L, "stream alpha novel content with words also")),
+      Seq((300L, "stream gamma novel content with words"),
+        (301L, "stream beta novel content with words")))
+    def run(idx: String, outDir: String, maxSlices: Option[Int]): Set[Long] = {
+      val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+      val source = MemoryStream[(Long, String)]
+      val q = DedupStream.incrementalIngest(
+        source.toDF().toDF("doc_id", "text"), idx, outDir, ckpt,
+        k = 2, tau = 0.8, maxSlices = maxSlices)
+      try {
+        waves.foreach { w => source.addData(w: _*); q.processAllAvailable() }
+      } finally q.stop()
+      ids(spark.read.parquet(outDir))
+    }
+    val plain = run(idxA, outA, None)
+    val compacted = run(idxB, outB, Some(1))
+    assert(compacted == plain)
+    assert(compacted == Set(100L, 200L, 300L))
+    // the compacting run actually compacted: slice count stayed bounded
+    assert(graft.core.FsPaths.countChildren(spark, s"$idxB/hashes", "batch=") <=
+      2, "maxSlices=1 run never compacted")
+  }
+
   test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString

@@ -236,4 +236,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("kmvMergeShards")),
       s"expected the uniform-k guard, got: $ex")
   }
+
+  test("kmv u(): the Long.MaxValue boundary is deterministic and pinned") {
+    // u maps a signed 64-bit hash through a 53-bit-mantissa double:
+    // (2^63 - 1).toDouble rounds UP to 2^63 exactly, so u(Long.MaxValue)
+    // lands on exactly 1.0 — the documented measure-zero edge. This pins
+    // every consumer's behavior at that edge rather than leaving it to
+    // narrative.
+    val max = Long.MaxValue
+    // kmvDistinct, full sketch whose k-th (largest kept) hash is the
+    // boundary: θ = u(max) = 1.0, so est = (k-1)/θ = k-1 exactly
+    val full = Seq(("g", Seq(10L, 20L, max), 3, 3))
+      .toDF("g", "kmv", "kmv_n", "kmv_k")
+    val est = Sketches.kmvDistinct(full)
+      .select("est_distinct").as[Double].head()
+    assert(est == 2.0, s"(k-1)/u(Long.MaxValue) must be exactly k-1, got $est")
+    // kmvOverlap, not-full sketches carrying a boundary hash: θ = 1.0
+    // short-circuits the cut, so the boundary hash survives and the
+    // not-full ⇒ exact property holds all the way to Long.MaxValue
+    val sketches = Seq(
+      ("a", Seq(1L, max), 2, 3),
+      ("b", Seq(max), 1, 3))
+      .toDF("g", "kmv", "kmv_n", "kmv_k")
+    val ov = Sketches.kmvOverlap(sketches, "g")
+      .select("est_intersection", "est_union", "est_jaccard")
+      .as[(Double, Double, Double)].head()
+    assert(ov == ((1.0, 2.0, 0.5)),
+      s"exact counts expected for not-full sketches at the edge, got $ov")
+    // both FULL with the θ-defining hash at the boundary: θ computes 1.0,
+    // which (deliberately) takes the same keep-everything branch — the
+    // estimates stay finite and deterministic, no hash is dropped
+    val fullPair = Seq(
+      ("a", Seq(10L, 20L, max), 3, 3),
+      ("b", Seq(10L, 30L, max), 3, 3))
+      .toDF("g", "kmv", "kmv_n", "kmv_k")
+    val ov2 = Sketches.kmvOverlap(fullPair, "g")
+      .select("est_intersection", "est_union").as[(Double, Double)].head()
+    assert(ov2 == ((2.0, 4.0)), s"θ=1.0 full-sketch edge changed: $ov2")
+  }
 }

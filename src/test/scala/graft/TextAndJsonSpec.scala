@@ -296,7 +296,6 @@ class TextAndJsonSpec extends AnyFunSuite {
       (1, "e", "s", 9L, "es"),
       (2, "es", "t", 9L, "est"),
       (3, "l", "o", 7L, "lo")))
-    graft.tools.RowsOnlyEvidence.record("ext_bpe_merges")
   }
 
   test("bpeMerges: greedy leftmost merging and the minPairCount stop") {
