@@ -948,12 +948,22 @@ object Similarity {
     */
   def rebuildIvfIndex(
       spark: SparkSession, srcDir: String, dstDir: String,
-      centroidStride: Long = 100L, idCol: String = "vec_id"): Unit = {
+      centroidStride: Long = 100L, idCol: String = "vec_id",
+      excludeTag: Option[String] = None): Unit = {
     require(
       !graft.core.FsPaths.samePath(spark, srcDir, dstDir),
       "rebuild must target a fresh directory, not the live index")
-    val vecs = spark.read.parquet(s"$srcDir/lists")
-      .select(col("n_id").as(idCol), col("n_emb").as("embedding"))
+    // excludeTag: same replay contract as compactIvfIndex — an in-loop
+    // rebuild at the start of tick <tag> must DROP that tag's
+    // crashed-attempt slices, or the replayed batch probes its own
+    // vectors and silently dedups against itself
+    val lists0 = spark.read.parquet(s"$srcDir/lists")
+    val lists = excludeTag match {
+      case Some(t) if lists0.columns.contains("batch") =>
+        lists0.filter(col("batch") =!= t)
+      case _ => lists0
+    }
+    val vecs = lists.select(col("n_id").as(idCol), col("n_emb").as("embedding"))
     writeIvfIndex(vecs, dstDir, centroidStride, idCol)
   }
 

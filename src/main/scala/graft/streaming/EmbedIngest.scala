@@ -112,18 +112,65 @@ object EmbedIngest {
       centroidStride: Long = 100L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxSlices: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      maxSlices: Option[Int] = None,
+      rebuildHotShare: Option[Double] = None,
+      rebuildMinRows: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val tag = s"b$batchId"
-        maxSlices.foreach(m =>
+        // a rebuild resets slices too, so it subsumes this tick's
+        // compaction check
+        val rebuilt = rebuildHotShare.exists(th =>
+          rebuildIfDrifted(df.sparkSession, indexDir, th, centroidStride,
+            currentTag = tag, minRows = rebuildMinRows))
+        if (!rebuilt) maxSlices.foreach(m =>
           compactIfNeeded(df.sparkSession, indexDir, m, currentTag = tag))
         ingestTick(df.sparkSession, df, indexDir, outDir, tag,
           tau, nProbe, centroidStride, idCol, embCol): Unit
       }
       .start()
+
+  /** The in-loop drift response: when the appended (non-`base`) slices'
+    * hottest list owns at least `hotShareThreshold` of their rows — the
+    * [[Similarity.ivfListStats]] signature of batches drifting away
+    * from the frozen quantizer's training distribution, which inflates
+    * every probe's scan bill toward the hot list's size (measured ~3×
+    * at hotShare 0.64; ladder in PLANS.md) — retrain the quantizer on
+    * the index's current contents and swap the re-sliced index in
+    * ([[Similarity.rebuildIvfIndex]] through `FsPaths.rebuildAndSwap`,
+    * same rename-based crash contract as [[compactIfNeeded]], and the
+    * current tag's crashed-attempt slices are dropped so a replayed
+    * batch never probes its own vectors). `minRows` stops small-sample
+    * noise from triggering rebuilds: a handful of appended vectors can
+    * land in one list by chance, not by drift.
+    *
+    * @return true when a rebuild ran.
+    */
+  def rebuildIfDrifted(
+      spark: SparkSession, indexDir: String, hotShareThreshold: Double,
+      centroidStride: Long, currentTag: String,
+      minRows: Long = 1000L): Boolean = {
+    require(hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
+      "hotShareThreshold must be in (0, 1]")
+    graft.core.FsPaths.recoverSwap(spark, indexDir)
+    val appended = Similarity.ivfListStats(spark, indexDir)
+      .filter(col("batch") =!= "base" && col("batch") =!= currentTag)
+    val byList = appended.groupBy("list_id").agg(sum("n").as("n"))
+      .agg(coalesce(sum("n"), lit(0L)).as("total"),
+        coalesce(max("n"), lit(0L)).as("hot"))
+      .head()
+    val total = byList.getAs[Long]("total")
+    val hot = byList.getAs[Long]("hot")
+    if (total >= minRows && hot.toDouble / total >= hotShareThreshold) {
+      graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
+        Similarity.rebuildIvfIndex(spark, indexDir, dst, centroidStride,
+          excludeTag = Some(currentTag))
+      }
+      true
+    } else false
+  }
 
   /** IVF twin of `DedupStream.compactIfNeeded`: when more than
     * `maxSlices` `batch=` slices have accumulated under `lists/`,

@@ -80,11 +80,34 @@ object IngestLoopScaleBench {
       s"[loop-bench] compact ${fmt3(results("compact"))} s, " +
       s"post-compact tick ${fmt3(results("tick_after_compact"))} s, $nC survivors")
 
-    // round-15 segment: cross the in-loop auto-compaction trigger.
-    // The live index still carries base + all tick slices; with
-    // maxSlices below that, the FIRST segment tick compacts-and-swaps in
-    // place (DedupStream.compactIfNeeded — rename-based, replay-safe)
-    // and the per-tick serving time resets to the fresh-index shape.
+    // round-15 segment: cross the in-loop auto-compaction trigger. Tick
+    // counts in this harness only reach O(10) slices, where the
+    // slice-count tax (partition discovery + one footer per slice file
+    // per table) is invisible under the fixed per-tick job tax — so
+    // first ACCUMULATE slice count the cheap way (direct index appends
+    // of tiny disjoint batches, the worst-case layout a long-running
+    // small-batch stream produces), measure a tick on the bloated
+    // index, then let the FIRST auto tick compact-and-swap in place
+    // (DedupStream.compactIfNeeded — rename-based, replay-safe) and
+    // watch the per-tick serving time reset.
+    (0 until 60).foreach { j =>
+      TextDedup.appendIncrementalIndex(
+        docs.limit(20)
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "), w => concat(w, lit(s"_s$j")))))
+          .withColumn("doc_id", col("doc_id") + lit(60000000L + j * 1000L)),
+        idx, s"s$j")
+    }
+    System.err.println(s"[loop-bench] bloated index to slices=" +
+      graft.core.FsPaths.countChildren(spark, s"$idx/hashes", "batch="))
+    // one tick ON the bloated index (no compaction) = the creep number
+    val bloatBatch = fresh(ticks + 100).localCheckpoint()
+    val tB = System.nanoTime()
+    counts("survivors_bloated") =
+      DedupStream.ingestTick(spark, bloatBatch, idx, out, s"b${ticks + 100}")
+    results("tick_bloated") = (System.nanoTime() - tB) / 1e9
+    System.err.println(
+      s"[loop-bench] bloated tick ${fmt3(results("tick_bloated"))} s")
     val maxSlices = math.max(2, ticks / 2)
     (ticks + 1 to ticks + 3).foreach { i =>
       val batch = fresh(i).localCheckpoint()

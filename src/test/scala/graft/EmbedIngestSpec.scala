@@ -227,6 +227,45 @@ class EmbedIngestSpec extends AnyFunSuite {
       s"equal-budget recall regressed: $recallAfter3 vs $recallBefore")
   }
 
+  test("rebuildIfDrifted: hot-share trigger, replay exclusion, loop continuity") {
+    val (idx, out) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 200)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    def drifted(lo: Long, hi: Long, offset: Long): DataFrame =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select(($"vec_id" + offset).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, lit(4.0f)).otherwise(x)).as("embedding"))
+    // two drifted ticks pile into the hot list (hotShare >= 0.5 measured)
+    for (t <- 0 until 2)
+      EmbedIngest.ingestTick(spark, drifted(200L + t * 100, 300L + t * 100, 10000L),
+        idx, out, s"b$t", tau = 0.99, nProbe = 2): Unit
+    // below the minRows guard: no rebuild even though the share is high
+    assert(!EmbedIngest.rebuildIfDrifted(spark, idx, hotShareThreshold = 0.4,
+      centroidStride = 55L, currentTag = "b2", minRows = 100000L))
+    // crashed-attempt simulation: b2's slice exists but the tick never
+    // committed — the rebuild must drop it, not fold it in
+    Similarity.appendIvfIndex(spark, drifted(400L, 420L, 30000L), idx, "b2")
+    assert(EmbedIngest.rebuildIfDrifted(spark, idx, hotShareThreshold = 0.4,
+      centroidStride = 55L, currentTag = "b2", minRows = 100L))
+    def slices(): Set[String] =
+      new java.io.File(s"$idx/lists").list().filter(_.startsWith("batch=")).toSet
+    assert(slices() == Set("batch=base"), "rebuild must re-slice to base")
+    val nIndexed = spark.read.parquet(s"$idx/lists").count()
+    assert(nIndexed == 400L, // 200 corpus + 2x100 survivors, b2 dropped
+      s"crashed b2 slice must be excluded from the rebuild, got $nIndexed")
+    // the replayed tick survives against the rebuilt index: its own
+    // vectors are gone, dups of pre-rebuild survivors still drop
+    val replay = drifted(400L, 420L, 30000L)                 // fresh (was the crash)
+      .unionByName(drifted(210L, 215L, 40000L))              // dups of b0 survivors
+    val n = EmbedIngest.ingestTick(spark, replay, idx, out, "b2",
+      tau = 0.99, nProbe = 2)
+    assert(n == 20L, s"replay across the rebuild lost/duplicated vectors: $n")
+    // monitor state after rebuild: appended mass is just b2 now
+    assert(!EmbedIngest.rebuildIfDrifted(spark, idx, hotShareThreshold = 0.4,
+      centroidStride = 55L, currentTag = "b3", minRows = 100L))
+  }
+
   test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_embing_ckpt").toString
@@ -238,9 +277,12 @@ class EmbedIngestSpec extends AnyFunSuite {
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[(Long, Seq[Float])]
+    // maxSlices=1 also exercises the in-loop compaction wiring: the
+    // second micro-batch crosses the trigger (base + b0 slices) and
+    // compacts-and-swaps before its tick
     val q = EmbedIngest.incrementalIngest(
       source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt,
-      tau = 0.8, nProbe = 2)
+      tau = 0.8, nProbe = 2, maxSlices = Some(1))
     try {
       source.addData(fix ++ corpusDup: _*)
       q.processAllAvailable()
@@ -251,5 +293,8 @@ class EmbedIngestSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     assert(ids(spark.read.parquet(out)) == Set(1000L, 1001L, 1002L, 3060L))
+    // the compaction wiring ran: slice count stayed bounded
+    assert(graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch=") <= 2,
+      "maxSlices=1 stream never compacted")
   }
 }
