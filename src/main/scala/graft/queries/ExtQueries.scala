@@ -696,6 +696,41 @@ object ExtQueries {
       },
       Some(ingestLoopOracle)),
 
+    // The ingest loop with IN-LOOP index compaction between the ticks
+    // (round-15 maxSlices path): identical batches to ext_ingest_loop,
+    // but after tick b0 the index (base + b0 slices) crosses a
+    // maxSlices=1 trigger, so compactIfNeeded folds it to one slice and
+    // SWAPS it in (rename-based rebuildAndSwap) before tick b1 probes
+    // it. Compaction is a pure re-layout — the oracle is the SAME
+    // two-tick replay, so the hash match proves the swap is
+    // result-invisible inside the driver harness, not just in specs.
+    Q("ext_ingest_autocompact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val b0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .unionByName(docs.filter(col("doc_id") < 6)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 303)
+            .select((col("doc_id") + 21000).as("doc_id"), col("text")))
+        val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        val run = java.util.UUID.randomUUID.toString.take(8)
+        val idx = graft.core.TmpDirs.scoped(s"ingest_ac_idx_$run")
+        val out = graft.core.TmpDirs.scoped(s"ingest_ac_out_$run")
+        TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+        graft.streaming.DedupStream.ingestTick(s, b0, idx, out, "b0",
+          k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
+        require(graft.streaming.DedupStream.compactIfNeeded(
+          s, idx, maxSlices = 1, currentTag = "b1"),
+          "autocompact query: the trigger must fire between the ticks")
+        graft.streaming.DedupStream.ingestTick(s, b1, idx, out, "b1",
+          k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
+        s.read.parquet(out).select(col("doc_id"), col("batch"))
+      },
+      Some(ingestLoopOracle)),
+
     // The embedding-side ingest LOOP (EmbedIngest.ingestTick, twice):
     // seed IVF index -> tick b0 (intra semantic dedup + probe-served
     // dedup vs the index) -> survivors appended as a slice -> tick b1
