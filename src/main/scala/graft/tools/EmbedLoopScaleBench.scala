@@ -72,6 +72,41 @@ object EmbedLoopScaleBench {
       System.err.println(f"[eloop-bench] tick $i%2d: ${fmt3(dt)} s, $n survivors")
     }
 
+    // round-15 segment: bloat the slice count with tiny direct appends
+    // (the long-running small-batch worst case), measure a tick on the
+    // bloated index, then cross the in-loop maxSlices trigger
+    // (EmbedIngest.compactIfNeeded) and watch the serving time reset.
+    (0 until 60).foreach { j =>
+      Similarity.appendIvfIndex(spark, fresh(1000 + j).limit(20), idx, s"s$j")
+    }
+    System.err.println(s"[eloop-bench] bloated index to slices=" +
+      graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch="))
+    val bloatBatch = fresh(ticks + 100).localCheckpoint()
+    val tB = System.nanoTime()
+    counts("survivors_bloated") = EmbedIngest.ingestTick(spark, bloatBatch,
+      idx, out, s"b${ticks + 100}", tau = 0.8, nProbe = 2, centroidStride = stride)
+    results("tick_bloated") = (System.nanoTime() - tB) / 1e9
+    System.err.println(
+      s"[eloop-bench] bloated tick ${fmt3(results("tick_bloated"))} s")
+    (ticks + 1 to ticks + 3).foreach { i =>
+      val batch = fresh(i).localCheckpoint()
+      val tc = System.nanoTime()
+      val compacted = EmbedIngest.compactIfNeeded(
+        spark, idx, maxSlices = math.max(2, ticks / 2), currentTag = s"b$i")
+      val dtc = (System.nanoTime() - tc) / 1e9
+      val t0 = System.nanoTime()
+      val n = EmbedIngest.ingestTick(spark, batch, idx, out, s"b$i",
+        tau = 0.8, nProbe = 2, centroidStride = stride)
+      val dt = (System.nanoTime() - t0) / 1e9
+      results(s"auto_tick_$i") = dt
+      if (compacted) results(s"auto_compact_$i") = dtc
+      counts(s"auto_survivors_$i") = n
+      System.err.println(f"[eloop-bench] auto tick $i%2d: ${fmt3(dt)} s" +
+        (if (compacted) s" (in-loop compact ${fmt3(dtc)} s)" else "") +
+        s", $n survivors, slices=" +
+        graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch="))
+    }
+
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) } ++
       counts.map { case (k, v) => "\"" + k + s"""\":$v""" })
       .mkString("{", ",", "}")
