@@ -768,6 +768,46 @@ object ExtQueries {
       },
       Some(embedLoopOracle)),
 
+    // The embedding ingest loop with IN-LOOP IVF compaction between the
+    // ticks (maxSlices path, the embedding twin of
+    // ext_ingest_autocompact): after tick b0 the index carries
+    // batch=base + batch=b0 list slices, crossing a maxSlices=1
+    // trigger; compactIfNeeded re-clusters them to one base slice and
+    // swaps it in before tick b1 probes. Compaction never re-assigns
+    // (centroids frozen, pure re-layout), so the oracle is the SAME
+    // two-tick exact-cosine replay.
+    Q("ext_embed_ingest_autocompact",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val corpus = emb.filter(col("vec_id") < 300)
+        def neg(f: DataFrame, off: Long) = f.select(
+          (col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        def cp(f: DataFrame, off: Long) = f.select(
+          (col("vec_id") + off).as("vec_id"), col("embedding"))
+        val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
+          .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
+          .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
+          .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
+        val b1 = neg(
+            emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
+          .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
+          .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+        val run = java.util.UUID.randomUUID.toString.take(8)
+        val idx = graft.core.TmpDirs.scoped(s"embed_ac_idx_$run")
+        val out = graft.core.TmpDirs.scoped(s"embed_ac_out_$run")
+        Similarity.writeIvfIndex(corpus, idx, centroidStride = 50L)
+        graft.streaming.EmbedIngest.ingestTick(
+          s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
+        require(graft.streaming.EmbedIngest.compactIfNeeded(
+          s, idx, maxSlices = 1, currentTag = "b1"),
+          "embed autocompact query: the trigger must fire between the ticks")
+        graft.streaming.EmbedIngest.ingestTick(
+          s, b1, idx, out, "b1", tau = 0.8, nProbe = 2): Unit
+        s.read.parquet(out).select(col("vec_id"), col("batch"))
+      },
+      Some(embedLoopOracle)),
+
     // Deterministic content-hash dataset split (train/val/test) — a pure
     // function of md5(text), reproducible across engines and reruns.
     Q("ext_split_assign",
