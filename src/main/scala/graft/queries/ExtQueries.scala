@@ -808,6 +808,49 @@ object ExtQueries {
       },
       Some(embedLoopOracle)),
 
+    // The embedding ingest loop with a full QUANTIZER REBUILD between
+    // the ticks (the drift response, forced): retrain centroids on the
+    // index's current contents (corpus + b0 survivors) and swap the
+    // re-sliced index in before tick b1. The oracle is STILL the same
+    // exact-cosine replay — this fixture's probe ≡ exact under ANY
+    // centroids: an exact dup ranks the (new) centroids identically to
+    // its twin so the twin's list is always probed, and negated fresh
+    // content sits at ≤ ~0.48 cosine vs everything (τ=0.8), where a
+    // probe miss can only agree with "keep". A hash match therefore
+    // proves rebuild + rename-swap leave the loop's decisions intact.
+    Q("ext_embed_ingest_rebuild",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val corpus = emb.filter(col("vec_id") < 300)
+        def neg(f: DataFrame, off: Long) = f.select(
+          (col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        def cp(f: DataFrame, off: Long) = f.select(
+          (col("vec_id") + off).as("vec_id"), col("embedding"))
+        val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
+          .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
+          .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
+          .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
+        val b1 = neg(
+            emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
+          .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
+          .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+        val run = java.util.UUID.randomUUID.toString.take(8)
+        val idx = graft.core.TmpDirs.scoped(s"embed_rb_idx_$run")
+        val out = graft.core.TmpDirs.scoped(s"embed_rb_out_$run")
+        Similarity.writeIvfIndex(corpus, idx, centroidStride = 50L)
+        graft.streaming.EmbedIngest.ingestTick(
+          s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
+        graft.core.FsPaths.rebuildAndSwap(s, idx) { dst =>
+          Similarity.rebuildIvfIndex(s, idx, dst, centroidStride = 50L,
+            excludeTag = Some("b1"))
+        }
+        graft.streaming.EmbedIngest.ingestTick(
+          s, b1, idx, out, "b1", tau = 0.8, nProbe = 2): Unit
+        s.read.parquet(out).select(col("vec_id"), col("batch"))
+      },
+      Some(embedLoopOracle)),
+
     // Deterministic content-hash dataset split (train/val/test) — a pure
     // function of md5(text), reproducible across engines and reruns.
     Q("ext_split_assign",
