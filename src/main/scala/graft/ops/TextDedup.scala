@@ -497,9 +497,14 @@ object TextDedup {
       exactSurvivors: DataFrame, shNew: DataFrame, shOld: DataFrame,
       dfOld: DataFrame, tau: Double, maxShingleDf: Long, idCol: String,
       checkpointDir: Option[String]): DataFrame = {
-    val rareOld = shOld.join(
-      dfOld.filter(col("df") <= maxShingleDf).select("shingle"),
-      Seq("shingle"))
+    // cap disabled (Long.MaxValue) ⇒ every shingle passes the df filter:
+    // skip the df aggregate + semi-join entirely instead of paying a
+    // full corpus-df scan per tick for a provable no-op
+    val rareOld =
+      if (maxShingleDf == Long.MaxValue) shOld
+      else shOld.join(
+        dfOld.filter(col("df") <= maxShingleDf).select("shingle"),
+        Seq("shingle"))
     val candidates = shNew.select(col(idCol).as("d1"), col("shingle"))
       .join(rareOld.select(col(idCol).as("d2"), col("shingle")), Seq("shingle"))
       .select("d1", "d2").distinct()
