@@ -136,14 +136,19 @@ object Bench {
     * core speed), parallel = `cpus` threads each spinning the same count
     * (whole-machine throughput — the axis Spark stages actually use).
     */
+  // one definition for both the spin and the JSON that DESCRIBES the
+  // spin: a tuning edit that changed only one would make the emitted
+  // calibration block lie, and cross-round normalization would compare
+  // incommensurable canaries
+  private val CanarySerialIters = 400000000L
+  private val CanaryPerThreadIters = 200000000L
+
   private def canary(cpus: Int): (Double, Double) = {
     canarySink += spin(20000000L) // JIT warm-up, untimed
-    val serialIters = 400000000L
-    val serial = time { canarySink += spin(serialIters) }
-    val perThread = 200000000L
+    val serial = time { canarySink += spin(CanarySerialIters) }
     val parallel = time {
       val threads = (0 until cpus).map { _ =>
-        new Thread(() => { canarySink += spin(perThread) })
+        new Thread(() => { canarySink += spin(CanaryPerThreadIters) })
       }
       threads.foreach(_.start())
       threads.foreach(_.join())
@@ -564,7 +569,7 @@ object Bench {
     // the caller overrode the path explicitly
     val canaryEnd = canary(nCpus)
     val calibrationJson =
-      s"""{"serial_iters":400000000,"parallel_iters_per_thread":200000000,"threads":$nCpus,""" +
+      s"""{"serial_iters":$CanarySerialIters,"parallel_iters_per_thread":$CanaryPerThreadIters,"threads":$nCpus,""" +
         s""""start":{"serial_sec":${fm(canaryStart._1, 3)},"parallel_sec":${fm(canaryStart._2, 3)}},""" +
         s""""mid":{"serial_sec":${fm(canaryMid._1, 3)},"parallel_sec":${fm(canaryMid._2, 3)}},""" +
         s""""end":{"serial_sec":${fm(canaryEnd._1, 3)},"parallel_sec":${fm(canaryEnd._2, 3)}}}"""

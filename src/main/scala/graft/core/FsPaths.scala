@@ -34,11 +34,21 @@ object FsPaths {
     * `dir` is absent) — one FileSystem listing, no Spark job; the slice
     * counter the ingest loops' compaction trigger polls each tick.
     */
-  def countChildren(spark: SparkSession, dir: String, prefix: String): Int = {
+  def countChildren(spark: SparkSession, dir: String, prefix: String): Int =
+    childNames(spark, dir, prefix).size
+
+  /** Names of the direct children of `dir` starting with `prefix`
+    * (empty when `dir` is absent) — one FileSystem listing, no Spark
+    * job; lets guards inspect WHICH slices exist (e.g. the drift check
+    * skipping only when no non-`base` slice is present) without a
+    * parquet read.
+    */
+  def childNames(spark: SparkSession, dir: String, prefix: String): Seq[String] = {
     val q = qualified(spark, dir)
     val fs = q.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(q)) 0
-    else fs.listStatus(q).count(_.getPath.getName.startsWith(prefix))
+    if (!fs.exists(q)) Seq.empty
+    else fs.listStatus(q).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
   }
 
   private def freshOf(live: Path) = new Path(live.toString + "__compact")
@@ -53,10 +63,14 @@ object FsPaths {
     * scratch → live — followed by deleting `__old`. Renames are atomic
     * per directory on HDFS and local filesystems, so a reader never
     * sees a half-compacted live directory; every crash window in
-    * between is healed by [[recoverSwap]] at the next tick.
+    * between is healed by [[recoverSwap]], which runs FIRST here — a
+    * caller invoking this on an interrupted-swap state (live missing,
+    * `__compact` or `__old` holding the only copy) must get the heal
+    * before the scratch wipe, or the wipe would destroy the index.
     */
   def rebuildAndSwap(spark: SparkSession, liveDir: String)(
       build: String => Unit): Unit = {
+    recoverSwap(spark, liveDir)
     val conf = spark.sessionState.newHadoopConf()
     val live = qualified(spark, liveDir)
     val fs = live.getFileSystem(conf)

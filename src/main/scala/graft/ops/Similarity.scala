@@ -866,8 +866,10 @@ object Similarity {
       .groupBy(col("batch"), col("list_id"))
       .agg(count(lit(1)).as("n"))
 
-  /** Merge every slice of an appended IVF (or IVFPQ) index into a single
-    * fresh `base` slice at `dstDir` — the embedding analog of
+  /** Merge the slices of an appended IVF (or IVFPQ) index into at most
+    * TWO fresh slices at `dstDir` — `base` (the quantizer's training-era
+    * mass, copied as-is) and `appended` (every post-training slice
+    * folded together) — the embedding analog of
     * `TextDedup.compactIncrementalIndex`, for the same reason: after
     * many [[appendIvfIndex]] ticks, per-probe costs that scale with
     * slice count (partition discovery, one footer per slice file per
@@ -877,6 +879,16 @@ object Similarity {
     * `list_id` so each list lands in ONE file again. Writes to a NEW
     * directory so a concurrent tick never probes a half-compacted index:
     * build offline, swap between ticks.
+    *
+    * Why not fold everything into `base`: `batch=base` means "mass the
+    * current quantizer was trained on" — the drift monitor
+    * ([[ivfListStats]], `EmbedIngest.rebuildIfDrifted`) measures
+    * hot-list share over the NON-base slices, so a compaction that
+    * relabeled appended mass as `base` would erase the drift evidence
+    * and an in-loop `maxSlices` trigger could permanently disable the
+    * drift response. Only [[rebuildIvfIndex]] (which actually retrains
+    * the quantizer) resets mass to `base`. Probe results are unaffected
+    * either way — slice labels never reach the ranking.
     */
   def compactIvfIndex(
       spark: SparkSession, srcDir: String, dstDir: String,
@@ -888,33 +900,24 @@ object Similarity {
       // index mid-read
       !graft.core.FsPaths.samePath(spark, srcDir, dstDir),
       "compaction must target a fresh directory, not the live index")
-    // excludeTag: see TextDedup.compactIncrementalIndex — in-loop
-    // compaction must drop a crashed attempt's own slices, not fold
-    // them into base, or the replayed tick dedups against itself
-    def slices(table: String) = {
-      val df0 = spark.read.parquet(s"$srcDir/$table")
-      excludeTag match {
-        case Some(t) if df0.columns.contains("batch") =>
-          df0.filter(col("batch") =!= t)
-        case _ => df0
-      }
-    }
+    // excludeTag: the crashed-attempt replay contract (graft.core.Slices)
+    def slices(table: String) = graft.core.Slices.excludeTag(
+      spark.read.parquet(s"$srcDir/$table"), excludeTag)
+    def foldTag: Column =
+      when(col("batch") === "base", lit("base")).otherwise(lit("appended"))
+    def compactTable(table: String): Unit =
+      slices(table)
+        .withColumn("batch", foldTag)
+        .repartition(col("batch"), col("list_id"))
+        .write.mode("overwrite").partitionBy("batch", "list_id")
+        .parquet(s"$dstDir/$table")
     spark.read.parquet(s"$srcDir/centroids")
       .write.mode("overwrite").parquet(s"$dstDir/centroids")
-    slices("lists").drop("batch")
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$dstDir/lists/batch=base")
-    val cbPath = new org.apache.hadoop.fs.Path(s"$srcDir/codebooks")
-    val cbExists = cbPath.getFileSystem(
-      spark.sessionState.newHadoopConf()).exists(cbPath)
-    if (cbExists) {
+    compactTable("lists")
+    if (graft.core.FsPaths.exists(spark, s"$srcDir/codebooks")) {
       spark.read.parquet(s"$srcDir/codebooks")
         .write.mode("overwrite").parquet(s"$dstDir/codebooks")
-      slices("codes").drop("batch")
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id")
-        .parquet(s"$dstDir/codes/batch=base")
+      compactTable("codes")
     }
   }
 
@@ -942,9 +945,16 @@ object Similarity {
     * fresh directory like [[compactIvfIndex]] (build offline, swap
     * between ticks — `FsPaths.rebuildAndSwap` in the loop); unlike
     * compaction the output is NOT probe-identical to the source by
-    * design. IVF only: a PQ index's codebooks are also distribution-
-    * trained — rebuild those with [[writeIvfPqIndex]] from the raw
-    * vectors instead.
+    * design.
+    *
+    * IVFPQ indexes survive the rebuild: the PQ codebooks are trained on
+    * raw subvectors ([[pqCodebooks]] never sees the coarse quantizer),
+    * so a coarse retrain leaves them — and every vector's codes —
+    * valid; they copy verbatim and the codes merely RE-CLUSTER under
+    * the new list assignment so the ADC scan's partition pruning keeps
+    * working. The one drift this does NOT cure is codebook-era drift
+    * (the subvector distribution itself moving): rebuild that with
+    * [[writeIvfPqIndex]] from the raw vectors.
     */
   def rebuildIvfIndex(
       spark: SparkSession, srcDir: String, dstDir: String,
@@ -957,14 +967,23 @@ object Similarity {
     // rebuild at the start of tick <tag> must DROP that tag's
     // crashed-attempt slices, or the replayed batch probes its own
     // vectors and silently dedups against itself
-    val lists0 = spark.read.parquet(s"$srcDir/lists")
-    val lists = excludeTag match {
-      case Some(t) if lists0.columns.contains("batch") =>
-        lists0.filter(col("batch") =!= t)
-      case _ => lists0
-    }
+    val lists = graft.core.Slices.excludeTag(
+      spark.read.parquet(s"$srcDir/lists"), excludeTag)
     val vecs = lists.select(col("n_id").as(idCol), col("n_emb").as("embedding"))
     writeIvfIndex(vecs, dstDir, centroidStride, idCol)
+    if (graft.core.FsPaths.exists(spark, s"$srcDir/codebooks")) {
+      spark.read.parquet(s"$srcDir/codebooks")
+        .write.mode("overwrite").parquet(s"$dstDir/codebooks")
+      val newLists = spark.read.parquet(s"$dstDir/lists")
+        .select(col("n_id").as(idCol), col("list_id"))
+      graft.core.Slices.excludeTag(
+          spark.read.parquet(s"$srcDir/codes"), excludeTag)
+        .drop("list_id", "batch")
+        .join(newLists, Seq(idCol))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dstDir/codes/batch=base")
+    }
   }
 
   /** Top-k over a persisted [[writeIvfIndex]] index — result-identical to
@@ -980,12 +999,8 @@ object Similarity {
     // excludeBatchTag: a replayed ingest tick must not probe its OWN
     // earlier slice (every batch vector is an exact dup of itself there);
     // batch= is a partition level, so exclusion is a directory prune
-    val assigned0 = spark.read.parquet(s"$dir/lists")
-    val assigned = excludeBatchTag match {
-      case Some(t) if assigned0.columns.contains("batch") =>
-        assigned0.filter(col("batch") =!= t)
-      case _ => assigned0
-    }
+    val assigned = graft.core.Slices.excludeTag(
+      spark.read.parquet(s"$dir/lists"), excludeBatchTag)
     probeLists(assigned, centroids, queries, k, nProbe, idCol)
   }
 

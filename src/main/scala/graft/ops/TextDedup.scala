@@ -578,16 +578,9 @@ object TextDedup {
     // excludeTag: the in-loop swap (`DedupStream` with maxSlices) runs
     // compaction at the START of a tick, before the tick's own append —
     // any batch=<tag> slices already present are uncommitted leftovers
-    // of a crashed attempt of THIS tick and must be dropped, not folded
-    // into base, or the replay would dedup the batch against itself
-    def slices(table: String) = {
-      val df0 = spark.read.parquet(s"$srcDir/$table")
-      excludeTag match {
-        case Some(t) if df0.columns.contains("batch") =>
-          df0.filter(col("batch") =!= t)
-        case _ => df0
-      }
-    }
+    // of a crashed attempt of THIS tick (graft.core.Slices contract)
+    def slices(table: String) = graft.core.Slices.excludeTag(
+      spark.read.parquet(s"$srcDir/$table"), excludeTag)
     slices("hashes").select("__h")
       .write.mode("overwrite").parquet(s"$dstDir/hashes/batch=base")
     val idCol = shOldIdCol(spark, s"$srcDir/shingles", "doc_id")
@@ -643,11 +636,8 @@ object TextDedup {
     // empty, breaking replay idempotency. Excluding the tag is a
     // partition-directory prune (batch= is the slice partition column),
     // so the exclusion costs nothing at read time.
-    def excl(df: DataFrame): DataFrame = excludeBatchTag match {
-      case Some(t) if df.columns.contains("batch") =>
-        df.filter(col("batch") =!= t)
-      case _ => df
-    }
+    def excl(df: DataFrame): DataFrame =
+      graft.core.Slices.excludeTag(df, excludeBatchTag)
     val corpusHashes =
       excl(spark.read.parquet(s"$indexDir/hashes")).select("__h")
     val shOld = excl(spark.read.parquet(s"$indexDir/shingles"))

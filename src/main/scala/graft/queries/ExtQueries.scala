@@ -401,49 +401,26 @@ object ExtQueries {
     * the winner's copy is served (bit-identical — the build is
     * deterministic by the repo-wide contract).
     */
-  private def prebuiltIvfPqIndex(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(dir, "embeddings.parquet")
-    val meta = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
-      .filter(f => f.getName != "_SUCCESS" && !f.getName.endsWith(".crc"))
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|") + "|stride=50,m=8,ks=16,maxIter=3"
-    val key = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(meta))
-    val cache = new java.io.File(new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ivfpq_cache"), key)
-    if (!cache.exists()) {
-      val tmp = new java.io.File(
-        cache.getPath + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-      Similarity.writeIvfPqIndex(Tables.embeddings(s, dir), tmp.getPath,
+  private def prebuiltIvfPqIndex(s: SparkSession, dir: String): String =
+    cachedBuild(dir, "embeddings.parquet", "stride=50,m=8,ks=16,maxIter=3",
+      "graft_ivfpq_cache") { tmp =>
+      Similarity.writeIvfPqIndex(Tables.embeddings(s, dir), tmp,
         centroidStride = 50L, m = 8, ks = 16, maxIter = 3)
-      cache.getParentFile.mkdirs()
-      if (!tmp.renameTo(cache)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-        if (!cache.exists())
-          throw new java.io.IOException(s"ivfpq index build rename failed: $tmp")
-      }
-    }
-    cache.getPath
-  }
+    }.getPath
 
-  /** Build-once cache + per-invocation COPY for the ingest-loop seed
-    * indexes (same contract as [[prebuiltIvfPqIndex]]: key = corpus
-    * parquet file metadata + build params, build-into-temp + rename so a
-    * crashed build stays invisible and a lost race serves the winner's
-    * bit-identical copy). Unlike the IVFPQ probe index, an ingest loop
-    * MUTATES its index (tick slices append, compaction swaps), so the
-    * cache is never served directly: every invocation copies it to a
-    * fresh scratch dir — a recursive local copy, milliseconds at fixture
-    * size — and the ticks mutate the copy. This keeps the bench entry
-    * measuring the LOOP (ticks + maintenance), not seed-fixture
-    * construction, across trials and JVMs.
+  /** Build-once machine-wide cache shared by [[prebuiltIvfPqIndex]] and
+    * [[seedIndexCopy]]: the artifact for a (corpus, params) pair is
+    * built at most once per machine and reused across JVMs. The cache
+    * key fingerprints the corpus parquet's file metadata (names, sizes,
+    * mtimes) plus the build params, so a regenerated corpus at the same
+    * path rebuilds instead of serving stale data. Build-into-temp then
+    * rename keeps a crashed build invisible; on a lost rename race the
+    * winner's copy is served (bit-identical — builds are deterministic
+    * by the repo-wide contract).
     */
-  private def seedIndexCopy(
-      s: SparkSession, dir: String, table: String, params: String,
-      cacheName: String)(build: String => Unit): String = {
+  private def cachedBuild(
+      dir: String, table: String, params: String, cacheName: String)(
+      build: String => Unit): java.io.File = {
     val src = new java.io.File(dir, table)
     val meta = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
       .filter(f => f.getName != "_SUCCESS" && !f.getName.endsWith(".crc"))
@@ -461,9 +438,25 @@ object ExtQueries {
       if (!tmp.renameTo(cache)) {
         rmTree(tmp)
         if (!cache.exists())
-          throw new java.io.IOException(s"seed index build rename failed: $tmp")
+          throw new java.io.IOException(s"$cacheName build rename failed: $tmp")
       }
     }
+    cache
+  }
+
+  /** [[cachedBuild]] + per-invocation COPY for the ingest-loop seed
+    * indexes. Unlike the IVFPQ probe index, an ingest loop MUTATES its
+    * index (tick slices append, compaction swaps), so the cache is never
+    * served directly: every invocation copies it to a fresh scratch
+    * dir — a recursive local copy, milliseconds at fixture size — and
+    * the ticks mutate the copy. This keeps the bench entry measuring the
+    * LOOP (ticks + maintenance), not seed-fixture construction, across
+    * trials and JVMs.
+    */
+  private def seedIndexCopy(
+      s: SparkSession, dir: String, table: String, params: String,
+      cacheName: String)(build: String => Unit): String = {
+    val cache = cachedBuild(dir, table, params, cacheName)(build)
     val dst = new java.io.File(graft.core.TmpDirs.scoped(
       s"${cacheName}_copy_${java.util.UUID.randomUUID().toString.take(8)}"))
     copyTree(cache, dst)
@@ -485,6 +478,75 @@ object ExtQueries {
       ()
     }
   }
+
+  /** The two-tick text-loop fixture (corpus, b0, b1), shared by every
+    * `ext_ingest_*` query that pins against [[ingestLoopOracle]]: the id
+    * windows and relabel offsets here are HARDCODED in that oracle's
+    * SQL, so the fixture must be structurally identical across the
+    * family — build it once, here. Relabeled copies plant exact dups vs
+    * the seed (+20000), intra-batch exact pairs (+21000), and dups of
+    * tick-0 survivors (+30000) — the last is the growth proof: those
+    * rows only disappear if the b0 append really grew the index.
+    */
+  private def ingestLoopBatches(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val corpus = docs.filter(col("doc_id") < 300)
+    val b0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .unionByName(docs.filter(col("doc_id") < 6)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 303)
+        .select((col("doc_id") + 21000).as("doc_id"), col("text")))
+    val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    (corpus, b0, b1)
+  }
+
+  /** The text loop's seed index, built once per machine and copied per
+    * invocation ([[seedIndexCopy]]) — one definition so the cache key
+    * and the corpus window can never drift apart across the family.
+    */
+  private def ingestSeedIdx(
+      s: SparkSession, dir: String, corpus: DataFrame): String =
+    seedIndexCopy(s, dir, "documents.parquet",
+      "ingest_seed,k=2,id<300", "graft_ingest_seed_cache")(p =>
+      TextDedup.writeIncrementalIndex(corpus, p, k = 2))
+
+  /** The embedding twin of [[ingestLoopBatches]], shared by every
+    * `ext_embed_ingest_*` query pinning against [[embedLoopOracle]]
+    * (whose SQL hardcodes these id windows and offsets). Negated copies
+    * are fresh content (cosine ≤ ~0.48 vs everything real); verbatim
+    * copies plant exact dups vs the seed (+110000/+150000) and the
+    * intra-batch pair (+120000/+121000); +140000 dups b0 survivors —
+    * the growth proof. This construction keeps the probe provably exact
+    * under ANY centroids (see [[embedTickSql]]), which is what lets the
+    * compaction/rebuild variants share the exact-cosine oracle.
+    */
+  private def embedLoopBatches(
+      emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val corpus = emb.filter(col("vec_id") < 300)
+    def neg(f: DataFrame, off: Long) = f.select(
+      (col("vec_id") + off).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    def cp(f: DataFrame, off: Long) = f.select(
+      (col("vec_id") + off).as("vec_id"), col("embedding"))
+    val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
+      .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
+      .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
+      .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
+    val b1 = neg(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
+      .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
+      .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+    (corpus, b0, b1)
+  }
+
+  /** [[ingestSeedIdx]]'s embedding twin. */
+  private def embedSeedIdx(
+      s: SparkSession, dir: String, corpus: DataFrame): String =
+    seedIndexCopy(s, dir, "embeddings.parquet",
+      "embed_seed,stride=50,id<300", "graft_embed_seed_cache")(p =>
+      Similarity.writeIvfIndex(corpus, p, centroidStride = 50L))
 
   private def wordBigramEdges(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -723,29 +785,16 @@ object ExtQueries {
     // a hash match proves the persisted-index growth path end-to-end:
     // slice appends, replay-safe reads, and cross-tick dedup semantics.
     // Batches are id-pinned windows so the entry costs the same at every
-    // scale; relabeled copies plant exact dups vs the seed (+20000),
-    // intra-batch exact pairs (+21000), and dups of tick-1 survivors
-    // (+30000) — the last is the growth proof: those rows only disappear
-    // if the b0 append really grew the index.
+    // scale; dup plants documented at [[ingestLoopBatches]].
     Q("ext_ingest_loop",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val corpus = docs.filter(col("doc_id") < 300)
-        val b0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-          .unionByName(docs.filter(col("doc_id") < 6)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 303)
-            .select((col("doc_id") + 21000).as("doc_id"), col("text")))
-        val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
-          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
-            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        val (corpus, b0, b1) = ingestLoopBatches(docs)
         // fresh dirs per invocation: a bench re-trial in the same JVM must
         // not see the previous trial's appended slices as corpus
         val run = java.util.UUID.randomUUID.toString.take(8)
         val out = graft.core.TmpDirs.scoped(s"ingest_loop_out_$run")
-        val idx = seedIndexCopy(s, dir, "documents.parquet",
-          "ingest_seed,k=2,id<300", "graft_ingest_seed_cache")(p =>
-          TextDedup.writeIncrementalIndex(corpus, p, k = 2))
+        val idx = ingestSeedIdx(s, dir, corpus)
         graft.streaming.DedupStream.ingestTick(s, b0, idx, out, "b0",
           k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
         graft.streaming.DedupStream.ingestTick(s, b1, idx, out, "b1",
@@ -765,20 +814,10 @@ object ExtQueries {
     Q("ext_ingest_autocompact",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val corpus = docs.filter(col("doc_id") < 300)
-        val b0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-          .unionByName(docs.filter(col("doc_id") < 6)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 303)
-            .select((col("doc_id") + 21000).as("doc_id"), col("text")))
-        val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
-          .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
-            .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        val (corpus, b0, b1) = ingestLoopBatches(docs)
         val run = java.util.UUID.randomUUID.toString.take(8)
         val out = graft.core.TmpDirs.scoped(s"ingest_ac_out_$run")
-        val idx = seedIndexCopy(s, dir, "documents.parquet",
-          "ingest_seed,k=2,id<300", "graft_ingest_seed_cache")(p =>
-          TextDedup.writeIncrementalIndex(corpus, p, k = 2))
+        val idx = ingestSeedIdx(s, dir, corpus)
         graft.streaming.DedupStream.ingestTick(s, b0, idx, out, "b0",
           k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
         require(graft.streaming.DedupStream.compactIfNeeded(
@@ -801,25 +840,10 @@ object ExtQueries {
     Q("ext_embed_ingest_loop",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val corpus = emb.filter(col("vec_id") < 300)
-        def neg(f: DataFrame, off: Long) = f.select(
-          (col("vec_id") + off).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-        def cp(f: DataFrame, off: Long) = f.select(
-          (col("vec_id") + off).as("vec_id"), col("embedding"))
-        val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
-          .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
-          .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
-          .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
-        val b1 = neg(
-            emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
-          .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
-          .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+        val (corpus, b0, b1) = embedLoopBatches(emb)
         val run = java.util.UUID.randomUUID.toString.take(8)
         val out = graft.core.TmpDirs.scoped(s"embed_loop_out_$run")
-        val idx = seedIndexCopy(s, dir, "embeddings.parquet",
-          "embed_seed,stride=50,id<300", "graft_embed_seed_cache")(p =>
-          Similarity.writeIvfIndex(corpus, p, centroidStride = 50L))
+        val idx = embedSeedIdx(s, dir, corpus)
         graft.streaming.EmbedIngest.ingestTick(
           s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
         graft.streaming.EmbedIngest.ingestTick(
@@ -839,25 +863,10 @@ object ExtQueries {
     Q("ext_embed_ingest_autocompact",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val corpus = emb.filter(col("vec_id") < 300)
-        def neg(f: DataFrame, off: Long) = f.select(
-          (col("vec_id") + off).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-        def cp(f: DataFrame, off: Long) = f.select(
-          (col("vec_id") + off).as("vec_id"), col("embedding"))
-        val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
-          .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
-          .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
-          .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
-        val b1 = neg(
-            emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
-          .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
-          .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+        val (corpus, b0, b1) = embedLoopBatches(emb)
         val run = java.util.UUID.randomUUID.toString.take(8)
         val out = graft.core.TmpDirs.scoped(s"embed_ac_out_$run")
-        val idx = seedIndexCopy(s, dir, "embeddings.parquet",
-          "embed_seed,stride=50,id<300", "graft_embed_seed_cache")(p =>
-          Similarity.writeIvfIndex(corpus, p, centroidStride = 50L))
+        val idx = embedSeedIdx(s, dir, corpus)
         graft.streaming.EmbedIngest.ingestTick(
           s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
         require(graft.streaming.EmbedIngest.compactIfNeeded(
@@ -882,25 +891,10 @@ object ExtQueries {
     Q("ext_embed_ingest_rebuild",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val corpus = emb.filter(col("vec_id") < 300)
-        def neg(f: DataFrame, off: Long) = f.select(
-          (col("vec_id") + off).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"))
-        def cp(f: DataFrame, off: Long) = f.select(
-          (col("vec_id") + off).as("vec_id"), col("embedding"))
-        val b0 = neg(emb.filter(col("vec_id") < 50), 100000L)
-          .unionByName(cp(emb.filter(col("vec_id") < 5), 110000L))
-          .unionByName(neg(emb.filter(col("vec_id") === 60), 120000L))
-          .unionByName(neg(emb.filter(col("vec_id") === 60), 121000L))
-        val b1 = neg(
-            emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), 130000L)
-          .unionByName(neg(emb.filter(col("vec_id") < 10), 140000L))
-          .unionByName(cp(emb.filter(col("vec_id") === 7), 150000L))
+        val (corpus, b0, b1) = embedLoopBatches(emb)
         val run = java.util.UUID.randomUUID.toString.take(8)
         val out = graft.core.TmpDirs.scoped(s"embed_rb_out_$run")
-        val idx = seedIndexCopy(s, dir, "embeddings.parquet",
-          "embed_seed,stride=50,id<300", "graft_embed_seed_cache")(p =>
-          Similarity.writeIvfIndex(corpus, p, centroidStride = 50L))
+        val idx = embedSeedIdx(s, dir, corpus)
         graft.streaming.EmbedIngest.ingestTick(
           s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
         graft.core.FsPaths.rebuildAndSwap(s, idx) { dst =>

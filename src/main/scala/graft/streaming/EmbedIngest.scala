@@ -155,14 +155,20 @@ object EmbedIngest {
     require(hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       "hotShareThreshold must be in (0, 1]")
     graft.core.FsPaths.recoverSwap(spark, indexDir)
-    // FS-only short-circuit: with no appended slices (all mass in base —
-    // right after a rebuild/compaction, or a fresh index) there is
-    // nothing to measure drift ON; skip the stats job entirely. The
-    // stats scan itself is cheap when it runs — list_id/batch are
+    // FS-only short-circuit: with no post-training slices (all mass in
+    // `base` — right after a rebuild, or a fresh index) there is nothing
+    // to measure drift ON; skip the stats job entirely. Judged by slice
+    // NAME, not count: compaction folds appended ticks into a single
+    // `batch=appended` slice that is still drift evidence (only a
+    // rebuild retrains the quantizer and resets mass to base), and the
+    // current tag's slices are a crashed replay attempt, not evidence.
+    // The stats scan itself is cheap when it runs — list_id/batch are
     // partition columns and no data column is materialized — but a
     // directory listing is cheaper still
-    if (graft.core.FsPaths.countChildren(spark, s"$indexDir/lists", "batch=")
-        <= 1) return false
+    val appendedSlices = graft.core.FsPaths
+      .childNames(spark, s"$indexDir/lists", "batch=")
+      .filterNot(n => n == "batch=base" || n == s"batch=$currentTag")
+    if (appendedSlices.isEmpty) return false
     val appended = Similarity.ivfListStats(spark, indexDir)
       .filter(col("batch") =!= "base" && col("batch") =!= currentTag)
     val byList = appended.groupBy("list_id").agg(sum("n").as("n"))

@@ -128,7 +128,7 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(got == (1000L until 1005L).map(i => (i, s"doc://$i")).toSet)
   }
 
-  test("compactIvfIndex: one base slice per table, identical probes and ticks") {
+  test("compactIvfIndex: base/appended fold, identical probes and ticks") {
     val (idx, out) = freshDirs()
     val corpus = emb.filter($"vec_id" < 100)
     Similarity.writeIvfPqIndex(corpus, idx, centroidStride = 20L,
@@ -137,10 +137,15 @@ class EmbedIngestSpec extends AnyFunSuite {
     Similarity.appendIvfPqIndex(spark, b0, idx, "b0")
     val dst = Files.createTempDirectory("graft_embing_compact").toString
     Similarity.compactIvfIndex(spark, idx, dst)
+    // post-training mass folds to ONE `appended` slice, never into
+    // `base`: base means "quantizer training era", and relabeling
+    // appended rows would erase the drift monitor's evidence
     def slices(dir: String, table: String): Set[String] =
       new java.io.File(s"$dir/$table").list().filter(_.startsWith("batch=")).toSet
-    assert(slices(dst, "lists") == Set("batch=base"))
-    assert(slices(dst, "codes") == Set("batch=base"))
+    assert(slices(dst, "lists") == Set("batch=base", "batch=appended"))
+    assert(slices(dst, "codes") == Set("batch=base", "batch=appended"))
+    assert(spark.read.parquet(s"$dst/lists")
+      .filter($"batch" === "appended").count() == 20L)
     // frozen artifacts copied verbatim; probes identical on both copies
     val queries = emb.filter($"vec_id" < 10)
     def rows(dir: String): Set[(Long, Long, Int)] =
@@ -293,8 +298,72 @@ class EmbedIngestSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     assert(ids(spark.read.parquet(out)) == Set(1000L, 1001L, 1002L, 3060L))
-    // the compaction wiring ran: slice count stayed bounded
-    assert(graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch=") <= 2,
+    // the compaction wiring ran: slice count stayed bounded (floor is
+    // base + appended + the latest tick's slice = 3, since compaction
+    // keeps post-training mass out of `base` for the drift monitor)
+    assert(graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch=") <= 3,
       "maxSlices=1 stream never compacted")
+  }
+
+  test("rebuildIvfIndex preserves the PQ halves of an IVFPQ index") {
+    val (idx, _) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfPqIndex(corpus, idx, centroidStride = 20L,
+      m = 8, ks = 16, maxIter = 3)
+    val b0 = negated(emb.filter($"vec_id" < 20), 1000L)
+      .unionByName(copies(emb.filter($"vec_id" === 3), 2000L))
+    Similarity.appendIvfPqIndex(spark, b0, idx, "b0")
+    val dst = Files.createTempDirectory("graft_embing_pqrb").toString
+    Similarity.rebuildIvfIndex(spark, idx, dst, centroidStride = 30L)
+    // codebooks are coarse-quantizer-independent (trained on raw
+    // subvectors) — they must survive the rebuild verbatim
+    def cb(dir: String): DataFrame = spark.read.parquet(s"$dir/codebooks")
+    assert(cb(dst).exceptAll(cb(idx)).count() == 0L
+      && cb(idx).exceptAll(cb(dst)).count() == 0L)
+    // every vector's codes survive, re-clustered under the NEW lists
+    val lists = spark.read.parquet(s"$dst/lists")
+      .select($"n_id", $"list_id".as("l_lid"))
+    val codes = spark.read.parquet(s"$dst/codes")
+      .select($"vec_id", $"list_id".as("c_lid"))
+    assert(codes.count() == 121L) // 100 corpus + 20 negated + 1 copy
+    assert(lists.join(codes, $"n_id" === $"vec_id")
+      .filter($"l_lid" =!= $"c_lid").count() == 0L,
+      "codes must re-cluster to the rebuilt list assignment")
+    // the ADC serving path works against the rebuilt index: an exact
+    // twin of a corpus vector is its own nearest neighbor at cosine ~1
+    val q = copies(emb.filter($"vec_id" === 3), 9000L)
+    val top = Similarity.ivfPqTopKIndexed(spark, dst, q, k = 1, nProbe = 2)
+      .select("n_id", "cosine").as[(Long, Double)].collect()
+    assert(top.nonEmpty && Set(3L, 2003L).contains(top.head._1)
+      && top.head._2 > 0.999, s"got ${top.toSeq}")
+  }
+
+  test("in-loop compaction preserves the drift monitor's evidence") {
+    val (idx, out) = freshDirs()
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx,
+      centroidStride = 20L)
+    def drifted(lo: Long, hi: Long, offset: Long): DataFrame =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select(($"vec_id" + offset).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, lit(4.0f)).otherwise(x)).as("embedding"))
+    for (t <- 0 until 2)
+      EmbedIngest.ingestTick(spark, drifted(200L + t * 100, 300L + t * 100, 10000L),
+        idx, out, s"b$t", tau = 0.99, nProbe = 2): Unit
+    // maintenance order of a small-batch loop: compaction folds the
+    // drifted slices BEFORE the appended mass ever reaches minRows
+    assert(EmbedIngest.compactIfNeeded(spark, idx, maxSlices = 1,
+      currentTag = "b2"))
+    def sliceNames(): Set[String] =
+      new java.io.File(s"$idx/lists").list().filter(_.startsWith("batch=")).toSet
+    assert(sliceNames() == Set("batch=base", "batch=appended"))
+    // the folded `appended` slice is still drift evidence: the rebuild
+    // trigger must fire on it (with the old fold-into-base behavior the
+    // evidence was erased and the response permanently disabled)
+    assert(EmbedIngest.rebuildIfDrifted(spark, idx, hotShareThreshold = 0.4,
+      centroidStride = 55L, currentTag = "b2", minRows = 100L),
+      "compaction must not erase the drift evidence")
+    assert(sliceNames() == Set("batch=base"))
+    assert(spark.read.parquet(s"$idx/lists").count() == 400L)
   }
 }

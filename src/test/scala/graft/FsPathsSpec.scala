@@ -61,6 +61,33 @@ class FsPathsSpec extends AnyFunSuite {
     assert(!new java.io.File(live + "__old").exists())
   }
 
+  test("rebuildAndSwap on an interrupted-swap state heals before wiping") {
+    // A prior swap crashed between the two renames: live is missing and
+    // __compact holds the only complete copy. A direct rebuildAndSwap
+    // call (no recoverSwap first — the ext_embed_ingest_rebuild pattern)
+    // must heal that state before its scratch wipe, or the wipe destroys
+    // the index and the build callback reads a nonexistent live dir.
+    val a = tmp("swap-direct-a")
+    val aLive = a + "/idx"
+    write(a + "/idx__compact", "only-copy")
+    FsPaths.rebuildAndSwap(spark, aLive) { dst =>
+      // the heal must have landed the only copy at live before build runs
+      assert(names(aLive) == Set("only-copy"))
+      write(dst, "rebuilt")
+    }
+    assert(names(aLive) == Set("rebuilt"))
+    // same, with __old holding the only copy (crash before the wipe of a
+    // legacy attempt, or a heal raced by a crash)
+    val b = tmp("swap-direct-b")
+    val bLive = b + "/idx"
+    write(b + "/idx__old", "only-copy")
+    FsPaths.rebuildAndSwap(spark, bLive) { dst =>
+      assert(names(bLive) == Set("only-copy"))
+      write(dst, "rebuilt")
+    }
+    assert(names(bLive) == Set("rebuilt"))
+  }
+
   test("recoverSwap heals every crash window") {
     // window 1: after live -> __old, before scratch -> live
     val a = tmp("swap-a")
