@@ -112,6 +112,89 @@ object TextDedup {
     } finally spans.unpersist()
   }
 
+  /** Paragraph-level dedup with document reassembly — the corpus
+    * REWRITE [[duplicatedSpans]] only reports: every paragraph that
+    * occurs more than once in the corpus keeps exactly its FIRST
+    * occurrence (smallest `(id, position)`, within-document repeats
+    * included) and every later occurrence is cut from its document's
+    * text; documents are re-joined from their surviving paragraphs in
+    * original order, and a document whose every paragraph was cut drops
+    * from the output entirely. This is the standard pre-training
+    * curation pass that removes boilerplate (headers, navigation,
+    * license blocks) duplicated ACROSS documents without discarding the
+    * documents themselves (cf. the reference's whole-document dedup,
+    * `/root/reference/src/daily_aggregation.py:61` dropDuplicates —
+    * this operates a level below it).
+    *
+    * `sep` is a LITERAL separator (regex-quoted for the split), used
+    * both to cut paragraphs and to re-join the survivors; empty
+    * segments (doubled separators, leading/trailing) are dropped, so a
+    * reassembled document normalizes separator runs.
+    *
+    * Output: (id, text, n_kept, n_dropped) — one row per surviving
+    * document, text rewritten, counts for audit.
+    *
+    * Scale shape (100 TB): the keep-first decision never shuffles text —
+    * paragraphs travel as (id, pos, md5) rows; one map-side-combined
+    * aggregate on the hash picks the global first occurrence (a Zipf
+    * head paragraph duplicated a million times is ONE group row after
+    * partial aggregation, the same skew defense as [[exactGroups]]),
+    * one narrow-row join marks survivors, and the kept POSITIONS are
+    * folded to a per-document int array. The text column shuffles
+    * exactly once, in the final document-keyed join; reassembly is then
+    * map-only (positional `filter` over the re-split array). Never
+    * all-pairs, no windows, linear in corpus paragraph count.
+    */
+  def dedupParagraphs(
+      docs: DataFrame,
+      sep: String = "\n",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    // global first occurrence per paragraph hash = min over the (id, pos)
+    // pair — a mergeable aggregate (map-side combine), no window. For
+    // integral ids the pair packs into ONE decimal: pos < 2^32 by
+    // construction (array index), so id·2^32 + pos preserves the
+    // lexicographic order for any long id (negatives included) — and a
+    // primitive-buffer min gets a HashAggregate where a struct buffer
+    // would force the SortAggregate this repo has measured at ~2× on
+    // corpus-sized shapes (AggIdiomProbe, PLANS.md). Non-integral ids
+    // fall back to the generic struct min, still map-side combined.
+    val firstKey: Column = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType =>
+        col(idCol).cast("decimal(38,0)") * lit(4294967296L) + col("pos")
+      case _ => struct(col(idCol), col("pos"))
+    }
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "para")))
+      .filter(length(col("para")) > 0)
+      .select(col(idCol), col("pos"), md5(col("para")).as("h"),
+        firstKey.as("graft_k"))
+    val firsts = paras.groupBy("h").agg(min(col("graft_k")).as("graft_f"))
+    val keptPos = paras.join(firsts, Seq("h"))
+      .filter(col("graft_k") === col("graft_f"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("graft_kept"))
+    // inner join: fully-deduplicated documents drop with their text;
+    // reassembly re-splits and filters BY POSITION (posexplode indexed
+    // the raw split, empties included, so raw indices line up)
+    docs.join(keptPos, Seq(idCol))
+      .withColumn("n_kept", size(col("graft_kept")))
+      .withColumn("n_dropped",
+        size(filter(split(col(textCol), sepRe), p => length(p) > 0))
+          - col("n_kept"))
+      .withColumn(textCol, array_join(
+        filter(split(col(textCol), sepRe),
+          (_, i) => array_contains(col("graft_kept"), i)),
+        sep))
+      .select(col(idCol), col(textCol), col("n_kept"), col("n_dropped"))
+  }
+
   /** Positional w-token windows as (id, span_hash) — NOT distinct: a doc
     * repeating its own span still has every window counted against its
     * length. lead() nulls appear only at the partition tail and are

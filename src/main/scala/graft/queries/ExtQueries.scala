@@ -593,6 +593,47 @@ object ExtQueries {
         |  round(coalesce(CAST(d.nd AS DOUBLE) / d.nw, 0), 6) AS dup_span_frac
         |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin)),
 
+    // Paragraph-level dedup with document reassembly (the corpus
+    // REWRITE ext_dedup_spans only reports): the fixture corpus has no
+    // paragraph breaks, so both engines first derive paragraphs as
+    // 25-token chunks joined by '\n' — the same deterministic rewrite —
+    // then keep only each paragraph's global first (doc_id, pos)
+    // occurrence and re-join the survivors in order. Fully-deduplicated
+    // documents drop (1 of 500 at sf0.01).
+    Q("ext_dedup_paragraphs",
+      (s, dir) => {
+        val chunked = Tables.documents(s, dir).select("doc_id", "text")
+          .withColumn("graft_ws", split(col("text"), " "))
+          .withColumn("text", array_join(
+            transform(
+              sequence(lit(0),
+                ceil(size(col("graft_ws")) / lit(25.0)).cast("int") - 1),
+              i => array_join(slice(col("graft_ws"), i * 25 + 1, lit(25)), " ")),
+            "\n"))
+          .drop("graft_ws")
+        TextDedup.dedupParagraphs(chunked)
+      },
+      Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |paras AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[CAST(i*25+1 AS INT):CAST((i+1)*25 AS INT)], ' ') AS para
+        |  FROM ws, LATERAL (SELECT unnest(range(0, CAST(ceil(len(w)/25.0) AS BIGINT))) AS i)),
+        |firsts AS (
+        |  SELECT para, min(struct_pack(doc_id := doc_id, pos := pos)) AS f
+        |  FROM paras GROUP BY para),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.para
+        |  FROM paras p JOIN firsts f ON p.para = f.para
+        |  WHERE p.doc_id = f.f.doc_id AND p.pos = f.f.pos),
+        |totals AS (SELECT doc_id, count(*) AS n_total FROM paras GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |  array_to_string(list(k.para ORDER BY k.pos), chr(10)) AS text,
+        |  CAST(count(*) AS INT) AS n_kept,
+        |  CAST(any_value(t.n_total) - count(*) AS INT) AS n_dropped
+        |FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+        |GROUP BY k.doc_id""".stripMargin)),
+
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
     Q("ext_dedup_jaccard",
       // df cap disabled here so the result is EXACTLY the tau>=0.8 pairs

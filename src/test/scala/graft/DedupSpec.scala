@@ -469,4 +469,42 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.count() == docs.count())
     assert(kept.filter($"doc_id" === 90001L).isEmpty)
   }
+
+  test("dedupParagraphs: keep-first rewrite, reassembly, full-dedup drop") {
+    val df = Seq(
+      // doc 1: unique + the shared boilerplate + a within-doc repeat
+      (1L, "alpha beta\nBOILER\ngamma\ngamma"),
+      // doc 2: boilerplate first again (loses to doc 1), own content,
+      // doubled separator -> empty segment dropped in reassembly
+      (2L, "BOILER\ndelta\n\nepsilon"),
+      // doc 3: nothing but already-seen paragraphs -> drops entirely
+      (3L, "BOILER\ngamma"),
+      // doc 4: untouched document passes through byte-identical
+      (4L, "zeta\neta")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(df)
+      .select("doc_id", "text", "n_kept", "n_dropped")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      // within-doc repeat of "gamma" cut; BOILER's first home is doc 1
+      (1L, "alpha beta\nBOILER\ngamma", 3, 1),
+      (2L, "delta\nepsilon", 2, 1),
+      (4L, "zeta\neta", 2, 0)))
+    // order preservation: a kept paragraph AFTER a cut one keeps its place
+    val order = TextDedup.dedupParagraphs(
+      Seq((1L, "x\ny"), (2L, "a\nx\nb")).toDF("doc_id", "text"))
+      .filter($"doc_id" === 2L).select("text").as[String].head()
+    assert(order == "a\nb")
+    // literal (non-regex) separator: '.' must not split on every char
+    val dotted = TextDedup.dedupParagraphs(
+      Seq((1L, "p.q"), (2L, "q.r")).toDF("doc_id", "text"), sep = ".")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(dotted == Set((1L, "p.q"), (2L, "r")))
+    // non-integral ids take the generic struct-min path — same keep-first
+    // semantics, lexicographic over (id, pos)
+    val byName = TextDedup.dedupParagraphs(
+      Seq(("a", "x\ny"), ("b", "a\nx\nb")).toDF("doc_id", "text"))
+      .select("doc_id", "text").as[(String, String)].collect().toSet
+    assert(byName == Set(("a", "x\ny"), ("b", "a\nb")))
+  }
 }
