@@ -129,7 +129,10 @@ object TextDedup {
     * `sep` is a LITERAL separator (regex-quoted for the split), used
     * both to cut paragraphs and to re-join the survivors; empty
     * segments (doubled separators, leading/trailing) are dropped, so a
-    * reassembled document normalizes separator runs.
+    * reassembled document normalizes separator runs. A document with NO
+    * non-empty paragraph (empty/all-separator text) therefore also
+    * drops — there is nothing to keep, and emitting an empty rewrite
+    * would re-introduce the blank rows every downstream stage filters.
     *
     * Output: (id, text, n_kept, n_dropped) — one row per surviving
     * document, text rewritten, counts for audit.
@@ -149,7 +152,8 @@ object TextDedup {
       docs: DataFrame,
       sep: String = "\n",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     val sepRe = java.util.regex.Pattern.quote(sep)
     // global first occurrence per paragraph hash = min over the (id, pos)
@@ -169,17 +173,26 @@ object TextDedup {
         col(idCol).cast("decimal(38,0)") * lit(4294967296L) + col("pos")
       case _ => struct(col(idCol), col("pos"))
     }
+    // the narrow paras frame has two consumers (the firsts aggregate and
+    // the join probe side) whose exchanges differ, so ReuseExchange can't
+    // deduplicate them — persist it, or the corpus is split + hashed
+    // TWICE (same two-consumer contract as [[duplicatedSpans]])
     val paras = docs
       .select(col(idCol),
         posexplode(split(col(textCol), sepRe)).as(Seq("pos", "para")))
       .filter(length(col("para")) > 0)
       .select(col(idCol), col("pos"), md5(col("para")).as("h"),
         firstKey.as("graft_k"))
-    val firsts = paras.groupBy("h").agg(min(col("graft_k")).as("graft_f"))
-    val keptPos = paras.join(firsts, Seq("h"))
-      .filter(col("graft_k") === col("graft_f"))
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(col("pos"))).as("graft_kept"))
+      .persist()
+    val keptPos = try {
+      paras.count() // fill the persist before the two consumers race
+      val firsts = paras.groupBy("h").agg(min(col("graft_k")).as("graft_f"))
+      eager(paras.join(firsts, Seq("h"))
+        .filter(col("graft_k") === col("graft_f"))
+        .groupBy(idCol)
+        .agg(sort_array(collect_list(col("pos"))).as("graft_kept")),
+        checkpointDir)
+    } finally paras.unpersist()
     // inner join: fully-deduplicated documents drop with their text;
     // reassembly re-splits and filters BY POSITION (posexplode indexed
     // the raw split, empties included, so raw indices line up)

@@ -548,6 +548,30 @@ object ExtQueries {
       "embed_seed,stride=50,id<300", "graft_embed_seed_cache")(p =>
       Similarity.writeIvfIndex(corpus, p, centroidStride = 50L))
 
+  /** The deterministic paragraph fixture for `ext_dedup_paragraphs` and
+    * its scale probe (ParaDedupScaleBench): the corpus has no paragraph
+    * breaks, so both engines derive them as `width`-token chunks joined
+    * by '\n'. Newlines are normalized to spaces and empty tokens dropped
+    * BEFORE chunking, so a future fixture containing newlines, empty
+    * texts, or space runs cannot make a chunk that re-splits differently
+    * than the oracle counts it — the oracle SQL mirrors this with
+    * `replace(text, chr(10), ' ')` + `list_filter`. One definition so
+    * the probe can never drift from the query it pins.
+    */
+  private[graft] def chunkedDocs(docs: DataFrame, width: Int = 25): DataFrame =
+    docs
+      .withColumn("graft_ws",
+        filter(split(translate(col("text"), "\n", " "), " "),
+          t => length(t) > 0))
+      .withColumn("text", array_join(
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("graft_ws")) / lit(width.toDouble))
+              .cast("int"), lit(1)) - 1),
+          i => array_join(slice(col("graft_ws"), i * width + 1, lit(width)), " ")),
+        "\n"))
+      .drop("graft_ws")
+
   private def wordBigramEdges(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(split(col("text"), " ").as("ws"))
@@ -601,20 +625,13 @@ object ExtQueries {
     // occurrence and re-join the survivors in order. Fully-deduplicated
     // documents drop (1 of 500 at sf0.01).
     Q("ext_dedup_paragraphs",
-      (s, dir) => {
-        val chunked = Tables.documents(s, dir).select("doc_id", "text")
-          .withColumn("graft_ws", split(col("text"), " "))
-          .withColumn("text", array_join(
-            transform(
-              sequence(lit(0),
-                ceil(size(col("graft_ws")) / lit(25.0)).cast("int") - 1),
-              i => array_join(slice(col("graft_ws"), i * 25 + 1, lit(25)), " ")),
-            "\n"))
-          .drop("graft_ws")
-        TextDedup.dedupParagraphs(chunked)
-      },
+      (s, dir) => TextDedup.dedupParagraphs(
+        chunkedDocs(Tables.documents(s, dir).select("doc_id", "text"))),
       Some("""WITH ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id,
+        |    list_filter(string_split(replace(text, chr(10), ' '), ' '),
+        |                t -> t <> '') AS w
+        |  FROM documents),
         |paras AS (
         |  SELECT doc_id, i AS pos,
         |    array_to_string(w[CAST(i*25+1 AS INT):CAST((i+1)*25 AS INT)], ' ') AS para

@@ -27,18 +27,21 @@ object ParaDedupScaleBench {
     val trials = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = BenchUtil.scaleSession()
 
-    // same 25-token chunking as the ext_dedup_paragraphs catalog entry
-    val chunked = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .withColumn("graft_ws", split(col("text"), " "))
-      .withColumn("text", array_join(
-        transform(
-          sequence(lit(0),
-            ceil(size(col("graft_ws")) / lit(25.0)).cast("int") - 1),
-          i => array_join(slice(col("graft_ws"), i * 25 + 1, lit(25)), " ")),
-        "\n"))
-      .drop("graft_ws")
+    // the SAME chunk builder as the ext_dedup_paragraphs catalog entry —
+    // shared definition, so the probe can't drift from the query it pins
+    val chunked = graft.queries.ExtQueries.chunkedDocs(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     val dir = graft.core.TmpDirs.scoped("para_corpus")
-    BenchUtil.replicateById(chunked, "doc_id", reps)
+    // explode form: a 2000-branch union chokes the analyzer at the 10M
+    // point long before any data moves (same guard as ZipfDedupBench);
+    // repartition before the write so the measured read starts from the
+    // same even 128-file layout at every rep count — replicateExplode
+    // otherwise emits as few files as the SOURCE had tasks, and a
+    // 2-file 10M-row corpus would confound the measurement with read
+    // parallelism
+    (if (reps > 64) BenchUtil.replicateExplode(chunked, "doc_id", reps)
+     else BenchUtil.replicateById(chunked, "doc_id", reps))
+      .repartition(128)
       .write.mode("overwrite").parquet(dir)
     val corpus = spark.read.parquet(dir)
     val n = corpus.count()

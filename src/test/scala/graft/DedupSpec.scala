@@ -507,4 +507,21 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(String, String)].collect().toSet
     assert(byName == Set(("a", "x\ny"), ("b", "a\nb")))
   }
+
+  test("chunkedDocs normalizes pathological text; empty docs drop cleanly") {
+    // the ext_dedup_paragraphs fixture builder must not let embedded
+    // newlines, empty texts, or space runs produce chunks that re-split
+    // differently than the oracle counts them
+    val df = Seq((1L, "a b\nc"), (2L, ""), (3L, "\n \n"), (4L, "d  e"))
+      .toDF("doc_id", "text")
+    val ch = graft.queries.ExtQueries.chunkedDocs(df, width = 2)
+      .as[(Long, String)].collect().toMap
+    assert(ch(1L) == "a b\nc") // newline folded into the token stream
+    assert(ch(2L) == "" && ch(3L) == "") // degenerate docs -> empty text
+    assert(ch(4L) == "d e") // space run never yields an empty token
+    // and the degenerate docs drop from the rewrite (nothing to keep)
+    val out = TextDedup.dedupParagraphs(
+      graft.queries.ExtQueries.chunkedDocs(df, width = 2))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
 }
