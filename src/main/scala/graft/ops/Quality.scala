@@ -234,8 +234,8 @@ object Quality {
     * count reaches ceil(p·n). Derived from the per-value count table
     * with a cumulative window over DISTINCT values only, then collected
     * — a bounded (≤ bins-1 doubles) driver artifact.
-    */
-  /** Scale caveat (the honest 100 TB audit): the cumulative window here
+    *
+    * Scale caveat (the honest 100 TB audit): the cumulative window here
     * runs over the DISTINCT value domain — bounded and cheap for gridded
     * data (2-dp telemetry, counts, categorical codes), but a CONTINUOUS
     * double column has ~n distinct values, so the single-partition
@@ -257,14 +257,40 @@ object Quality {
     val cum = vc.withColumn("__cum", sum("__c").over(w))
       .withColumn("__n", sum("__c").over(Window.partitionBy()))
     val targets = (1 until bins).map(i => i.toDouble / bins)
-    val edgeCols = targets.zipWithIndex.map { case (p, i) =>
-      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(s"e$i")
-    }
+    val edgeCols = edgeAggs(targets)
     val row = cum.agg(edgeCols.head, edgeCols.tail: _*).head()
     targets.indices.map { i =>
       require(!row.isNullAt(i), s"reference snapshot has no non-null '$column'")
       row.getDouble(i)
     }
+  }
+
+  /** The percentile_disc rank-selection aggregates shared by
+    * [[quantileEdges]] and [[driftReport]]'s melted multi-column edge
+    * pass — smallest `__v` whose running count `__cum` reaches
+    * ceil(p·`__n`). One definition so the edge formula cannot drift
+    * between the single-column and melted forms.
+    */
+  private def edgeAggs(targets: Seq[Double]): Seq[Column] =
+    targets.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(s"e$i")
+    }
+
+  /** The Laplace-smoothed PSI bucket term shared by
+    * [[psiTermsFromHistogram]] (psiDrift, psiCategorical, and the
+    * streaming twins ride through it) and [[driftReport]] — ONE
+    * definition of the smoothing and the 6-dp ln rounding, so the
+    * stream ≡ batch ≡ report parity pins rest on shared code, not on
+    * three hand-kept copies: p = (cnt + 0.5) / (n + 0.5·bins),
+    * term = round((p_cur − p_ref)·ln(p_cur/p_ref), 6).
+    */
+  private[graft] def psiTerm(refN: Long, refTotal: Long,
+      curN: Column, curTotal: Column, bins: Int): Column = {
+    val pr = (lit(refN.toDouble) + 0.5) /
+      (lit(refTotal.toDouble) + lit(0.5) * bins)
+    val pc = (curN.cast("double") + 0.5) /
+      (curTotal.cast("double") + lit(0.5) * bins)
+    round((pc - pr) * log(pc / pr), 6)
   }
 
   /** Population Stability Index between a reference snapshot and a
@@ -367,13 +393,9 @@ object Quality {
     def curN(i: Int): Column = coalesce(col(s"__n_$i"), lit(0L))
     val curTotal = spine.indices.map(curN).reduce(_ + _)
     val rows = spine.zipWithIndex.map { case ((label, refN), i) =>
-      val pr = (lit(refN.toDouble) + 0.5) /
-        (lit(refTotal.toDouble) + lit(0.5) * bins)
-      val pc = (curN(i).cast("double") + 0.5) /
-        (curTotal.cast("double") + lit(0.5) * bins)
       struct(label.as(labelName), lit(refN).as("ref_n"),
         curN(i).as("cur_n"),
-        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+        psiTerm(refN, refTotal, curN(i), curTotal, bins).as("psi_term"))
     }
     agg.select(keyCols.map(col) :+ explode(array(rows: _*)).as("__s"): _*)
       .select(keyCols.map(col) ++ Seq(col(s"__s.$labelName"), col("__s.ref_n"),
@@ -431,70 +453,81 @@ object Quality {
       s"duplicate monitored columns: ${columns.diff(columns.distinct).mkString(", ")}")
     require(bins >= 2, "need at least 2 bins")
 
-    // 1) all columns' exact edges from one melted pass
+    // 1) all columns' exact edges from one melted pass. The per-value
+    // count frame has a SECOND consumer (the reference histogram below),
+    // so it is persisted — without it the lineage would re-scan the full
+    // reference table, the avoidable pass a nightly run keeps paying.
     val melted = ref.select(explode(array(columns.map(c =>
         struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("s"))
       .select(col("s.c").as("__c"), col("s.v").as("__v"))
       .filter(col("__v").isNotNull)
     val vc = melted.groupBy("__c", "__v").agg(count(lit(1)).as("__cnt"))
-    val byCol = Window.partitionBy(col("__c")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vc
-      .withColumn("__cum", sum("__cnt").over(byCol))
-      .withColumn("__n", sum("__cnt").over(Window.partitionBy(col("__c"))))
-    val targets = (1 until bins).map(i => i.toDouble / bins)
-    val edgeAggs = targets.zipWithIndex.map { case (p, i) =>
-      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(s"e$i")
-    }
-    val edgeRows = cum.groupBy("__c").agg(edgeAggs.head, edgeAggs.tail: _*)
-      .collect()
-      .map(r => r.getString(0) -> targets.indices.map(i => r.getDouble(i + 1)))
-      .toMap
-    columns.foreach { c =>
-      require(edgeRows.contains(c), s"reference snapshot has no non-null '$c'")
-    }
+      .persist()
+    try {
+      val byCol = Window.partitionBy(col("__c")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc
+        .withColumn("__cum", sum("__cnt").over(byCol))
+        .withColumn("__n", sum("__cnt").over(Window.partitionBy(col("__c"))))
+      val targets = (1 until bins).map(i => i.toDouble / bins)
+      val eAggs = edgeAggs(targets) // shared with quantileEdges
+      val edgeRows = cum.groupBy("__c").agg(eAggs.head, eAggs.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> targets.indices.map(i => r.getDouble(i + 1)))
+        .toMap
+      columns.foreach { c =>
+        require(edgeRows.contains(c), s"reference snapshot has no non-null '$c'")
+      }
 
-    // 2) one histogram aggregate per snapshot: k×bins null-guarded sums
-    // (guard on the CAST value — a cast-failing value is a null here,
-    // matching the melted edge pass above)
-    def histogram(df: DataFrame, tag: String): DataFrame = {
-      val aggs = for {
+      // 2) reference histogram FROM the persisted value-count frame —
+      // the reference table itself is never scanned a second time; the
+      // bucket fold runs over the (small) distinct-value domain. The
+      // k×bins longs are a bounded driver artifact, collected here like
+      // psiDrift's refCounts spine.
+      val rAggs = for {
+        (c, ci) <- columns.zipWithIndex; b <- 0 until bins
+      } yield sum(when(col("__c") === c &&
+          bucketOf(col("__v"), edgeRows(c)) === b, col("__cnt"))
+          .otherwise(0L)).as(s"__r_${ci}_$b")
+      val refRow = vc.agg(rAggs.head, rAggs.tail: _*).head()
+      val refN = Array.tabulate(columns.size, bins)(
+        (ci, b) => refRow.getLong(ci * bins + b))
+
+      // 3) one histogram aggregate over the CURRENT snapshot (cast
+      // guard: a cast-failing value is a null here, matching the melted
+      // edge pass), then the shared smoothed projection (sums coalesced:
+      // a zero-row snapshot must yield the smoothed floor, not null psi
+      // terms — see psiTermsFromHistogram)
+      val curAggs = for {
         (c, ci) <- columns.zipWithIndex; b <- 0 until bins
       } yield sum(when(col(c).cast("double").isNotNull &&
           bucketExpr(c, edgeRows(c)) === b, 1L).otherwise(0L))
-        .as(s"__${tag}_${ci}_$b")
-      df.agg(aggs.head, aggs.tail: _*)
-    }
-    val r = histogram(ref, "r")
-    val c2 = histogram(cur, "c")
-
-    // 3) stateless projection over the crossed 1-row frames (sums
-    // coalesced: a zero-row snapshot must yield the smoothed floor, not
-    // null psi terms — see psiTermsFromHistogram)
-    val joined = r.crossJoin(c2)
-    def cnt(tag: String, ci: Int, b: Int): Column =
-      coalesce(col(s"__${tag}_${ci}_$b"), lit(0L))
-    val rows = for {
-      (cName, ci) <- columns.zipWithIndex; b <- 0 until bins
-    } yield {
-      val refN = cnt("r", ci, b)
-      val curN = cnt("c", ci, b)
-      val nr = (0 until bins).map(i => cnt("r", ci, i)).reduce(_ + _)
-      val nc = (0 until bins).map(i => cnt("c", ci, i)).reduce(_ + _)
-      val pr = (refN.cast("double") + 0.5) / (nr.cast("double") + lit(0.5) * bins)
-      val pc = (curN.cast("double") + 0.5) / (nc.cast("double") + lit(0.5) * bins)
-      struct(lit(cName).as("col_name"), lit(b).as("bucket"),
-        refN.as("ref_n"), curN.as("cur_n"),
-        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
-    }
-    joined.select(explode(array(rows: _*)).as("s")).select("s.*")
+        .as(s"__c_${ci}_$b")
+      val c2 = cur.agg(curAggs.head, curAggs.tail: _*)
+      def cnt(ci: Int, b: Int): Column =
+        coalesce(col(s"__c_${ci}_$b"), lit(0L))
+      val curTotals = columns.indices.map(ci =>
+        (0 until bins).map(cnt(ci, _)).reduce(_ + _))
+      val rows = for {
+        (cName, ci) <- columns.zipWithIndex; b <- 0 until bins
+      } yield struct(lit(cName).as("col_name"), lit(b).as("bucket"),
+        lit(refN(ci)(b)).as("ref_n"), cnt(ci, b).as("cur_n"),
+        psiTerm(refN(ci)(b), refN(ci).sum, cnt(ci, b), curTotals(ci), bins)
+          .as("psi_term"))
+      c2.select(explode(array(rows: _*)).as("s")).select("s.*")
+    } finally { vc.unpersist(); () }
   }
 
   /** Bucket index of `column` against sorted quantile `edges`: the
     * number of edges <= v (a codegen'd comparison fold, map-only). */
   private[graft] def bucketExpr(column: String, edges: Seq[Double]): Column =
+    bucketOf(col(column).cast("double"), edges)
+
+  /** [[bucketExpr]] over an already-cast value column — the form the
+    * melted frames (one `__v` column for many source columns) need. */
+  private[graft] def bucketOf(v: Column, edges: Seq[Double]): Column =
     edges.foldLeft(lit(0)) { (acc, e) =>
-      acc + when(col(column).cast("double") >= e, 1).otherwise(0)
+      acc + when(v >= e, 1).otherwise(0)
     }
 
   /** One conditional-sum column per bucket — the numeric histogram of
@@ -560,6 +593,9 @@ object Quality {
         .collect()
         .map(r => (r.getString(0), r.getLong(1)))
         .toSeq
+      // explicit failure like quantileEdges' — without it the total
+      // sum below reads a null and dies with a bare NullPointerException
+      require(top.nonEmpty, s"reference snapshot has no non-null '$column'")
       // "(other)" is this spine's reserved tail label; a REAL category
       // with that exact name in the top-K would double-count its rows
       // (they'd match both their own bucket and the tail) — refuse
@@ -646,7 +682,14 @@ object Quality {
       .join(counts(ref, "__cr"), Seq("bucket"), "left")
       .join(counts(cur, "__cc"), Seq("bucket"), "left")
       .na.fill(0L, Seq("__cr", "__cc"))
+    // both-sides-empty must be a NULL ks ("genuinely undefined" — the
+    // ksEpilogue contract ksDrift gets for free from its empty per-point
+    // frame); the always-populated bucket spine here would otherwise
+    // report |0−0| = 0.0 and a monitor would read two empty snapshots
+    // as a healthy no-drift signal
     ksEpilogue(j, orderCol = "bucket")
+      .withColumn("ks", when(col("ref_n") === 0 && col("cur_n") === 0,
+        lit(null).cast("double")).otherwise(col("ks")))
   }
 
   /** Winsorization summary: exact per-group percentile bounds at pLo/pHi

@@ -57,6 +57,12 @@ object StreamingPipeline {
     if (rocksDbStateStore)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else
+      // explicit false must MEAN the HDFS-backed default: unset rather
+      // than skip, or a provider left behind by an earlier RocksDB
+      // configuration on the same session silently survives into this
+      // query's checkpoint
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   /** [[configureStateSizing]] scoped to one query start: applies the

@@ -117,6 +117,15 @@ class QualitySpec extends AnyFunSuite {
     val (rb, cb, db) = Quality.ksDriftBinned(ref, none, "value", Seq(2.0))
       .as[(Long, Long, Double)].head()
     assert((rb, cb, db) == ((3L, 0L, 1.0)))
+    // BOTH sides empty: ks is null (genuinely undefined) in the binned
+    // form too — its always-populated bucket spine must not turn two
+    // empty snapshots into a healthy-looking ks = 0.0
+    val bothEmpty = Quality.ksDriftBinned(none, none, "value", Seq(2.0))
+      .select("ref_n", "cur_n", "ks").head()
+    assert(bothEmpty.getLong(0) == 0L && bothEmpty.getLong(1) == 0L
+      && bothEmpty.isNullAt(2), s"got $bothEmpty")
+    val exactEmpty = Quality.ksDrift(none, none, "value").select("ks").head()
+    assert(exactEmpty.isNullAt(0))
   }
 
   test("winsorize: a null group key is a real group, not silently dropped") {
@@ -283,6 +292,13 @@ class QualitySpec extends AnyFunSuite {
       Quality.categorySpine(bad, "cat", topK = 1)
     }
     assert(e.getMessage.contains("reserved"))
+    // an all-null reference fails with the explicit quantileEdges-style
+    // message, not a bare NullPointerException from a null total sum
+    val allNull = Seq(Option.empty[String], None).toDF("cat")
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.categorySpine(allNull, "cat", topK = 1)
+    }
+    assert(e2.getMessage.contains("no non-null"))
     // below the top-K it folds into the tail like any other value
     val ok = Quality.categorySpine(
       Seq("a", "a", "a", "(other)").toDF("cat"), "cat", topK = 1)

@@ -39,6 +39,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.conf.get("spark.sql.shuffle.partitions") == "16")
     assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass")
       .contains("RocksDBStateStoreProvider"))
+    // an explicit false must CLEAR a previously-set RocksDB provider,
+    // not silently keep it — rocksDbStateStore=false means "the
+    // HDFS-backed default", the measured 1-machine-geometry winner
+    graft.streaming.StreamingPipeline.configureStateSizing(
+      s2, statePartitions = 16, rocksDbStateStore = false)
+    assert(s2.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", defaultProvider) == defaultProvider)
     intercept[IllegalArgumentException](
       graft.streaming.StreamingPipeline.configureStateSizing(s2, statePartitions = 0))
   }
