@@ -72,15 +72,22 @@ object Curation {
       truncate: Boolean = true,
       textCol: String = "text"): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    // drop empty tokens — the repo-wide whitespace-token convention
-    // (ngramTf/featurize do the same): runs of spaces must not count as
-    // extra tokens or shift the truncation point. Capped docs re-join
-    // with single spaces (whitespace-normalized); uncapped text passes
-    // through byte-identical.
+    // Token count drops empty tokens (the convention the shingle/n-gram
+    // consumers share: ngramTf/featurize do the same), so runs of spaces
+    // never shift the TRUNCATION POINT. The CAP DECISION additionally
+    // bounds the RAW split size — that is the memory-relevant quantity:
+    // a document of separator runs has few tokens but materializes a
+    // huge transient array in every split-based consumer (including the
+    // raw-count conventions of stats/resampleToMixture/pack), and a
+    // guard that let it through uncapped would not be a memory guard.
+    // Capped docs re-join with single spaces (whitespace-normalized);
+    // uncapped text passes through byte-identical.
     val ws = filter(split(col(textCol), " "), t => length(t) > 0)
+    val rawN = size(split(col(textCol), " "))
     val base = docs
       .withColumn("n_tokens_orig", size(ws).cast("long"))
-      .withColumn("capped", (col("n_tokens_orig") > maxTokens).cast("int"))
+      .withColumn("capped",
+        (col("n_tokens_orig") > maxTokens || rawN > maxTokens).cast("int"))
     if (truncate)
       base.withColumn(textCol,
         when(col("capped") === 1, concat_ws(" ", slice(ws, 1, maxTokens)))
@@ -93,7 +100,10 @@ object Curation {
     */
   def qualityGate(docs: DataFrame, minWords: Int, minQuality: Double): DataFrame = {
     val st = TextAnalysis.stats(docs).select("doc_id", "n_words", "quality_score")
-    docs.join(st, "doc_id")
+    // drop any same-named input columns first: re-gating an already
+    // scored frame must replace the columns, not produce ambiguous
+    // duplicates
+    docs.drop("n_words", "quality_score").join(st, "doc_id")
       .filter(col("n_words") >= minWords && col("quality_score") >= minQuality)
   }
 
@@ -130,7 +140,15 @@ object Curation {
       docs: DataFrame,
       maxPerDomain: Int,
       domainCol: String = "source"): DataFrame = {
-    val st = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    // reuse an input quality_score when the caller already computed one
+    // (the natural capPerDomain(qualityGate(...)) composition) — both
+    // skipping the second full stats scan and keeping the output free of
+    // ambiguous duplicate columns; the join below re-attaches the score
+    // from the ranked side, so the input copy is dropped either way
+    val st =
+      if (docs.columns.contains("quality_score"))
+        docs.select(col("doc_id"), col("quality_score"))
+      else TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
@@ -138,11 +156,12 @@ object Curation {
     // back — the full text never crosses the domain-partitioned exchange
     // or its sort, which is what spills when a head domain out-sizes an
     // executor
-    val ranked = docs.select(col("doc_id"), col(domainCol)).join(st, "doc_id")
+    val ranked = docs.select(col("doc_id"), col(domainCol))
+      .join(st, "doc_id")
       .withColumn("domain_rank", row_number().over(w))
       .filter(col("domain_rank") <= maxPerDomain)
       .select(col("doc_id"), col("quality_score"), col("domain_rank"))
-    docs.join(ranked, "doc_id")
+    docs.drop("quality_score", "domain_rank").join(ranked, "doc_id")
   }
 
   /** Mixture resampling to target token shares — the up/down-sampling
@@ -525,9 +544,12 @@ object Curation {
     * For a bit-reproducible sample use [[dsirSelect]]; this form trades
     * that for never merging k rows on the driver.
     *
-    * @param knownN corpus row count when the caller already has it (a
-    *               pipeline usually does) — skips the extra count() job;
-    *               `None` counts the scored frame.
+    * @param knownN the SCORED-frame row count when the caller already
+    *               has it — skips the extra count() job. This is NOT
+    *               the raw corpus count: documents with fewer than `n`
+    *               tokens drop out of the importance join, and a corpus
+    *               count here silently under-samples by that fraction.
+    *               `None` (the safe default) counts the scored frame.
     * @return the ≈k sampled rows of `raw` plus (log_w, gumbel_key,
     *         key_threshold); empty input returns the empty keyed frame
     *         (no NaN percentage reaches the quantile sketch).
@@ -557,7 +579,11 @@ object Curation {
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // percentile_approx needs a FOLDABLE percentage, so the scored count
     // is one scalar job over the checkpointed keys unless the caller
-    // supplied it (at pipeline scale N is usually already known)
+    // supplied it. knownN is the SCORED-frame count — raw docs shorter
+    // than the n-gram order drop out of the importance join, so passing
+    // the raw corpus count here silently under-samples by the short-doc
+    // fraction (frac would be computed against the wrong denominator);
+    // omit it unless the scored count is genuinely already known
     val nRows = knownN.getOrElse(keyed.count())
     if (nRows == 0L)
       return keyed.withColumn("key_threshold", lit(null).cast("double"))

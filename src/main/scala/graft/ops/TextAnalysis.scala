@@ -97,17 +97,27 @@ object TextAnalysis {
     val langs = profiles.keys.toSeq.sorted
     def score(l: String): Column =
       profiles(l).map { g =>
+        // bind the gram as a VALUE, never spliced into SQL text (the
+        // mergePair rule): a trained profile's gram may carry quotes or
+        // backslashes — " l'" is among the most frequent French grams —
+        // and a spliced expr() would die at parse time or match the
+        // wrong string
         ((length(col("graft_padded")) -
-          length(expr(s"replace(graft_padded, '$g', '')"))) / lit(g.length)).cast("int")
+          length(replace(col("graft_padded"), lit(g)))) / lit(g.length))
+          .cast("int")
       }.reduce(_ + _)
     val scored = docs
       // pad with spaces so boundary grams match at text edges
       .withColumn("graft_padded", concat(lit(" "), col(textCol), lit(" ")))
       .select(col(idCol) +: langs.map(l => score(l).as(s"hits_$l")): _*)
+    // greatest() needs >= 2 children — a single-profile map (is-it-X-or-
+    // und deployment) is legitimate and must not die at plan time
+    val maxHits =
+      if (langs.size == 1) col(s"hits_${langs.head}")
+      else greatest(langs.map(x => col(s"hits_$x")): _*)
     // argmax with deterministic tiebreak: first lang (sorted) with max hits
     val best = langs.foldRight(lit("und")) { (l, acc) =>
-      when(col(s"hits_$l") === greatest(langs.map(x => col(s"hits_$x")): _*) &&
-        greatest(langs.map(x => col(s"hits_$x")): _*) > 0, lit(l)).otherwise(acc)
+      when(col(s"hits_$l") === maxHits && maxHits > 0, lit(l)).otherwise(acc)
     }
     scored.withColumn("lang_pred", best)
       .select(Seq(col(idCol), col("lang_pred")) ++ langs.map(l => col(s"hits_$l")): _*)
@@ -172,8 +182,13 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
+    // DISK-backed checkpoint, not the default deserialized in-memory
+    // level: the per-(doc, term) table is token-stream-sized, and the
+    // default level starves the downstream hash aggregates of execution
+    // memory (the measured AGGREGATE_OUT_OF_MEMORY failure
+    // Curation.importanceWeights documents; same shape here)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val corpus = dl.agg(
@@ -297,8 +312,9 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol), explode(words(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
+    // DISK_ONLY for the token-stream-sized tf table — see termWeights
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
     val corpus = cf.agg(sum("cf").as("nct"), count(lit(1)).as("v"))
     val logp = log((col("cf") + lit(alpha)) /
@@ -385,8 +401,12 @@ object TextAnalysis {
       .select("term", "df")
     // eager cut: both sides of the pair self-join consume the capped
     // presence table — without it the explode+distinct+df subtree runs
-    // twice (the corpus would be tokenized twice at scale)
-    val dtk = dt.join(keep, "term").localCheckpoint()
+    // twice (the corpus would be tokenized twice at scale). DISK_ONLY:
+    // the presence table is corpus-sized and feeds an even heavier
+    // self-join — the default in-memory level is the measured
+    // AGGREGATE_OUT_OF_MEMORY pattern (see Curation.importanceWeights)
+    val dtk = dt.join(keep, "term").localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val left = dtk.select(col("doc_id"), col("term").as("w1"), col("df").as("df1"))
     val right = dtk.select(col("doc_id"), col("term").as("w2"), col("df").as("df2"))
     left.join(right, Seq("doc_id"))
@@ -395,8 +415,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minPairCount)
       .crossJoin(broadcast(nDocs))
+      // double math BEFORE the multiplies: long×long silently wraps
+      // with ANSI off once df1·df2 crosses 2^63 (two hub terms under a
+      // 0.9 cap at multi-billion-doc scale), turning the strongest
+      // collocations into log-of-negative nulls; doubles are exact for
+      // products under 2^53 and merely lose ulps beyond, which the 6-dp
+      // round absorbs
       .select(col("w1"), col("w2"), col("c_ab"), col("df1"), col("df2"),
-        round(log(col("c_ab") * col("n_docs") / (col("df1") * col("df2"))), 6)
+        round(log((col("c_ab").cast("double") * col("n_docs").cast("double"))
+          / (col("df1").cast("double") * col("df2").cast("double"))), 6)
           .as("pmi"))
   }
 
@@ -480,9 +507,12 @@ object TextAnalysis {
         val rewritten = wordFreq
           .select(mergePair(col("syms"), l, rr).as("syms"), col("freq"))
         if (sinceCkpt >= 4 || r + 1 == numMerges) {
-          val next = rewritten.localCheckpoint()
-          wordFreq.unpersist()
-          wordFreq = next
+          // the superseded checkpoint's blocks are released by the
+          // ContextCleaner once the reference drops — Dataset.unpersist
+          // is a no-op on localCheckpoint'd data (it only clears
+          // CacheManager entries), so there is nothing to call here;
+          // the vocab-bounded frame makes eager cleanup unnecessary
+          wordFreq = rewritten.localCheckpoint()
           sinceCkpt = 0
         } else {
           wordFreq = rewritten
@@ -490,7 +520,6 @@ object TextAnalysis {
         r += 1
       }
     }
-    wordFreq.unpersist()
     import spark.implicits._
     out.toSeq.toDF("rank", "left", "right", "pair_count", "token")
   }
@@ -513,16 +542,23 @@ object TextAnalysis {
       merges: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // getAs[Number]: a merge table round-tripped through parquet/DuckDB
+    // may carry rank as BIGINT — the docstring invites "any compatible
+    // (rank, left, right) frame", so don't hard-cast to Int
     val ordered = merges.select("rank", "left", "right")
-      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+      .collect().sortBy(_.getAs[Number]("rank").longValue)
+      .map(r => (r.getString(1), r.getString(2)))
     // Dictionary encoding: the merge chain (higher-order functions are
     // interpreted, not codegen'd — ~linear in merges × symbols) runs
     // ONCE per DISTINCT word, not once per occurrence; documents then
     // look their words up. On a natural-language corpus occurrences
     // outnumber the vocabulary by orders of magnitude, and at 100 TB
     // the vocab side is the only part the merge chain ever touches.
+    // textCol resolved via col(), never spliced into an expr string —
+    // a non-identifier column name ("doc text") must work here like in
+    // every sibling operator
     val occurrences = docs.select(col(idCol),
-      posexplode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+      posexplode(filter(split(col(textCol), " "), w => length(w) > 0))
         .as(Seq("pos", "w")))
     val vocabSyms = occurrences.select("w").distinct()
       .withColumn("syms", expr("filter(split(w, ''), s -> s != '')"))

@@ -1065,11 +1065,13 @@ object ExtQueries {
           md5(col("text")).as("text_md5")),
       Some("""WITH t AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+        |    len(string_split(text, ' ')) AS raw_n
         |  FROM documents)
         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens_orig,
-        |  CAST(CASE WHEN len(ws) > 50 THEN 1 ELSE 0 END AS INT) AS capped,
-        |  md5(CASE WHEN len(ws) > 50 THEN array_to_string(ws[1:50], ' ')
+        |  CAST(CASE WHEN len(ws) > 50 OR raw_n > 50 THEN 1 ELSE 0 END AS INT) AS capped,
+        |  md5(CASE WHEN len(ws) > 50 OR raw_n > 50
+        |      THEN array_to_string(ws[1:50], ' ')
         |      ELSE text END) AS text_md5
         |FROM t""".stripMargin)),
 

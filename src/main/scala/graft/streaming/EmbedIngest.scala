@@ -189,11 +189,14 @@ object EmbedIngest {
   /** IVF twin of `DedupStream.compactIfNeeded`: when more than
     * `maxSlices` `batch=` slices have accumulated under `lists/`,
     * compact them (centroids/codebooks copy frozen; lists/codes
-    * re-cluster to one file per list) into a scratch directory and
-    * swap it in. Same crash contract: `recoverSwap` heals interrupted
-    * swaps first, and `batch=<currentTag>` leftovers of a crashed
-    * attempt of THIS tick are dropped rather than folded into base, so
-    * the replayed batch never probes its own vectors.
+    * re-cluster to one file per list, post-training mass folded into a
+    * single `appended` slice so [[rebuildIfDrifted]] keeps its evidence
+    * — the compacted floor is base + appended + the newest tick, i.e. 3
+    * slices) into a scratch directory and swap it in. Same crash
+    * contract: `recoverSwap` heals interrupted swaps first, and
+    * `batch=<currentTag>` leftovers of a crashed attempt of THIS tick
+    * are dropped rather than folded, so the replayed batch never probes
+    * its own vectors.
     *
     * @return true when a compaction ran.
     */

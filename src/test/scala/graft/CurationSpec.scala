@@ -53,6 +53,14 @@ class CurationSpec extends AnyFunSuite {
       .groupBy(_._2).values
       .flatMap(ds => ds.map(_._1).sortBy(id => (-q(id), id)).take(3)).toSet
     assert(capped.select("doc_id").as[Long].collect().toSet == expected)
+    // the natural composition capPerDomain(qualityGate(...)) must not
+    // produce ambiguous duplicate quality_score columns, and reuses the
+    // gate's score instead of a second stats scan
+    val composed = Curation.capPerDomain(
+      Curation.qualityGate(docs, minWords = 1, minQuality = 0.0),
+      maxPerDomain = 3)
+    assert(composed.columns.count(_ == "quality_score") == 1)
+    assert(composed.select("doc_id").as[Long].collect().toSet == expected)
     capped.unpersist()
   }
 

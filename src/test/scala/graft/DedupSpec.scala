@@ -468,6 +468,15 @@ class DedupSpec extends AnyFunSuite {
       truncate = false)
     assert(kept.count() == docs.count())
     assert(kept.filter($"doc_id" === 90001L).isEmpty)
+    // the RAW split size is bounded too: a separator-run bomb has few
+    // tokens but a huge transient split array in every consumer — it
+    // must be capped (whitespace-normalized), not passed through
+    val spaceBomb = Seq((90002L, "a" + (" " * 5000) + "b"))
+      .toDF("doc_id", "text")
+    val sb = graft.ops.Curation.lengthCap(spaceBomb, maxTokens = 200)
+      .select($"capped", $"n_tokens_orig", $"text").as[(Int, Long, String)]
+      .collect().head
+    assert(sb == ((1, 2L, "a b")), s"got $sb")
   }
 
   test("dedupParagraphs: keep-first rewrite, reassembly, full-dedup drop") {

@@ -94,6 +94,17 @@ class TextAndJsonSpec extends AnyFunSuite {
     val preds = TextAnalysis.langId(df)
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
     assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+    // trained profiles carry quotes (" l'" is a top French gram) — grams
+    // are bound as values, never spliced into SQL text
+    val fr = TextAnalysis.langId(
+      Seq((1L, "c'est l'eau de l'or"), (2L, "none here")).toDF("doc_id", "text"),
+      profiles = Map("fr" -> Seq(" l'", "\\q")))
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(fr == Map(1L -> "fr", 2L -> "und"))
+    // a single-profile map (is-it-X-or-und) must not die in greatest()
+    val solo = TextAnalysis.langId(df, profiles = Map("en" -> Seq(" the ")))
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(solo == Map(1L -> "en", 2L -> "und", 3L -> "und"))
   }
 
   test("multimodal decodeMeta: real mapPartitions plumbing, deterministic stub values") {
@@ -327,6 +338,16 @@ class TextAndJsonSpec extends AnyFunSuite {
     // tokenization is lossless: concatenating tokens restores the
     // original non-space characters
     assert(enc._1.mkString == "lowest newest".replace(" ", ""))
+    // "any compatible (rank, left, right) frame": a merge table
+    // round-tripped with a BIGINT rank and a non-identifier text column
+    // must encode identically
+    val longRank = merges.select(col("rank").cast("long").as("rank"),
+      col("left"), col("right"))
+    val enc2 = TextAnalysis.bpeEncode(
+      Seq((7L, "lowest newest")).toDF("doc_id", "doc text"),
+      longRank, textCol = "doc text")
+      .select("tokens").as[Seq[String]].collect().head
+    assert(enc2 == enc._1)
   }
 
   test("invertedIndex: numeric-sorted postings, true df, maxPostings truncation") {
