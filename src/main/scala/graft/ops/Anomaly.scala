@@ -26,20 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Grid-safe per-key moments shared by [[zscoreFlags]] and
+    * [[cusumFlags]] — one definition so the grid constants (2-dp /
+    * 4-dp sums) and the cancellation guard cannot drift between the
+    * two detectors or their oracles. `n` counts NON-NULL values:
+    * `sum()` skips nulls, so counting rows would bias mean/sd on any
+    * null-bearing stream (a [10, 10, null] group would read mean 6.67
+    * and a spurious nonzero sd).
+    */
+  private def gridMoments(events: DataFrame, keys: Seq[String],
+      valueCol: String, meanName: String, sdName: String): DataFrame =
+    events.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      round(sum(col(valueCol)), 2).as("__s1"),
+      round(sum(col(valueCol) * col(valueCol)), 4).as("__s2"))
+      .withColumn(meanName, col("__s1") / col("n"))
+      .withColumn(sdName,
+        sqrt(greatest(col("__s2") / col("n") - col(meanName) * col(meanName),
+          lit(0.0))))
+      .drop("__s1", "__s2")
+
   def zscoreFlags(
       events: DataFrame,
       keys: Seq[String],
       valueCol: String,
       threshold: Double = 3.0): DataFrame = {
-    val kc = keys.map(col)
-    val stats = events.groupBy(kc: _*).agg(
-      count(lit(1)).as("n"),
-      round(sum(col(valueCol)), 2).as("__s1"),
-      round(sum(col(valueCol) * col(valueCol)), 4).as("__s2"))
-      .withColumn("mean_v", col("__s1") / col("n"))
-      .withColumn("sd_v",
-        sqrt(greatest(col("__s2") / col("n") - col("mean_v") * col("mean_v"), lit(0.0))))
-      .drop("__s1", "__s2")
+    val stats = gridMoments(events, keys, valueCol, "mean_v", "sd_v")
     val z = (col(valueCol) - col("mean_v")) / col("sd_v")
     // sd = 0 (constant group) makes z NULL (non-ANSI double division by
     // zero yields NULL, not NaN), and `false AND NULL = false` would
@@ -53,27 +65,6 @@ object Anomaly {
         coalesce((col("sd_v") > 0 && abs(z) > threshold).cast("int"), lit(0)))
   }
 
-  /** Robust (median/MAD) outlier flagging — the screen to reach for when
-    * the group itself is contaminated: a z-score's mean and stddev are
-    * dragged by the very outliers being hunted (masking), while the
-    * median and the median absolute deviation have a 50% breakdown
-    * point. Flags Iglewicz–Hoaglin modified z = 0.6745·|x − med| / MAD
-    * above `threshold` (their recommended 3.5 default).
-    *
-    * Both medians are DISCRETE (the rank-⌈n/2⌉ element, a8's rank
-    * selection), so every emitted number is a fixed IEEE chain on
-    * bit-identical inputs — no summation anywhere, nothing to drift
-    * across engines or partitionings. A constant-majority group
-    * (MAD = 0) leaves the modified z undefined and flags nothing,
-    * mirroring zscoreFlags' sd = 0 guard.
-    *
-    * Scale shape: two rank windows (each one exchange on `keys` — the
-    * deviation pass re-sorts but does not re-shuffle), reduced to a
-    * per-group {med, MAD} frame that is broadcast back onto the stream.
-    * At 100 TB the same contract ships with approx_percentile medians,
-    * the way A2 ships approx_count_distinct — exact rank here is the
-    * oracle-checkable form.
-    */
   /** Two-sided CUSUM drift detection (Page 1954) per key: the classic
     * sequential change-point screen. Upper side
     * S⁺_t = max(0, S⁺_{t−1} + z_t − κ) with z standardized against the
@@ -97,14 +88,7 @@ object Anomaly {
       slack: Double = 0.5,
       threshold: Double = 5.0): DataFrame = {
     val kc = keys.map(col)
-    val stats = events.groupBy(kc: _*).agg(
-      count(lit(1)).as("__n"),
-      round(sum(col(valueCol)), 2).as("__s1"),
-      round(sum(col(valueCol) * col(valueCol)), 4).as("__s2"))
-      .withColumn("__mean", col("__s1") / col("__n"))
-      .withColumn("__sd",
-        sqrt(greatest(col("__s2") / col("__n") - col("__mean") * col("__mean"), lit(0.0))))
-      .drop("__s1", "__s2", "__n")
+    val stats = gridMoments(events, keys, valueCol, "__mean", "__sd").drop("n")
     val w = Window.partitionBy(kc: _*)
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -125,6 +109,27 @@ object Anomaly {
       .drop("__pu", "__pd", "__mean", "__sd")
   }
 
+  /** Robust (median/MAD) outlier flagging — the screen to reach for when
+    * the group itself is contaminated: a z-score's mean and stddev are
+    * dragged by the very outliers being hunted (masking), while the
+    * median and the median absolute deviation have a 50% breakdown
+    * point. Flags Iglewicz–Hoaglin modified z = 0.6745·|x − med| / MAD
+    * above `threshold` (their recommended 3.5 default).
+    *
+    * Both medians are DISCRETE (the rank-⌈n/2⌉ element, a8's rank
+    * selection), so every emitted number is a fixed IEEE chain on
+    * bit-identical inputs — no summation anywhere, nothing to drift
+    * across engines or partitionings. A constant-majority group
+    * (MAD = 0) leaves the modified z undefined and flags nothing,
+    * mirroring zscoreFlags' sd = 0 guard.
+    *
+    * Scale shape: two rank windows (each one exchange on `keys` — the
+    * deviation pass re-sorts but does not re-shuffle), reduced to a
+    * per-group {med, MAD} frame that is broadcast back onto the stream.
+    * At 100 TB the same contract ships with approx_percentile medians,
+    * the way A2 ships approx_count_distinct — exact rank here is the
+    * oracle-checkable form.
+    */
   def madFlags(
       events: DataFrame,
       keys: Seq[String],
@@ -141,11 +146,18 @@ object Anomaly {
         .agg(max(when(col("__rk") === greatest(lit(1L), ceil(lit(0.5) * col("__n"))),
           col(c))).as(out))
     }
+    // null values are excluded from BOTH ranking passes: Spark's asc
+    // window order is NULLS FIRST while SQL engines default NULLS LAST,
+    // so a null would both inflate __n and shift the selected rank —
+    // wrong median and cross-engine divergence in one. (Null-value rows
+    // still appear in the OUTPUT via the events join below, with null
+    // robust_z and flag 0.)
+    val ranked = events.filter(col(valueCol).isNotNull)
     // eager cut of the tiny per-group median frame: it feeds BOTH the
     // deviation pass and the final stats join, and left lazy its full
     // window-sort-over-events subtree would run twice
-    val med = discreteMedian(events, valueCol, "med_v").localCheckpoint()
-    val withDev = events.join(broadcast(med), keys)
+    val med = discreteMedian(ranked, valueCol, "med_v").localCheckpoint()
+    val withDev = ranked.join(broadcast(med), keys)
       .withColumn("__dev", abs(col(valueCol) - col("med_v")))
     val mad = discreteMedian(withDev, "__dev", "mad_v")
     val stats = med.join(mad, keys)

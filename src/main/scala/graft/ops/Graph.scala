@@ -106,20 +106,39 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") * col("frac")).as("inc"))
-      val next = nodes.join(inc, Seq("node"), "left")
+      // superseded checkpoints are released by the ContextCleaner when
+      // the reference drops (unpersist() is a no-op on localCheckpoint'd
+      // data); lit(1 - damping) is the SCALA double 0.150…02 for the
+      // default 0.85 — the oracle generators emit the same literal and
+      // the same association, so the chain is bit-identical end to end
+      ranks = nodes.join(inc, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (teleport * (lit(1 - damping) + lit(damping) * col("__dm")) +
             lit(damping) * coalesce(col("inc"), lit(0.0))).as("r"))
         .localCheckpoint()
-      ranks.unpersist()
-      ranks = next
     }
     nodes.unpersist()
     outW.unpersist()
     eNorm.unpersist()
     ranks
   }
+
+  /** Canonical undirected simple edges a < b: self-loops and nulls
+    * dropped, duplicate/reverse edges collapsed.
+    */
+  private def simpleEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+
+  /** Endpoint degrees of a canonical simple edge list. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
 
   /** Per-node triangle counts over the undirected simple graph induced
     * by `edges` (self-loops dropped, duplicate/reverse edges collapsed).
@@ -138,22 +157,6 @@ object Graph {
     * wedge join on the pivot, closing join on (v,w)) plus the final
     * per-node count — no iteration, no driver state.
     */
-  /** Canonical undirected simple edges a < b: self-loops and nulls
-    * dropped, duplicate/reverse edges collapsed.
-    */
-  private def simpleEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct()
-
-  /** Endpoint degrees of a canonical simple edge list. */
-  private def degrees(e: DataFrame): DataFrame =
-    e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-
   def triangleCounts(
       edges: DataFrame,
       srcCol: String = "src",
@@ -229,17 +232,26 @@ object Graph {
     var rounds = 0
     while (nEdges != prev && nEdges > 0 && rounds < maxRounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
-      val next = e
+      // the superseded checkpoint's blocks are released by the
+      // ContextCleaner once the reference drops (Dataset.unpersist is a
+      // no-op on localCheckpoint'd data — it only clears CacheManager
+      // entries)
+      e = e
         .join(keep.withColumnRenamed("node", "a"), "a")
         .join(keep.withColumnRenamed("node", "b"), "b")
         .select("a", "b")
         .localCheckpoint()
-      e.unpersist()
       prev = nEdges
-      e = next
       nEdges = e.count()
       rounds += 1
     }
+    // fail fast rather than present a partially-peeled graph as the
+    // k-core: a long-path graph peels O(diameter) rounds, and a silent
+    // early exit would return nodes with deg < k (the oracle peels to
+    // the true fixpoint, so the hash gate would diverge too)
+    require(nEdges == prev || nEdges == 0,
+      s"k-core peel did not converge within $maxRounds rounds " +
+        s"($nEdges edges still shrinking) — raise maxRounds")
     degrees(e)
   }
 }

@@ -246,6 +246,15 @@ object ExtQueries {
     * `Graph.pageRank` (0.15/n teleport, 0.85 damping, dangling mass
     * redistributed uniformly), final 6-dp rounding on both sides.
     */
+  // The EXACT constants Graph.pageRankImpl folds into its plan: the
+  // restart coefficient is the Scala double (1 - 0.85) =
+  // 0.15000000000000002 — one ulp off the decimal literal 0.15 — and
+  // the oracles must emit that same double (Double.toString round-trips
+  // it) with the same association, or a rank within ~1e-15 of a 6-dp
+  // rounding midpoint rounds differently on the two engines.
+  private val PrDamping = 0.85
+  private val PrRestart = (1 - PrDamping).toString
+
   private def textrankOracle(iters: Int): String = {
     // AS MATERIALIZED is load-bearing: each step references the previous
     // rank table twice, and DuckDB's default CTE inlining would expand
@@ -271,7 +280,8 @@ object ExtQueries {
          |i$i AS MATERIALIZED (SELECT en.dst AS node, sum(p.r * en.frac) AS inc
          |        FROM en JOIN pr${i - 1} p ON en.src = p.node GROUP BY en.dst),
          |pr$i AS MATERIALIZED (SELECT b.node,
-         |           0.15 / nn.n + 0.85 * (COALESCE(i$i.inc, 0) + d$i.dm / nn.n) AS r
+         |           (1.0 / nn.n) * ($PrRestart + $PrDamping * d$i.dm)
+         |             + $PrDamping * COALESCE(i$i.inc, 0) AS r
          |         FROM base b LEFT JOIN i$i ON b.node = i$i.node, nn, d$i)""".stripMargin
     }.mkString
     head + steps +
@@ -311,7 +321,8 @@ object ExtQueries {
          |i$i AS MATERIALIZED (SELECT en.dst AS node, sum(p.r * en.frac) AS inc
          |        FROM en JOIN pr${i - 1} p ON en.src = p.node GROUP BY en.dst),
          |pr$i AS MATERIALIZED (SELECT tv.node,
-         |           tv.t * (0.15 + 0.85 * d$i.dm) + 0.85 * COALESCE(i$i.inc, 0) AS r
+         |           tv.t * ($PrRestart + $PrDamping * d$i.dm)
+         |             + $PrDamping * COALESCE(i$i.inc, 0) AS r
          |         FROM tv LEFT JOIN i$i ON tv.node = i$i.node, d$i)""".stripMargin
     }.mkString
     head + steps +

@@ -367,7 +367,7 @@ object OlapQueries {
         .select("event_id", "event_type", "value", "n", "mean_v", "sd_v",
           "z", "is_outlier"),
       Some("""WITH st AS (
-        |  SELECT event_type, count(*) AS n,
+        |  SELECT event_type, count(value) AS n,
         |    round(sum(value), 2) AS s1, round(sum(value * value), 4) AS s2
         |  FROM events GROUP BY event_type),
         |s AS (
@@ -392,7 +392,7 @@ object OlapQueries {
           date_format(col("ts"), tsFmtSpark).as("ts_s"), col("value"),
           col("cusum_up"), col("cusum_dn"), col("is_drift")),
       Some(s"""WITH st AS (
-        |  SELECT event_type, count(*) AS n,
+        |  SELECT event_type, count(value) AS n,
         |    round(sum(value), 2) AS s1, round(sum(value * value), 4) AS s2
         |  FROM events GROUP BY event_type),
         |s AS (
@@ -433,7 +433,7 @@ object OlapQueries {
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
         |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |med AS (
         |  SELECT event_type,
         |    max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN value END) AS med_v
@@ -446,7 +446,7 @@ object OlapQueries {
         |  SELECT event_type, event_id, dev,
         |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk,
         |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM d),
+        |  FROM d WHERE dev IS NOT NULL),
         |mad AS (
         |  SELECT event_type,
         |    max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN dev END) AS mad_v

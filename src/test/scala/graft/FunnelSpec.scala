@@ -344,4 +344,32 @@ class FunnelSpec extends AnyFunSuite {
     (6L to 9L).foreach { id =>
       assert(got(id)._2 == 0.0 && got(id)._3.isNaN && got(id)._4 == 0) }
   }
+
+  test("anomaly detectors: null values neither bias moments nor shift medians") {
+    // zscore: [10, 10, null] must read n=2, mean=10, sd=0 — counting the
+    // null row would read mean 6.67 and a spurious nonzero sd that
+    // un-guards the flag for the two real rows
+    val z = Anomaly.zscoreFlags(
+      Seq(("a", 1L, Option(10.0)), ("a", 2L, Option(10.0)),
+        ("a", 3L, Option.empty[Double])).toDF("grp", "event_id", "value"),
+      Seq("grp"), "value", threshold = 0.5)
+      .select("n", "mean_v", "sd_v", "is_outlier").collect()
+    z.foreach { r =>
+      assert(r.getLong(0) == 2L && r.getDouble(1) == 10.0
+        && r.getDouble(2) == 0.0 && r.getInt(3) == 0, s"got $r")
+    }
+    // mad: [null, 1, 2, 3] must read med=2 (nulls excluded from rank AND
+    // count) — Spark's NULLS FIRST asc window would otherwise pick 1.0
+    // where a NULLS LAST engine picks 2.0, and inflate n to 4
+    val m = Anomaly.madFlags(
+      Seq(("a", 0L, Option.empty[Double]), ("a", 1L, Option(1.0)),
+        ("a", 2L, Option(2.0)), ("a", 3L, Option(3.0)))
+        .toDF("grp", "event_id", "value"),
+      Seq("grp"), "value", tieCol = "event_id")
+      .select("event_id", "med_v", "mad_v", "robust_z", "is_outlier")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(1) == 2.0 && m(1L).getDouble(2) == 1.0)
+    // the null-value row rides through the output unflagged
+    assert(m(0L).isNullAt(3) && m(0L).getInt(4) == 0)
+  }
 }

@@ -158,6 +158,19 @@ class GraphSpec extends AnyFunSuite {
     assert(runKCore(k5, 4).values.toSet == Set(4L))
   }
 
+  test("kCore: refuses to present a partially-peeled graph at maxRounds") {
+    // a path peels only its two endpoints per round — O(diameter)
+    // rounds — so a tight maxRounds must FAIL, not return nodes with
+    // deg < k as the "core"
+    val path = (1 to 12).sliding(2).map(s => (s"n${s(0)}", s"n${s(1)}")).toSeq
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(path.toDF("src", "dst"), k = 2, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with the default budget the true (empty) 2-core comes back
+    assert(runKCore(path, 2).isEmpty)
+  }
+
   test("kCore: matches the reference peel on a random graph across k") {
     val rnd = new scala.util.Random(7)
     val nodes = (0 until 12).map(i => f"n$i%02d")
