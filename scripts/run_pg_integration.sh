@@ -59,6 +59,8 @@ m = re.search(r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", text)
 entry = {
     "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ"),
+    "commit": os.environ.get("GRAFT_HEAD_SHA")
+        or os.popen("git rev-parse HEAD 2>/dev/null").read().strip() or None,
     "server_version": sys.argv[3].strip(),
     "suite": "graft.PostgresIntegrationSpec",
     "succeeded": int(m.group(1)) if m else None,

@@ -217,6 +217,104 @@ object FixtureGen {
       case Left(err) => System.err.println(err); sys.exit(1)
       case Right(f) => println(s"wrote $f")
     }
+
+  /** One media-payload fixture row: the payload bytes plus the
+    * GENERATOR's ground truth — what a correct header parse must
+    * recover (`exp_*` null and `valid = 0` for deliberately-malformed
+    * payloads). The oracle for `ext_multimodal_real_meta` just selects
+    * these columns; the engine side must re-derive them from the bytes.
+    */
+  final case class MediaFixtureRow(
+      media_id: Long,
+      exp_fmt: String,
+      exp_width: Option[Int],
+      exp_height: Option[Int],
+      valid: Int,
+      payload: Array[Byte])
+
+  /** Deterministic media payloads with GENUINE minimal container
+    * headers — real PNG signatures + IHDR, real JPEG marker sequences
+    * (APP0/COM segments before the SOFn, so parsers must walk segments,
+    * not peek a fixed offset), real GIF87a/89a logical screen
+    * descriptors, real BITMAPINFOHEADER BMPs — followed by seeded filler
+    * standing in for pixel data. Interleaved malformed rows cover the
+    * rejection paths: truncated signatures, a PNG whose first chunk is
+    * not IHDR, a JPEG that reaches SOS without any SOF, zero dims,
+    * empty and garbage payloads.
+    */
+  def mediaPayloads(n: Int, seed: Long): Seq[MediaFixtureRow] = {
+    val rnd = new Random(seed)
+    def filler(len: Int): Array[Byte] = {
+      val a = new Array[Byte](len); rnd.nextBytes(a); a
+    }
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def png(w: Int, h: Int): Array[Byte] =
+      pngSig ++ be32(13L) ++ ascii("IHDR") ++ be32(w.toLong) ++ be32(h.toLong) ++
+        Array[Byte](8, 2, 0, 0, 0) ++ filler(4 + rnd.nextInt(64)) // crc + data
+    def jpeg(w: Int, h: Int, sof: Int, extraSegs: Int): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ ascii("JFIF") ++
+        Array[Byte](0, 1, 1, 0) ++ be16(72) ++ be16(72) ++ Array[Byte](0, 0)
+      val extras = (0 until extraSegs).flatMap { _ =>
+        val body = filler(2 + rnd.nextInt(12))
+        Array(0xff, 0xfe).map(_.toByte) ++ be16(2 + body.length) ++ body // COM
+      }.toArray
+      val sofSeg = Array(0xff.toByte, sof.toByte) ++ be16(17) ++
+        Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](3) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ extras ++ sofSeg ++
+        Array(0xff, 0xda).map(_.toByte) ++ be16(12) ++ filler(10 + rnd.nextInt(48))
+    }
+    def gif(w: Int, h: Int, v89: Boolean): Array[Byte] =
+      ascii(if (v89) "GIF89a" else "GIF87a") ++ le16(w) ++ le16(h) ++
+        Array[Byte](0xf7.toByte, 0, 0) ++ filler(rnd.nextInt(32))
+    def bmp(w: Int, h: Int): Array[Byte] =
+      ascii("BM") ++ le32(54 + w * 3) ++ le32(0) ++ le32(54) ++ le32(40) ++
+        le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ filler(16 + rnd.nextInt(32))
+
+    (0 until n).map { i =>
+      val id = i.toLong
+      val w = 1 + rnd.nextInt(4096)
+      val h = 1 + rnd.nextInt(4096)
+      i % 10 match {
+        case 0 | 1 => MediaFixtureRow(id, "png", Some(w), Some(h), 1, png(w, h))
+        case 2 | 3 =>
+          MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
+            jpeg(w min 65535, h min 65535, if (i % 20 < 10) 0xc0 else 0xc2,
+              extraSegs = rnd.nextInt(3)))
+        case 4 => MediaFixtureRow(id, "gif", Some(w min 65535), Some(h min 65535), 1,
+          gif(w min 65535, h min 65535, v89 = i % 20 >= 10))
+        case 5 => MediaFixtureRow(id, "bmp", Some(w), Some(h), 1,
+          bmp(w, if (i % 20 < 10) h else -h)) // top-down negative height
+        case 6 => // truncated PNG: signature only
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            pngSig.take(4 + rnd.nextInt(5)))
+        case 7 => // PNG whose first chunk is not IHDR
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            pngSig ++ be32(13L) ++ ascii("IDAT") ++ filler(21))
+        case 8 => // JPEG that hits SOS with no SOF emitted
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            Array(0xff, 0xd8, 0xff, 0xda).map(_.toByte) ++ be16(8) ++ filler(16))
+        case _ => // garbage / empty / zero-dim GIF
+          if (i % 30 == 9) MediaFixtureRow(id, "unknown", None, None, 0, Array.empty)
+          else if (i % 30 == 19) MediaFixtureRow(id, "unknown", None, None, 0,
+            gif(0, h min 65535, v89 = true))
+          else MediaFixtureRow(id, "unknown", None, None, 0, filler(24 + rnd.nextInt(64)))
+      }
+    }
+  }
 }
 
 /** Fixed fixture locations used by [[graft.queries.PipelineQueries]] and
@@ -228,6 +326,21 @@ object Fixtures {
   val cleanParquet = s"$dir/machine_events_clean.parquet"
   /** Glob the oracle uses (Spark writes parquet as a directory). */
   val cleanParquetGlob = s"$cleanParquet/*.parquet"
+  val mediaParquet = s"$dir/media_payloads.parquet"
+  val mediaParquetGlob = s"$mediaParquet/*.parquet"
+
+  /** 500 seeded media payloads (~60% real headers across PNG/JPEG/GIF/
+    * BMP, ~40% deliberately malformed) with generator ground truth —
+    * the corpus `ext_multimodal_real_meta` parses and its oracle reads
+    * back. Deterministic (seed 1213), so a wiped checkout regenerates
+    * byte-identical content.
+    */
+  def ensureMedia(spark: SparkSession): Unit = synchronized {
+    if (new java.io.File(mediaParquet).exists()) return
+    import spark.implicits._
+    FixtureGen.mediaPayloads(500, seed = 1213L).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(mediaParquet)
+  }
 
   /** 2 machines × 4 hours with 5–15 s idle gaps: ~23 k rows, enough for
     * multi-hour rollups while staying committable. Starts at 22:00 so the

@@ -149,9 +149,12 @@ object Anomaly {
     // null values are excluded from BOTH ranking passes: Spark's asc
     // window order is NULLS FIRST while SQL engines default NULLS LAST,
     // so a null would both inflate __n and shift the selected rank —
-    // wrong median and cross-engine divergence in one. (Null-value rows
-    // still appear in the OUTPUT via the events join below, with null
-    // robust_z and flag 0.)
+    // wrong median and cross-engine divergence in one. Null-value rows
+    // still appear in the OUTPUT via the LEFT join below (null
+    // robust_z, flag 0) — including groups whose values are ALL null,
+    // which have no stats row at all and an inner join would drop;
+    // zscoreFlags keeps such groups, and the two detectors must agree
+    // on which rows they emit.
     val ranked = events.filter(col(valueCol).isNotNull)
     // eager cut of the tiny per-group median frame: it feeds BOTH the
     // deviation pass and the final stats join, and left lazy its full
@@ -163,7 +166,7 @@ object Anomaly {
     val stats = med.join(mad, keys)
     val dev = abs(col(valueCol) - col("med_v"))
     val rz = lit(0.6745) * dev / col("mad_v")
-    events.join(broadcast(stats), keys)
+    events.join(broadcast(stats), keys, "left")
       .withColumn("robust_z", when(col("mad_v") > 0, round(rz, 6)))
       .withColumn("is_outlier",
         coalesce((col("mad_v") > 0 && rz > threshold).cast("int"), lit(0)))

@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
   * decoded per-partition in batches.
   *
-  * The corpus has no real image/audio bytes (and this container has no
-  * codec libraries), so `decodeMeta` is a DETERMINISTIC STUB — it derives
-  * fake media metadata from the payload bytes alone. Everything around it
-  * is the real production shape: binary column in, `mapPartitions` with a
-  * product encoder (one iterator per partition = one "decoder" per task,
-  * amortizing per-batch model/codec init exactly like `mapInPandas`), typed
-  * metadata out. Swapping `stubDecode` for a JNI/codec call changes no
+  * Two decode tiers. [[parseImageHeader]] is a REAL container-header
+  * parser — PNG IHDR, JPEG SOFn marker scan, GIF logical screen
+  * descriptor, BMP DIB header, all pure-JVM byte reading, no codec
+  * library — driven by [[decodeImageMeta]] and oracle-gated against
+  * generator ground truth (`ext_multimodal_real_meta` fixture). Full
+  * pixel decode still needs codec libraries this container lacks, so the
+  * frame/feature/resize family keeps the DETERMINISTIC STUB (`stubDecode`,
+  * metadata as a pure function of payload bytes). Everything around both
+  * tiers is the real production shape: binary column in, `mapPartitions`
+  * with a product encoder (one iterator per partition = one "decoder" per
+  * task, amortizing per-batch model/codec init exactly like `mapInPandas`),
+  * typed metadata out. Swapping the stub for a JNI/codec call changes no
   * plumbing.
   */
 object Multimodal {
@@ -48,6 +53,122 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init site (codec/model handle goes here)
         it.map(stubDecode)
+      }
+  }
+
+  final case class ImageMeta(
+      media_id: Long,
+      fmt: String,
+      width: Option[Int],
+      height: Option[Int],
+      n_bytes: Long,
+      ok: Int)
+
+  /** Real container-header parse: `Some((format, width, height))` for a
+    * payload whose header is a well-formed PNG / JPEG / GIF / BMP,
+    * `None` for anything truncated, corrupt, or unrecognized. Reads ONLY
+    * the header bytes — trailing payload content is never touched, which
+    * is the production property that makes header-only scans cheap on
+    * multi-MB media columns (columnar readers fetch the binary cell
+    * either way, but the CPU cost stays O(header)).
+    *
+    *   - PNG (ISO/IEC 15948 §5.2/§11.2.2): 8-byte signature, first chunk
+    *     must be IHDR with length 13; width/height big-endian u32 > 0.
+    *   - JPEG (ITU T.81 §B.2): SOI then a marker walk over variable-
+    *     length segments until a frame header SOFn (C0–CF minus C4/C8/CC,
+    *     which are DHT/JPG/DAC); height/width big-endian u16 from the
+    *     SOF payload. Standalone markers (TEM, RSTn) carry no length.
+    *     Hitting SOS/EOI or truncation before a SOF ⇒ malformed.
+    *   - GIF (87a/89a §17-18): 6-byte version magic, then the logical
+    *     screen descriptor's little-endian u16 width/height.
+    *   - BMP (BITMAPINFOHEADER): "BM", DIB size ≥ 40 at offset 14,
+    *     little-endian i32 width and height (height may be negative =
+    *     top-down; dimensions are its absolute value).
+    */
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(from: Int, s: String): Boolean =
+      b.length >= from + s.length &&
+        s.indices.forall(k => u8(from + k) == s.charAt(k).toInt)
+
+    if (b.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG") &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a) {
+      if (be32(8) != 13L || !ascii(12, "IHDR")) None
+      else {
+        val w = be32(16); val h = be32(20)
+        // u32 but capped at 2^31-1 by the PNG spec; 0 is malformed
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some(("png", w.toInt, h.toInt))
+        else None
+      }
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: Option[(String, Int, Int)] = None
+      var stop = false
+      while (!stop && i + 1 < b.length) {
+        if (u8(i) != 0xff) { stop = true } // marker desync = corrupt
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill bytes before a marker are legal
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) stop = true // EOI/SOS: no SOF seen
+          else if (i + 3 >= b.length) stop = true // truncated segment length
+          else {
+            val len = be16(i + 2)
+            if (len < 2) stop = true
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              // SOF payload: precision u8, height u16, width u16
+              if (i + 9 < b.length && len >= 8) {
+                val h = be16(i + 5); val w = be16(i + 7)
+                if (w > 0 && h > 0) res = Some(("jpeg", w, h))
+              }
+              stop = true
+            } else i += 2 + len
+          }
+        }
+      }
+      res
+    } else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) {
+      if (b.length < 10) None
+      else {
+        val w = le16(6); val h = le16(8)
+        if (w > 0 && h > 0) Some(("gif", w, h)) else None
+      }
+    } else if (b.length >= 26 && ascii(0, "BM") && le32(14) >= 40) {
+      val w = le32(18); val h = le32(22)
+      if (w > 0 && h != 0) Some(("bmp", w, math.abs(h))) else None
+    } else None
+  }
+
+  /** Real header-parse metadata over a binary media column — the
+    * production form of [[decodeMeta]]: one parse per row inside
+    * `mapPartitions`, malformed headers REJECTED as typed rows
+    * (`fmt = "unknown"`, null dims, `ok = 0`) rather than dropped or
+    * thrown, so a 100 TB scan over crawled media never dies on byte
+    * garbage and the rejection rate is itself queryable.
+    */
+  def decodeImageMeta(
+      spark: SparkSession, media: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload")).as[MediaPayload]
+      .mapPartitions { it =>
+        it.map { p =>
+          parseImageHeader(p.payload) match {
+            case Some((fmt, w, h)) =>
+              ImageMeta(p.doc_id, fmt, Some(w), Some(h), p.payload.length.toLong, 1)
+            case None =>
+              ImageMeta(p.doc_id, "unknown", None, None, p.payload.length.toLong, 0)
+          }
+        }
       }
   }
 

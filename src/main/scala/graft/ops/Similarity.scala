@@ -903,14 +903,20 @@ object Similarity {
     // excludeTag: the crashed-attempt replay contract (graft.core.Slices)
     def slices(table: String) = graft.core.Slices.excludeTag(
       spark.read.parquet(s"$srcDir/$table"), excludeTag)
-    def foldTag: Column =
-      when(col("batch") === "base", lit("base")).otherwise(lit("appended"))
-    def compactTable(table: String): Unit =
-      slices(table)
-        .withColumn("batch", foldTag)
+    // un-sliced layouts (no batch column — the Slices contract's legacy
+    // shape, which excludeTag already tolerates) fold to `base`: such
+    // mass predates any append, so it IS quantizer-training mass
+    def foldTag(df: org.apache.spark.sql.DataFrame): Column =
+      if (df.columns.contains("batch"))
+        when(col("batch") === "base", lit("base")).otherwise(lit("appended"))
+      else lit("base")
+    def compactTable(table: String): Unit = {
+      val df = slices(table)
+      df.withColumn("batch", foldTag(df))
         .repartition(col("batch"), col("list_id"))
         .write.mode("overwrite").partitionBy("batch", "list_id")
         .parquet(s"$dstDir/$table")
+    }
     spark.read.parquet(s"$srcDir/centroids")
       .write.mode("overwrite").parquet(s"$dstDir/centroids")
     compactTable("lists")

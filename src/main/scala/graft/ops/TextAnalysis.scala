@@ -469,18 +469,45 @@ object TextAnalysis {
     * table against a DuckDB replay of the loop (one materialized CTE
     * block per round — ExtQueries.bpeMergesOracleSql), on top of the
     * closed-form TextAndJsonSpec pin.
+    *
+    * Local endgame (the `clusters()` idiom): the word-frequency table is
+    * VOCAB-bounded, and a production vocab fits one machine even when the
+    * corpus is 100 TB — so when the table's total symbol mass is at most
+    * `localFinishMaxSyms`, collect it once and run the merge loop on the
+    * driver with incrementally-maintained pair counts (only words
+    * containing the merged pair are touched per round — the standard
+    * tokenizer-trainer shape). Without this, the distributed loop is
+    * `numMerges` SEQUENTIAL cluster jobs: fine for dozens of merges,
+    * a driver-coordination bottleneck at a real 32 k-merge vocab.
+    * Tie-breaks on the local path compare UTF-8 BYTES (`utf8Less`), the
+    * exact ordering Spark's string sort uses, so which path runs can
+    * never change the merge table (equivalence pinned byte-identical in
+    * TextAndJsonSpec; `localFinishMaxSyms = 0` forces the distributed
+    * path).
     */
   def bpeMerges(
       docs: DataFrame,
       numMerges: Int,
       minPairCount: Long = 2L,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      localFinishMaxSyms: Long = 1L << 22): DataFrame = {
     val spark = docs.sparkSession
     var wordFreq = docs.select(explode(words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(w, ''), s -> s != '')").as("syms"), col("freq"))
       .localCheckpoint()
+    // one cheap aggregate decides the path; the symbol mass (not the row
+    // count) is what bounds driver memory — vocab rows are tiny, their
+    // symbol arrays are the payload
+    val symMass = wordFreq
+      .agg(coalesce(sum(size(col("syms"))), lit(0L)).cast("long"))
+      .head().getLong(0)
+    if (symMass <= localFinishMaxSyms) {
+      val collected = wordFreq.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      return localBpeMerges(spark, collected, numMerges, minPairCount)
+    }
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, String)]()
     var r = 0
     var go = true
@@ -518,6 +545,121 @@ object TextAnalysis {
           wordFreq = rewritten
         }
         r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "left", "right", "pair_count", "token")
+  }
+
+  /** UTF-8 byte-wise `<` — the ordering Spark's string comparisons use
+    * (UTF8String compares bytes unsigned). `java.lang.String.compareTo`
+    * orders by UTF-16 code UNIT, which disagrees for supplementary
+    * characters (surrogates 0xD800+ sort below BMP chars 0xE000+), so
+    * the local argmax tie-break must compare bytes or the two bpeMerges
+    * paths could diverge on emoji-bearing vocab.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Local replica of [[mergePair]]'s greedy leftmost non-overlapping
+    * rewrite — same fold, same `""`-sentinel semantics ("aaa" under
+    * (a,a) → ["aa","a"]), so the two bpeMerges paths rewrite
+    * identically. Symbols are never empty (training filters them), so
+    * the sentinel cannot collide with data.
+    */
+  private def mergePairLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var prev = ""
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (prev == l && x == r) { acc += (l + r); prev = "" }
+      else { if (prev != "") acc += prev; prev = x }
+      i += 1
+    }
+    if (prev != "") acc += prev
+    acc.toArray
+  }
+
+  /** Driver-side merge loop over the collected word-frequency table —
+    * [[bpeMerges]]'s local endgame. Pair counts are maintained
+    * INCREMENTALLY: an inverted index pair → candidate word ids limits
+    * each round's rewrite to words that (may) contain the winning pair;
+    * stale candidates (the word was rewritten since it was indexed) are
+    * skipped by a containment re-check. Each round is O(affected words'
+    * symbols + distinct pairs), the tokenizer-trainer cost shape —
+    * 32 k merges never rescan the vocab 32 k times. The argmax is a full
+    * scan of the pair-count map under the total order
+    * (count desc, left utf8 asc, right utf8 asc), so map iteration
+    * order can never leak into the output.
+    */
+  private def localBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[(Array[String], Long)],
+      numMerges: Int,
+      minPairCount: Long): DataFrame = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map(_._1)
+    val freqs: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = words(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(w)
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0) index.getOrElseUpdate(p, mutable.HashSet.empty) += w
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < words.length) { addWord(w, 1L); w += 1 }
+    def hasAdjacent(s: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < s.length - 1) {
+        if (s(i) == l && s(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    val out = mutable.ArrayBuffer[(Int, String, String, Long, String)]()
+    var rank = 0
+    var go = true
+    while (rank < numMerges && go) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.foreach { case (p, c) =>
+        if (best == null || c > bestCnt ||
+          (c == bestCnt && (utf8Less(p._1, best._1) ||
+            (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+          best = p; bestCnt = c
+        }
+      }
+      if (best == null || bestCnt < minPairCount) go = false
+      else {
+        val (l, r) = best
+        out += ((rank + 1, l, r, bestCnt, l + r))
+        val affected = index.remove(best).getOrElse(mutable.HashSet.empty)
+        affected.foreach { wi =>
+          if (hasAdjacent(words(wi), l, r)) {
+            addWord(wi, -1L)
+            words(wi) = mergePairLocal(words(wi), l, r)
+            addWord(wi, 1L)
+          }
+        }
+        rank += 1
       }
     }
     import spark.implicits._

@@ -874,8 +874,9 @@ object ExtQueries {
 
     // The ingest loop with IN-LOOP index compaction between the ticks
     // (round-15 maxSlices path): identical batches to ext_ingest_loop,
-    // but after tick b0 the index (base + b0 slices) crosses a
-    // maxSlices=1 trigger, so compactIfNeeded folds it to one slice and
+    // but after tick b0 the index carries a loose b0 slice beyond the
+    // base floor, crossing a maxSlices=0 trigger ("no loose slices
+    // tolerated"), so compactIfNeeded folds it to one slice and
     // SWAPS it in (rename-based rebuildAndSwap) before tick b1 probes
     // it. Compaction is a pure re-layout — the oracle is the SAME
     // two-tick replay, so the hash match proves the swap is
@@ -890,7 +891,7 @@ object ExtQueries {
         graft.streaming.DedupStream.ingestTick(s, b0, idx, out, "b0",
           k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
         require(graft.streaming.DedupStream.compactIfNeeded(
-          s, idx, maxSlices = 1, currentTag = "b1"),
+          s, idx, maxSlices = 0, currentTag = "b1"),
           "autocompact query: the trigger must fire between the ticks")
         graft.streaming.DedupStream.ingestTick(s, b1, idx, out, "b1",
           k = 2, tau = 0.8, maxShingleDf = Long.MaxValue): Unit
@@ -923,9 +924,9 @@ object ExtQueries {
 
     // The embedding ingest loop with IN-LOOP IVF compaction between the
     // ticks (maxSlices path, the embedding twin of
-    // ext_ingest_autocompact): after tick b0 the index carries
-    // batch=base + batch=b0 list slices, crossing a maxSlices=1
-    // trigger; compactIfNeeded re-clusters them to one base slice and
+    // ext_ingest_autocompact): after tick b0 the index carries a loose
+    // batch=b0 list slice beyond the base floor, crossing a maxSlices=0
+    // trigger; compactIfNeeded re-clusters the slices and
     // swaps it in before tick b1 probes. Compaction never re-assigns
     // (centroids frozen, pure re-layout), so the oracle is the SAME
     // two-tick exact-cosine replay.
@@ -939,7 +940,7 @@ object ExtQueries {
         graft.streaming.EmbedIngest.ingestTick(
           s, b0, idx, out, "b0", tau = 0.8, nProbe = 2): Unit
         require(graft.streaming.EmbedIngest.compactIfNeeded(
-          s, idx, maxSlices = 1, currentTag = "b1"),
+          s, idx, maxSlices = 0, currentTag = "b1"),
           "embed autocompact query: the trigger must fire between the ticks")
         graft.streaming.EmbedIngest.ingestTick(
           s, b1, idx, out, "b1", tau = 0.8, nProbe = 2): Unit
@@ -1926,6 +1927,26 @@ object ExtQueries {
         |  CAST(64 + (strlen(text) * 31) % 353 AS INT) AS height,
         |  CAST(1 + strlen(text) % 7 AS INT) AS n_frames
         |FROM documents""".stripMargin)),
+
+    // REAL container-header decode (Multimodal.parseImageHeader): the
+    // seeded media fixture carries genuine minimal PNG/JPEG/GIF/BMP
+    // headers plus deliberately-malformed payloads, and stores the
+    // GENERATOR's ground-truth dims alongside the bytes. The engine must
+    // re-derive fmt/width/height from the payload alone — the oracle
+    // just reads the ground-truth columns back, so a hash match proves
+    // the byte-level parse (including the JPEG segment walk past
+    // APP0/COM and every malformed-header rejection row) end-to-end.
+    Q("ext_multimodal_real_meta",
+      (s, _) => {
+        graft.fixtures.Fixtures.ensureMedia(s)
+        Multimodal.decodeImageMeta(
+          s, s.read.parquet(graft.fixtures.Fixtures.mediaParquet)).toDF()
+      },
+      Some(s"""SELECT media_id, exp_fmt AS fmt, exp_width AS width,
+        |  exp_height AS height,
+        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |  CAST(valid AS INT) AS ok
+        |FROM read_parquet('${graft.fixtures.Fixtures.mediaParquetGlob}')""".stripMargin)),
 
     // Frame sampling: 1 payload row → n_frames binary rows (keyframe-
     // extraction shape); frame lengths are a pure function of payload size

@@ -441,7 +441,7 @@ object OlapQueries {
         |d AS (
         |  SELECT e.event_id, e.event_type, e.value, med.med_v,
         |    abs(e.value - med.med_v) AS dev
-        |  FROM events e JOIN med USING (event_type)),
+        |  FROM events e LEFT JOIN med USING (event_type)),
         |r2 AS (
         |  SELECT event_type, event_id, dev,
         |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk,
@@ -456,7 +456,7 @@ object OlapQueries {
         |    AS robust_z,
         |  CAST(CASE WHEN mad.mad_v > 0 AND 0.6745 * d.dev / mad.mad_v > 3.5
         |       THEN 1 ELSE 0 END AS INT) AS is_outlier
-        |FROM d JOIN mad USING (event_type)""".stripMargin)),
+        |FROM d LEFT JOIN mad USING (event_type)""".stripMargin)),
 
     // First-order event-type transition matrix per user (ops/Funnel):
     // counts + conditional probabilities, one lag-window exchange.

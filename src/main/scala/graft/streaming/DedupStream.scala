@@ -181,26 +181,34 @@ object DedupStream {
       .start()
 
   /** Reset the index's slice-count creep IN the loop: when more than
-    * `maxSlices` `batch=` slices have accumulated, compact them into a
-    * single base slice in a scratch directory and swap it in
-    * ([[graft.core.FsPaths.rebuildAndSwap]] — rename-based, so a tick
-    * never reads a half-compacted index; every crash window heals via
-    * `recoverSwap`, which this method runs first). Runs at the START of
-    * a tick, before the tick's own append: any `batch=<currentTag>`
-    * slices present then are a crashed attempt's uncommitted leftovers
-    * and are DROPPED (the replay rewrites them), never folded into base
-    * — folding them would make the replayed batch dedup against itself
-    * and silently lose its documents.
+    * `maxSlices` LOOSE tick slices have accumulated — slices beyond the
+    * permanent floor of `batch=base` and `batch=<currentTag>`, which a
+    * compaction can never remove (base is the compaction target itself;
+    * currentTag is a crashed replay's leftover, dropped not folded) —
+    * compact them into a single base slice in a scratch directory and
+    * swap it in ([[graft.core.FsPaths.rebuildAndSwap]] — rename-based,
+    * so a tick never reads a half-compacted index; every crash window
+    * heals via `recoverSwap`, which this method runs first). Counting
+    * only removable slices keeps the trigger quiescent at steady state:
+    * with the old total-count form, a `maxSlices` at-or-below the floor
+    * size fired EVERY tick and rewrote the whole index for nothing.
+    * `maxSlices = 0` means "compact whenever any loose slice exists".
+    * Runs at the START of a tick, before the tick's own append: any
+    * `batch=<currentTag>` slices present then are a crashed attempt's
+    * uncommitted leftovers and are DROPPED (the replay rewrites them),
+    * never folded into base — folding them would make the replayed
+    * batch dedup against itself and silently lose its documents.
     *
     * @return true when a compaction ran.
     */
   def compactIfNeeded(
       spark: SparkSession, indexDir: String, maxSlices: Int,
       currentTag: String): Boolean = {
-    require(maxSlices >= 1, "maxSlices must be >= 1")
+    require(maxSlices >= 0, "maxSlices must be >= 0")
     graft.core.FsPaths.recoverSwap(spark, indexDir)
-    val n = graft.core.FsPaths.countChildren(
-      spark, s"$indexDir/hashes", "batch=")
+    val floor = Set("batch=base", s"batch=$currentTag")
+    val n = graft.core.FsPaths.childNames(
+      spark, s"$indexDir/hashes", "batch=").count(!floor.contains(_))
     if (n > maxSlices) {
       graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
         TextDedup.compactIncrementalIndex(

@@ -187,26 +187,33 @@ object EmbedIngest {
   }
 
   /** IVF twin of `DedupStream.compactIfNeeded`: when more than
-    * `maxSlices` `batch=` slices have accumulated under `lists/`,
+    * `maxSlices` LOOSE tick slices have accumulated under `lists/`,
     * compact them (centroids/codebooks copy frozen; lists/codes
     * re-cluster to one file per list, post-training mass folded into a
-    * single `appended` slice so [[rebuildIfDrifted]] keeps its evidence
-    * — the compacted floor is base + appended + the newest tick, i.e. 3
-    * slices) into a scratch directory and swap it in. Same crash
-    * contract: `recoverSwap` heals interrupted swaps first, and
-    * `batch=<currentTag>` leftovers of a crashed attempt of THIS tick
-    * are dropped rather than folded, so the replayed batch never probes
-    * its own vectors.
+    * single `appended` slice so [[rebuildIfDrifted]] keeps its
+    * evidence) into a scratch directory and swap it in. "Loose"
+    * excludes the permanent floor — `batch=base`, `batch=appended`,
+    * and `batch=<currentTag>` — the slices a compaction can never
+    * remove; counting the floor (the old total-count form) made any
+    * `maxSlices <= 2` fire EVERY tick at steady state and rewrite the
+    * whole index even when there was nothing to fold, and gave this
+    * parameter a different effective meaning than the text twin's.
+    * `maxSlices = 0` means "compact whenever any loose slice exists".
+    * Same crash contract: `recoverSwap` heals interrupted swaps first,
+    * and `batch=<currentTag>` leftovers of a crashed attempt of THIS
+    * tick are dropped rather than folded, so the replayed batch never
+    * probes its own vectors.
     *
     * @return true when a compaction ran.
     */
   def compactIfNeeded(
       spark: SparkSession, indexDir: String, maxSlices: Int,
       currentTag: String): Boolean = {
-    require(maxSlices >= 1, "maxSlices must be >= 1")
+    require(maxSlices >= 0, "maxSlices must be >= 0")
     graft.core.FsPaths.recoverSwap(spark, indexDir)
-    val n = graft.core.FsPaths.countChildren(
-      spark, s"$indexDir/lists", "batch=")
+    val floor = Set("batch=base", "batch=appended", s"batch=$currentTag")
+    val n = graft.core.FsPaths.childNames(
+      spark, s"$indexDir/lists", "batch=").count(!floor.contains(_))
     if (n > maxSlices) {
       graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
         Similarity.compactIvfIndex(

@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.ops.TextAnalysis
+
+/** Merge-count ladder for BPE training (round-15 verdict task 3): the
+  * distributed loop is one cluster job per merge — fine at the fixture's
+  * 20 merges, a driver-coordination bottleneck at a production 32 k-merge
+  * vocab — so [[TextAnalysis.bpeMerges]] grew a local endgame that
+  * collects the vocab-bounded word-frequency table and finishes the
+  * merges on the driver with incremental pair counts. This bench measures
+  * both paths on the same corpus: the distributed loop at a small merge
+  * count (enough to price one merge-round job), the local path up the
+  * ladder (100 / 1 000 merges), plus the vocab-collect cost the local
+  * path pays once. Findings go to PLANS.md.
+  *
+  * Usage: runMain graft.tools.BpeScaleBench <sfDir> [distMerges] [ladder]
+  * e.g. `BpeScaleBench /root/testdata/sf0.1 20 100,1000`
+  */
+object BpeScaleBench {
+  import BenchUtil.{force, time, fmt3}
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val distMerges = args.lift(1).map(_.toInt).getOrElse(20)
+    val ladder = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(100, 1000))
+    val spark = BenchUtil.scaleSession()
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .localCheckpoint()
+    // natural-language fixture vocab saturates under 100 merges (every
+    // word fully merged) — the DENSE corpus (spaces stripped, each doc
+    // one long "word") sustains thousands, which is what the ladder
+    // needs to price deep merge chains
+    val dense = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("text"), " ", "").as("text"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    // minPairCount=1 so the ladder is depth-limited by the vocab, not the
+    // frequency floor — the point is merge-loop cost, not table content
+    def run(tag: String, corpus: org.apache.spark.sql.DataFrame, n: Int,
+        maxSyms: Long): Unit = {
+      var rows = 0L
+      out(tag) = time {
+        val m = TextAnalysis.bpeMerges(corpus, numMerges = n,
+          minPairCount = 1L, localFinishMaxSyms = maxSyms)
+        rows = m.count()
+        force(m)
+      }
+      counts(tag) = rows
+      println(s"[bpe-scale] $tag: ${fmt3(out(tag))} s, $rows merges emitted")
+    }
+
+    run(s"dist_$distMerges", docs, distMerges, 0L)
+    ladder.foreach(n => run(s"local_$n", docs, n, Long.MaxValue))
+    run(s"dist_dense_$distMerges", dense, distMerges, 0L)
+    ladder.foreach(n => run(s"local_dense_$n", dense, n, Long.MaxValue))
+    val perDistMerge = out(s"dist_$distMerges") /
+      math.max(1L, counts(s"dist_$distMerges"))
+    val top = ladder.max
+    println(s"[bpe-scale] distributed per-merge cost ${fmt3(perDistMerge)} s " +
+      s"-> a 32k vocab extrapolates to ${fmt3(perDistMerge * 32768)} s; " +
+      s"local dense path did ${counts(s"local_dense_$top")} merges in " +
+      fmt3(out(s"local_dense_$top")) + " s total")
+    val qs = (out.map { case (k, v) => "\"" + k + "\":" + fmt3(v) } ++
+      counts.map { case (k, v) => "\"" + k + "_merges\":" + v }).mkString(",")
+    println(s"""{"metric":"bpe_scale","sf_dir":"$sfDir",$qs}""")
+    spark.stop()
+  }
+}

@@ -166,6 +166,28 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(outSrc)) == ids(spark.read.parquet(outDst)))
   }
 
+  test("compactIvfIndex tolerates an un-sliced layout (no batch column)") {
+    // the Slices contract's legacy shape: a lists table written without
+    // batch= partitioning. Compaction must not fail analysis on the
+    // missing column — such mass predates any append, so it folds to
+    // `base` (quantizer-training era).
+    val (idx, _) = freshDirs()
+    val corpus = emb.filter($"vec_id" < 100)
+    Similarity.writeIvfIndex(corpus, idx, centroidStride = 20L)
+    val flat = spark.read.parquet(s"$idx/lists").drop("batch")
+      .localCheckpoint()
+    val listsPath = new org.apache.hadoop.fs.Path(s"$idx/lists")
+    listsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(listsPath, true): Unit
+    flat.write.partitionBy("list_id").parquet(s"$idx/lists")
+    val dst = Files.createTempDirectory("graft_embing_unsliced").toString
+    Similarity.compactIvfIndex(spark, idx, dst)
+    def slices(dir: String): Set[String] =
+      new java.io.File(s"$dir/lists").list().filter(_.startsWith("batch=")).toSet
+    assert(slices(dst) == Set("batch=base"))
+    assert(spark.read.parquet(s"$dst/lists").count() == 100L)
+  }
+
   test("frozen-centroid drift: ivfListStats fires, rebuild restores the probe bill") {
     // Drift scenario (R15DriftProbe measurements, L=4 on the sf0.001
     // embeddings): batches carry a strong shared component on axis 0

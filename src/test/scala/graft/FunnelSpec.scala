@@ -372,4 +372,23 @@ class FunnelSpec extends AnyFunSuite {
     // the null-value row rides through the output unflagged
     assert(m(0L).isNullAt(3) && m(0L).getInt(4) == 0)
   }
+
+  test("madFlags: a group whose values are ALL null still emits its rows") {
+    // such a group has no stats row at all (the medians are computed on
+    // the null-filtered frame) — an inner stats join silently dropped it
+    // while zscoreFlags kept it; the detectors must agree on row sets
+    val df = Seq(
+      ("dead", 1L, Option.empty[Double]), ("dead", 2L, Option.empty[Double]),
+      ("live", 3L, Option(1.0)), ("live", 4L, Option(2.0)))
+      .toDF("grp", "event_id", "value")
+    val mad = Anomaly.madFlags(df, Seq("grp"), "value", tieCol = "event_id")
+    val z = Anomaly.zscoreFlags(df, Seq("grp"), "value")
+    assert(mad.count() == 4 && z.count() == 4,
+      "all-null groups must not vanish from either detector")
+    val dead = mad.filter($"grp" === "dead")
+      .select("med_v", "mad_v", "robust_z", "is_outlier").collect()
+    dead.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.getInt(3) == 0)
+    }
+  }
 }

@@ -226,14 +226,17 @@ class IngestLoopSpec extends AnyFunSuite {
     tick("b1", Seq((200L, "second wave novel payload with words")))
     def slices() = graft.core.FsPaths.countChildren(spark, s"$idx/hashes", "batch=")
     assert(slices() == 3) // base + b0 + b1
-    // below the trigger: no-op
+    // below the trigger (2 loose slices, 3 tolerated): no-op
     assert(!DedupStream.compactIfNeeded(spark, idx, maxSlices = 3, currentTag = "b2"))
+    // at the boundary (2 loose, 2 tolerated): still a no-op — the floor
+    // slices (base, the current tag) never count against maxSlices
+    assert(!DedupStream.compactIfNeeded(spark, idx, maxSlices = 2, currentTag = "b2"))
     // crashed-attempt simulation: b2's index slices were written but the
     // tick never committed; compaction at replay start must DROP them
     TextDedup.appendIncrementalIndex(
       Seq((300L, "third wave novel payload with words")).toDF("doc_id", "text"),
       idx, "b2", k = 2)
-    assert(DedupStream.compactIfNeeded(spark, idx, maxSlices = 2, currentTag = "b2"))
+    assert(DedupStream.compactIfNeeded(spark, idx, maxSlices = 1, currentTag = "b2"))
     assert(slices() == 1, "compaction must fold committed slices into base")
     assert(spark.read.parquet(s"$idx/hashes").count() ==
       corpus.count() + 2, "the crashed b2 slice must be dropped, not folded")

@@ -107,6 +107,67 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(solo == Map(1L -> "en", 2L -> "und", 3L -> "und"))
   }
 
+  test("parseImageHeader: real PNG/JPEG/GIF/BMP headers recover generator dims") {
+    val rows = graft.fixtures.FixtureGen.mediaPayloads(500, seed = 1213L)
+    assert(rows.count(_.valid == 1) >= 250, "fixture must be majority-real")
+    assert(rows.exists(_.exp_fmt == "png") && rows.exists(_.exp_fmt == "jpeg") &&
+      rows.exists(_.exp_fmt == "gif") && rows.exists(_.exp_fmt == "bmp"))
+    rows.foreach { r =>
+      val got = Multimodal.parseImageHeader(r.payload)
+      if (r.valid == 1)
+        assert(got.contains((r.exp_fmt, r.exp_width.get, r.exp_height.get)),
+          s"media ${r.media_id} (${r.exp_fmt}): got $got")
+      else
+        assert(got.isEmpty, s"malformed media ${r.media_id} must be rejected, got $got")
+    }
+  }
+
+  test("parseImageHeader: hand-built corner cases") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // minimal JPEG: SOI + SOF0 immediately (no APP0) — legal per T.81
+    val sofOnly = bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x00,
+      0x02, 0x00, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(Multimodal.parseImageHeader(sofOnly).contains(("jpeg", 512, 256)))
+    // fill bytes (FF FF FF) before a marker are legal padding
+    val padded = bytes(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x11, 8,
+      0x00, 0x10, 0x00, 0x20, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(Multimodal.parseImageHeader(padded).contains(("jpeg", 32, 16)))
+    // C4 (DHT) is NOT a frame header even though it sits in C0–CF
+    val dhtThenSos = bytes(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0, 0,
+      0xff, 0xda, 0x00, 0x02)
+    assert(Multimodal.parseImageHeader(dhtThenSos).isEmpty)
+    // marker desync (a segment length pointing into garbage) rejects
+    assert(Multimodal.parseImageHeader(
+      bytes(0xff, 0xd8, 0x00, 0xc0, 0x00, 0x11)).isEmpty)
+    // BMP negative height = top-down; dims are absolute
+    val rows = graft.fixtures.FixtureGen.mediaPayloads(40, seed = 9L)
+    val bmps = rows.filter(_.exp_fmt == "bmp")
+    assert(bmps.nonEmpty && bmps.forall(r =>
+      Multimodal.parseImageHeader(r.payload)
+        .contains(("bmp", r.exp_width.get, r.exp_height.get))))
+    // truncation at every prefix length must reject or parse, never throw
+    val png = rows.find(_.exp_fmt == "png").get.payload
+    (0 until png.length).foreach { k =>
+      Multimodal.parseImageHeader(java.util.Arrays.copyOf(png, k)): Unit
+    }
+  }
+
+  test("decodeImageMeta: typed rejection rows ride through, ok flag queryable") {
+    val rows = graft.fixtures.FixtureGen.mediaPayloads(60, seed = 1213L)
+    val df = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[graft.fixtures.FixtureGen.MediaFixtureRow])
+      .toDF()
+    val got = Multimodal.decodeImageMeta(spark, df).collect()
+    assert(got.length == 60, "malformed rows are rejected as rows, not dropped")
+    val byId = got.map(m => m.media_id -> m).toMap
+    rows.foreach { r =>
+      val m = byId(r.media_id)
+      assert(m.ok == r.valid && m.fmt == r.exp_fmt &&
+        m.width == r.exp_width && m.height == r.exp_height &&
+        m.n_bytes == r.payload.length.toLong)
+    }
+  }
+
   test("multimodal decodeMeta: real mapPartitions plumbing, deterministic stub values") {
     val df = Seq((7L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
     val meta = Multimodal.decodeMeta(spark, df).collect().head
@@ -321,6 +382,39 @@ class TextAndJsonSpec extends AnyFunSuite {
     // a high floor stops immediately
     val stopped = TextAnalysis.bpeMerges(docs, numMerges = 5, minPairCount = 100L)
     assert(stopped.count() == 0L)
+  }
+
+  test("bpeMerges: local endgame ≡ distributed loop, byte-identical merge table") {
+    // the path gate (localFinishMaxSyms) must be invisible in the
+    // output: same corpus and settings as the oracle-gated
+    // ext_bpe_merges query, forced down each path
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def table(maxSyms: Long): Seq[(Int, String, String, Long, String)] =
+      TextAnalysis.bpeMerges(docs, numMerges = 20, minPairCount = 2L,
+        localFinishMaxSyms = maxSyms)
+        .select("rank", "left", "right", "pair_count", "token")
+        .as[(Int, String, String, Long, String)].collect().sortBy(_._1).toSeq
+    val local = table(Long.MaxValue)
+    val dist = table(0L)
+    assert(local.size == 20, "fixture must sustain all 20 merges")
+    assert(local == dist, "local and distributed merge tables must be byte-identical")
+  }
+
+  test("bpeMerges: argmax tie-break is UTF-8 byte order on BOTH paths") {
+    // U+E000 is one UTF-16 code unit (0xE000) but three UTF-8 bytes
+    // (EE 80 80); U+1F600 is a surrogate pair starting 0xD83D but four
+    // UTF-8 bytes (F0 9F 98 80). Java's String ordering puts the
+    // surrogate FIRST (0xD83D < 0xE000) while Spark's UTF8String binary
+    // compare puts U+E000 first — a tie broken with compareTo would
+    // diverge between the local and distributed paths exactly here.
+    val smiley = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, "\ue000a"), (2L, smiley + "a")).toDF("doc_id", "text")
+    def first(maxSyms: Long): (String, String) =
+      TextAnalysis.bpeMerges(docs, numMerges = 1, minPairCount = 1L,
+        localFinishMaxSyms = maxSyms)
+        .select("left", "right").as[(String, String)].collect().head
+    assert(first(Long.MaxValue) == (("\ue000", "a")))
+    assert(first(0L) == (("\ue000", "a")))
   }
 
   test("bpeEncode: replays the merge table in rank order, word boundaries are hard") {
