@@ -32,7 +32,13 @@ object EmbedLoopScaleBench {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val corpusDir = graft.core.TmpDirs.scoped("eloop_corpus")
+    // pin the corpus layout (the ParaDedupScaleBench round-15 lesson):
+    // replicateExplode emits as few parquet files as the SOURCE had
+    // tasks, and a 1M-row corpus in 1-2 files starves every downstream
+    // scan of parallelism — the bench would measure the fixture's file
+    // count, not the operator
     BenchUtil.replicateExplode(emb, "vec_id", reps)
+      .repartition(128)
       .write.mode("overwrite").parquet(corpusDir)
     val corpus = spark.read.parquet(corpusDir)
     val nCorpus = corpus.count()
@@ -105,6 +111,109 @@ object EmbedLoopScaleBench {
         (if (compacted) s" (in-loop compact ${fmt3(dtc)} s)" else "") +
         s", $n survivors, slices=" +
         graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch="))
+    }
+
+    // round-16 segment (verdict task 5): drift the ladder mid-run at
+    // THIS seed scale and watch the rebuild fire, reset the serving
+    // cost, and recover recall. Enabled by arg 5 = "drift". Drifted
+    // batches carry a strong shared component on axis 0 (the
+    // R15DriftProbe recipe) that the frozen quantizer never trained on,
+    // so appended mass piles into hot lists; recall is measured on 200
+    // held-out drifted queries against the brute-force exact top-10
+    // over the index's CURRENT contents.
+    if (args.lift(4).contains("drift")) {
+      // per-tick fresh directions (cyclic shift, like the main ladder)
+      // PLUS the shared axis-0 drift component; ticks ingest at
+      // tau=0.99 (the R15DriftProbe recipe) because the 4.0 component
+      // makes ALL drifted vectors mutually ~0.94-cosine — at 0.8 every
+      // batch would collapse to one survivor and nothing would append
+      def drifted(i: Int): DataFrame = {
+        val k = (7 * i + 3) % dim
+        emb.select((col("vec_id") + lit(50000000L + i.toLong * 100000L)).as("vec_id"),
+          transform(
+            concat(slice(col("embedding"), k + 1, dim - k),
+              slice(col("embedding"), 1, k)),
+            (x, j) => when(j === 0, lit(4.0f)).otherwise(x)).as("embedding"))
+      }
+      // Queries: small perturbations of tick-0's drifted vectors, so each
+      // query has a GENUINE nearest neighbor (its source, cosine ~1 with
+      // a ~0.05 margin over everything else) — recall@1 is well-posed.
+      // recall@k>1 is NOT on this geometry: all drifted vectors sit at
+      // ~0.94 cosine of each other (near-ties), so pre-rebuild "high
+      // recall" would only measure that the hot list IS a full scan.
+      // The drift failure mode here is the probe BILL (rows scanned per
+      // query), exactly as R15DriftProbe measured on uniform-direction
+      // corpora.
+      val queries = drifted(0).limit(200)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, j) => when(j === 1, x * lit(1.05f)).otherwise(x))
+            .as("embedding"))
+        .localCheckpoint()
+      val sourceIds = drifted(0).limit(200)
+        .select((col("vec_id") + lit(900000000L)).as("q_id"),
+          col("vec_id").as("n_id")).localCheckpoint()
+      def recall1(): Double =
+        Similarity.ivfTopKIndexed(spark, idx, queries, k = 1, nProbe = 2)
+          .select("q_id", "n_id")
+          .join(sourceIds, Seq("q_id", "n_id"), "left_semi").count().toDouble /
+          200.0
+      // rows an nProbe=2 probe actually scans, averaged over the queries
+      // — the serving bill hot-list drift inflates
+      def probeBill(): Double = {
+        val sizes = spark.read.parquet(s"$idx/lists")
+          .groupBy("list_id").agg(count(lit(1)).as("sz"))
+        Similarity.ivfProbeCells(spark, idx, queries, nProbe = 2)
+          .join(sizes, "list_id")
+          .agg(coalesce(sum(col("sz")), lit(0L))).head().getLong(0) / 200.0
+      }
+      def hotShare(): Double = {
+        val r = Similarity.ivfListStats(spark, idx)
+          .filter(col("batch") =!= "base")
+          .groupBy("list_id").agg(sum("n").as("n"))
+          .agg(coalesce(sum(col("n")), lit(0L)), coalesce(max(col("n")), lit(0L)))
+          .head()
+        if (r.getLong(0) == 0L) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+      }
+      (0 until 3).foreach { i =>
+        val batch = drifted(i).localCheckpoint()
+        val t0 = System.nanoTime()
+        val n = EmbedIngest.ingestTick(spark, batch, idx, out, s"d$i",
+          tau = 0.99, nProbe = 2, centroidStride = stride)
+        results(s"drift_tick_$i") = (System.nanoTime() - t0) / 1e9
+        counts(s"drift_survivors_$i") = n
+        System.err.println(f"[eloop-bench] drift tick $i%2d: " +
+          fmt3(results(s"drift_tick_$i")) + s" s, $n survivors")
+      }
+      results("drift_hot_share_before") = hotShare()
+      results("drift_recall1_before") = recall1()
+      results("drift_probe_rows_before") = probeBill()
+      System.err.println(s"[eloop-bench] pre-rebuild hotShare=" +
+        fmt3(results("drift_hot_share_before")) + " recall@1=" +
+        fmt3(results("drift_recall1_before")) + " probe_rows/query=" +
+        fmt3(results("drift_probe_rows_before")))
+      val tR = System.nanoTime()
+      val fired = EmbedIngest.rebuildIfDrifted(spark, idx,
+        hotShareThreshold = 0.05, centroidStride = stride,
+        currentTag = "d3", minRows = 1000L)
+      results("drift_rebuild_sec") = (System.nanoTime() - tR) / 1e9
+      counts("drift_rebuild_fired") = if (fired) 1L else 0L
+      results("drift_recall1_after") = recall1()
+      results("drift_probe_rows_after") = probeBill()
+      System.err.println(s"[eloop-bench] rebuild fired=$fired in " +
+        fmt3(results("drift_rebuild_sec")) + " s, recall@1=" +
+        fmt3(results("drift_recall1_after")) + " probe_rows/query=" +
+        fmt3(results("drift_probe_rows_after")))
+      (3 until 6).foreach { i =>
+        val batch = drifted(i).localCheckpoint()
+        val t0 = System.nanoTime()
+        val n = EmbedIngest.ingestTick(spark, batch, idx, out, s"d$i",
+          tau = 0.99, nProbe = 2, centroidStride = stride)
+        results(s"drift_tick_$i") = (System.nanoTime() - t0) / 1e9
+        counts(s"drift_survivors_$i") = n
+        System.err.println(f"[eloop-bench] post-rebuild drift tick $i%2d: " +
+          fmt3(results(s"drift_tick_$i")) + s" s, $n survivors")
+      }
     }
 
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) } ++
