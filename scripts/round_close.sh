@@ -42,8 +42,15 @@ rm -rf "$VERIFY_OUT"
 SC_LINE="verify FAILED"
 SC_RC=1
 if sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $VERIFY_OUT" >/dev/null 2>&1; then
-  SC_LINE="$(python3 tools/selfcheck.py /root/testdata/sf0.01 "$VERIFY_OUT" | tail -1)"
-  SC_RC=$?
+  # capture selfcheck's OWN exit status — `$(... | tail -1)` would report
+  # tail's (always 0) and a failing oracle compare would read as green
+  SC_TMP="$(mktemp)"
+  if python3 tools/selfcheck.py /root/testdata/sf0.01 "$VERIFY_OUT" >"$SC_TMP" 2>&1; then
+    SC_RC=0
+  else
+    SC_RC=$?
+  fi
+  SC_LINE="$(tail -1 "$SC_TMP")"
 fi
 
 python3 - "$HEAD_SHA" "$PG_STATUS" "$REF_LINE" "$SC_LINE" "$SC_RC" <<'PYEOF'

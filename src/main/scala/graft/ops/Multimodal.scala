@@ -142,7 +142,11 @@ object Multimodal {
       }
     } else if (b.length >= 26 && ascii(0, "BM") && le32(14) >= 40) {
       val w = le32(18); val h = le32(22)
-      if (w > 0 && h != 0) Some(("bmp", w, math.abs(h))) else None
+      // h = Int.MinValue has no positive absolute value (math.abs returns
+      // it unchanged) — a crafted header must reject, not emit ok=1 with
+      // a negative height
+      if (w > 0 && h != 0 && h != Int.MinValue) Some(("bmp", w, math.abs(h)))
+      else None
     } else None
   }
 

@@ -577,6 +577,15 @@ object TextAnalysis {
     * identically. Symbols are never empty (training filters them), so
     * the sentinel cannot collide with data.
     */
+  private def hasAdjacentPair(s: Array[String], l: String, r: String): Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      if (s(i) == l && s(i + 1) == r) return true
+      i += 1
+    }
+    false
+  }
+
   private def mergePairLocal(syms: Array[String], l: String, r: String): Array[String] = {
     val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
     var prev = ""
@@ -626,14 +635,6 @@ object TextAnalysis {
     }
     var w = 0
     while (w < words.length) { addWord(w, 1L); w += 1 }
-    def hasAdjacent(s: Array[String], l: String, r: String): Boolean = {
-      var i = 0
-      while (i < s.length - 1) {
-        if (s(i) == l && s(i + 1) == r) return true
-        i += 1
-      }
-      false
-    }
     val out = mutable.ArrayBuffer[(Int, String, String, Long, String)]()
     var rank = 0
     var go = true
@@ -653,7 +654,7 @@ object TextAnalysis {
         out += ((rank + 1, l, r, bestCnt, l + r))
         val affected = index.remove(best).getOrElse(mutable.HashSet.empty)
         affected.foreach { wi =>
-          if (hasAdjacent(words(wi), l, r)) {
+          if (hasAdjacentPair(words(wi), l, r)) {
             addWord(wi, -1L)
             words(wi) = mergePairLocal(words(wi), l, r)
             addWord(wi, 1L)
@@ -670,10 +671,14 @@ object TextAnalysis {
     * ([[bpeMerges]] output or any compatible `(rank, left, right)`
     * frame) over the corpus: each merge in rank order is one map-only
     * greedy [[mergePair]] rewrite, so encoding is a zero-shuffle chain
-    * of `numMerges` codegen'd transforms — no per-row loop, no UDF. The
+    * of `numMerges` transforms — no per-row loop, no UDF — up to
+    * `maxChainMerges`; beyond that (a production-size vocab) the same
+    * rank-order replay runs as JVM loops in `mapPartitions` over the
+    * distinct-word frame, because a 32 k-layer Column chain is a
+    * 32 k-node plan whose analyzer bill grows with the vocab. The
     * merge table is collected to the driver (bounded: one row per
     * learned merge, the same artifact a tokenizer ships) and bound into
-    * the plan as literals.
+    * the plan as literals (chain tier) or a broadcast (fast tier).
     *
     * Output: `(id, tokens, n_tokens)` where `tokens` is the word-major
     * token sequence (whitespace word boundaries are hard boundaries, as
@@ -683,7 +688,8 @@ object TextAnalysis {
       docs: DataFrame,
       merges: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxChainMerges: Int = 64): DataFrame = {
     // getAs[Number]: a merge table round-tripped through parquet/DuckDB
     // may carry rank as BIGINT — the docstring invites "any compatible
     // (rank, left, right) frame", so don't hard-cast to Int
@@ -704,9 +710,43 @@ object TextAnalysis {
         .as(Seq("pos", "w")))
     val vocabSyms = occurrences.select("w").distinct()
       .withColumn("syms", expr("filter(split(w, ''), s -> s != '')"))
-    val encoded = ordered.foldLeft(vocabSyms) { case (df, (l, r)) =>
-      df.withColumn("syms", mergePair(col("syms"), l, r))
-    }.withColumnRenamed("syms", "toks")
+    // Two replay tiers, same semantics. At or under `maxChainMerges` the
+    // replay is one Column layer per merge (zero-UDF, the shape every
+    // catalog query uses). ABOVE it — a production 32 k-merge vocab —
+    // that chain is a 32 k-node plan: analyzer/optimizer cost grows with
+    // the VOCAB SIZE, not the data, and each layer is an interpreted
+    // higher-order pass. The fast tier replays the SAME rank-order
+    // greedy passes as plain JVM loops inside mapPartitions over the
+    // distinct-word frame (mergePairLocal is the byte-pinned local
+    // replica of mergePair; symbols come from the very same split
+    // expression, so splitting semantics cannot diverge), with a
+    // has-pair pre-scan so merges absent from a word cost O(|word|)
+    // and nothing allocates. Equivalence is spec-pinned on a
+    // 100-merge table.
+    val encoded =
+      if (ordered.length <= maxChainMerges)
+        ordered.foldLeft(vocabSyms) { case (df, (l, r)) =>
+          df.withColumn("syms", mergePair(col("syms"), l, r))
+        }.withColumnRenamed("syms", "toks")
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(ordered)
+        vocabSyms.select(col("w"), col("syms")).as[(String, Seq[String])]
+          .mapPartitions { it =>
+            val table = bc.value
+            it.map { case (word, s0) =>
+              var s = s0.toArray
+              var k = 0
+              while (k < table.length) {
+                val (l, r) = table(k)
+                if (hasAdjacentPair(s, l, r)) s = mergePairLocal(s, l, r)
+                k += 1
+              }
+              (word, s.toSeq)
+            }
+          }.toDF("w", "toks")
+      }
     val assembled = occurrences.join(encoded, Seq("w"))
       .groupBy(col(idCol))
       .agg(flatten(transform(

@@ -59,9 +59,25 @@ object BpeScaleBench {
     ladder.foreach(n => run(s"local_$n", docs, n, Long.MaxValue))
     run(s"dist_dense_$distMerges", dense, distMerges, 0L)
     ladder.foreach(n => run(s"local_dense_$n", dense, n, Long.MaxValue))
+
+    // ENCODE at depth: the Column-chain tier's plan grows one layer per
+    // merge (analyzer bill ∝ vocab size), the mapPartitions fast tier
+    // replays the same passes as JVM loops. Chain measured at 100
+    // merges; fast at 100 and the full ladder top.
+    val top = ladder.max
+    val mergesDeep = TextAnalysis.bpeMerges(dense, numMerges = top,
+      minPairCount = 1L).localCheckpoint()
+    val m100 = mergesDeep.filter(
+      org.apache.spark.sql.functions.col("rank") <= 100).localCheckpoint()
+    out("encode_chain_100") = time(force(
+      TextAnalysis.bpeEncode(dense, m100, maxChainMerges = Int.MaxValue)))
+    println(s"[bpe-scale] encode_chain_100: ${fmt3(out("encode_chain_100"))} s")
+    out("encode_fast_100") = time(force(TextAnalysis.bpeEncode(dense, m100)))
+    println(s"[bpe-scale] encode_fast_100: ${fmt3(out("encode_fast_100"))} s")
+    out(s"encode_fast_$top") = time(force(TextAnalysis.bpeEncode(dense, mergesDeep)))
+    println(s"[bpe-scale] encode_fast_$top: ${fmt3(out(s"encode_fast_$top"))} s")
     val perDistMerge = out(s"dist_$distMerges") /
       math.max(1L, counts(s"dist_$distMerges"))
-    val top = ladder.max
     println(s"[bpe-scale] distributed per-merge cost ${fmt3(perDistMerge)} s " +
       s"-> a 32k vocab extrapolates to ${fmt3(perDistMerge * 32768)} s; " +
       s"local dense path did ${counts(s"local_dense_$top")} merges in " +

@@ -150,6 +150,10 @@ class TextAndJsonSpec extends AnyFunSuite {
     (0 until png.length).foreach { k =>
       Multimodal.parseImageHeader(java.util.Arrays.copyOf(png, k)): Unit
     }
+    // BMP height Int.MinValue: abs() has no positive value — must reject
+    val evil = bmps.head.payload.clone()
+    evil(22) = 0x00; evil(23) = 0x00; evil(24) = 0x00; evil(25) = 0x80.toByte
+    assert(Multimodal.parseImageHeader(evil).isEmpty)
   }
 
   test("decodeImageMeta: typed rejection rows ride through, ok flag queryable") {
@@ -398,6 +402,53 @@ class TextAndJsonSpec extends AnyFunSuite {
     val dist = table(0L)
     assert(local.size == 20, "fixture must sustain all 20 merges")
     assert(local == dist, "local and distributed merge tables must be byte-identical")
+  }
+
+  test("bpeMerges: local ≡ distributed on tie-dense random corpora") {
+    // 3-letter alphabet = maximal tie and chained-merge density (merged
+    // tokens immediately re-collide with singles) — the adversarial
+    // input for argmax ordering and the greedy rewrite; seeded, so the
+    // pin is reproducible
+    val rnd = new scala.util.Random(4242L)
+    (1 to 4).foreach { trial =>
+      val docs = (1L to 20L).map { id =>
+        val words = Seq.fill(3 + rnd.nextInt(6))(
+          Seq.fill(1 + rnd.nextInt(7))("abc" (rnd.nextInt(3))).mkString)
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      def table(maxSyms: Long): Seq[(Int, String, String, Long, String)] =
+        TextAnalysis.bpeMerges(docs, numMerges = 10, minPairCount = 1L,
+          localFinishMaxSyms = maxSyms)
+          .select("rank", "left", "right", "pair_count", "token")
+          .as[(Int, String, String, Long, String)].collect().sortBy(_._1).toSeq
+      assert(table(Long.MaxValue) == table(0L), s"trial $trial diverged")
+    }
+  }
+
+  test("bpeEncode: mapPartitions fast tier ≡ the Column chain on a deep table") {
+    // a 100-merge table (past the 64-merge chain gate) learned from the
+    // dense tie-heavy corpus; the same docs encoded through both tiers
+    // must token-match exactly, word boundaries and all
+    val rnd = new scala.util.Random(77L)
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(5))(
+        Seq.fill(2 + rnd.nextInt(9))("abcd" (rnd.nextInt(4))).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, numMerges = 100, minPairCount = 1L)
+    assert(merges.count() > 64, "table must be deep enough to cross the gate")
+    def enc(maxChain: Int): Map[Long, Seq[String]] =
+      TextAnalysis.bpeEncode(docs, merges, maxChainMerges = maxChain)
+        .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val fast = enc(64)          // default gate -> mapPartitions tier
+    val chain = enc(Int.MaxValue) // forced Column-chain tier
+    assert(fast == chain)
+    // lossless on both tiers
+    fast.foreach { case (id, toks) =>
+      val squeezed = docs.filter($"doc_id" === id)
+        .select(regexp_replace($"text", " ", "")).as[String].head()
+      assert(toks.mkString == squeezed)
+    }
   }
 
   test("bpeMerges: argmax tie-break is UTF-8 byte order on BOTH paths") {
