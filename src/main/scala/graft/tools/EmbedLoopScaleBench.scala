@@ -192,9 +192,14 @@ object EmbedLoopScaleBench {
         fmt3(results("drift_hot_share_before")) + " recall@1=" +
         fmt3(results("drift_recall1_before")) + " probe_rows/query=" +
         fmt3(results("drift_probe_rows_before")))
+      // arg 6 overrides the REBUILD's centroid stride (the lever the 1 M
+      // run identified: stride == expected rows/list, so a drift
+      // response that wants smaller drifted lists rebuilds at a smaller
+      // stride than the ingest path trained with)
+      val rebuildStride = args.lift(5).map(_.toLong).getOrElse(stride)
       val tR = System.nanoTime()
       val fired = EmbedIngest.rebuildIfDrifted(spark, idx,
-        hotShareThreshold = 0.05, centroidStride = stride,
+        hotShareThreshold = 0.05, centroidStride = rebuildStride,
         currentTag = "d3", minRows = 1000L)
       results("drift_rebuild_sec") = (System.nanoTime() - tR) / 1e9
       counts("drift_rebuild_fired") = if (fired) 1L else 0L
