@@ -114,16 +114,24 @@ object EmbedIngest {
       embCol: String = "embedding",
       maxSlices: Option[Int] = None,
       rebuildHotShare: Option[Double] = None,
-      rebuildMinRows: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+      rebuildMinRows: Long = 1000L,
+      rebuildStride: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val tag = s"b$batchId"
         // a rebuild resets slices too, so it subsumes this tick's
-        // compaction check
+        // compaction check. rebuildStride decouples the REBUILD's
+        // centroid allocation from the ingest path's: stride == expected
+        // rows/list, and the measured drift ladders (PLANS.md round-16)
+        // show a drift response often wants SMALLER post-rebuild lists
+        // than the original build — at 100k, rebuilding at stride 100
+        // instead of the ingest's 500 cut the probe bill 12x for 5x
+        // rebuild cost at unchanged recall.
         val rebuilt = rebuildHotShare.exists(th =>
-          rebuildIfDrifted(df.sparkSession, indexDir, th, centroidStride,
+          rebuildIfDrifted(df.sparkSession, indexDir, th,
+            rebuildStride.getOrElse(centroidStride),
             currentTag = tag, minRows = rebuildMinRows))
         if (!rebuilt) maxSlices.foreach(m =>
           compactIfNeeded(df.sparkSession, indexDir, m, currentTag = tag))

@@ -304,12 +304,13 @@ class EmbedIngestSpec extends AnyFunSuite {
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[(Long, Seq[Float])]
-    // maxSlices=1 also exercises the in-loop compaction wiring: the
-    // second micro-batch crosses the trigger (base + b0 slices) and
-    // compacts-and-swaps before its tick
+    // maxSlices=0 ("no loose slices tolerated") also exercises the
+    // in-loop compaction wiring: at the second micro-batch b0 is a
+    // loose slice beyond the base/currentTag floor, crossing the
+    // trigger, so the loop compacts-and-swaps before its tick
     val q = EmbedIngest.incrementalIngest(
       source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt,
-      tau = 0.8, nProbe = 2, maxSlices = Some(1))
+      tau = 0.8, nProbe = 2, maxSlices = Some(0))
     try {
       source.addData(fix ++ corpusDup: _*)
       q.processAllAvailable()
@@ -320,11 +321,53 @@ class EmbedIngestSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     assert(ids(spark.read.parquet(out)) == Set(1000L, 1001L, 1002L, 3060L))
-    // the compaction wiring ran: slice count stayed bounded (floor is
-    // base + appended + the latest tick's slice = 3, since compaction
-    // keeps post-training mass out of `base` for the drift monitor)
-    assert(graft.core.FsPaths.countChildren(spark, s"$idx/lists", "batch=") <= 3,
-      "maxSlices=1 stream never compacted")
+    // the compaction wiring ran: b0 was folded into `appended` (not left
+    // as its own slice), so the survivors are {base, appended, b1} —
+    // compaction keeps post-training mass out of `base` for the drift
+    // monitor
+    val names = graft.core.FsPaths
+      .childNames(spark, s"$idx/lists", "batch=").toSet
+    assert(names == Set("batch=base", "batch=appended", "batch=b1"),
+      s"maxSlices=0 stream never compacted: $names")
+  }
+
+  test("incrementalIngest: rebuildStride decouples the rebuild's allocation") {
+    // the measured drift lever (PLANS.md round-16): a rebuild may want
+    // SMALLER lists than the ingest build — rebuildStride must reach
+    // rebuildIfDrifted instead of the tick path's centroidStride
+    val (idx, out) = freshDirs()
+    val ckpt = Files.createTempDirectory("graft_embing_rsckpt").toString
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx,
+      centroidStride = 50L)
+    val nLists0 = spark.read.parquet(s"$idx/centroids").count()
+    def drifted(lo: Long, hi: Long, offset: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select(($"vec_id" + offset).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, lit(4.0f)).otherwise(x)).as("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = EmbedIngest.incrementalIngest(
+      source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt,
+      tau = 0.99, nProbe = 2, centroidStride = 50L,
+      rebuildHotShare = Some(0.2), rebuildMinRows = 50L,
+      rebuildStride = Some(5L))
+    try {
+      source.addData(drifted(200L, 300L, 10000L): _*) // appends ~100 drifted rows
+      q.processAllAvailable()
+      source.addData(drifted(300L, 310L, 20000L): _*) // b1: rebuild fires first
+      q.processAllAvailable()
+    } finally q.stop()
+    val nLists1 = spark.read.parquet(s"$idx/centroids").count()
+    // the retrain sampled at stride 5 over ~300 rows, not the tick
+    // path's 50 — allocation visibly finer than the original build
+    assert(nLists1 > nLists0 * 2,
+      s"rebuildStride ignored: $nLists0 -> $nLists1 centroids")
+    // the rebuild reset appended mass to base; b1's slice rides on top
+    val names = graft.core.FsPaths
+      .childNames(spark, s"$idx/lists", "batch=").toSet
+    assert(names == Set("batch=base", "batch=b1"), names.toString)
   }
 
   test("rebuildIvfIndex preserves the PQ halves of an IVFPQ index") {
