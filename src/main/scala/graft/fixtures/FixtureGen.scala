@@ -235,12 +235,18 @@ object FixtureGen {
   /** Deterministic media payloads with GENUINE minimal container
     * headers — real PNG signatures + IHDR, real JPEG marker sequences
     * (APP0/COM segments before the SOFn, so parsers must walk segments,
-    * not peek a fixed offset), real GIF87a/89a logical screen
-    * descriptors, real BITMAPINFOHEADER BMPs — followed by seeded filler
-    * standing in for pixel data. Interleaved malformed rows cover the
-    * rejection paths: truncated signatures, a PNG whose first chunk is
-    * not IHDR, a JPEG that reaches SOS without any SOF, zero dims,
-    * empty and garbage payloads.
+    * not peek a fixed offset; one variant truncated exactly after the
+    * SOF width bytes, which a correct T.81 walk still parses), real
+    * GIF87a/89a logical screen descriptors, real BITMAPINFOHEADER BMPs,
+    * real WebP RIFF containers in all three chunk layouts (VP8 lossy /
+    * VP8L lossless / VP8X extended), and real TIFF 6.0 headers in both
+    * byte orders with SHORT and LONG dimension tags — followed by seeded
+    * filler standing in for pixel data. Interleaved malformed rows cover
+    * the rejection paths: truncated signatures, a PNG whose first chunk
+    * is not IHDR, a JPEG that reaches SOS without any SOF, a RIFF that
+    * is not a WebP (WAVE audio), a VP8 chunk truncated before its start
+    * code, a TIFF whose IFD offset points past the buffer, a TIFF
+    * missing its height tag, zero dims, empty and garbage payloads.
     */
   def mediaPayloads(n: Int, seed: Long): Seq[MediaFixtureRow] = {
     val rnd = new Random(seed)
@@ -283,34 +289,116 @@ object FixtureGen {
     def bmp(w: Int, h: Int): Array[Byte] =
       ascii("BM") ++ le32(54 + w * 3) ++ le32(0) ++ le32(54) ++ le32(40) ++
         le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ filler(16 + rnd.nextInt(32))
+    // JPEG whose buffer ends exactly after the SOF width bytes — the
+    // header was readable, so a correct walk parses it (pins the
+    // i+9 <= length bound; len still claims a full 3-component SOF)
+    def jpegTruncAtWidth(w: Int, h: Int): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ ascii("JFIF") ++
+        Array[Byte](0, 1, 1, 0) ++ be16(72) ++ be16(72) ++ Array[Byte](0, 0)
+      Array(0xff, 0xd8).map(_.toByte) ++ app0 ++
+        Array(0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(h) ++ be16(w)
+    }
+    def le24(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    def riff(fourcc: String, data: Array[Byte]): Array[Byte] =
+      ascii("RIFF") ++ le32(4 + 8 + data.length) ++ ascii("WEBP") ++
+        ascii(fourcc) ++ le32(data.length) ++ data
+    def webpLossy(w: Int, h: Int): Array[Byte] =
+      riff("VP8 ", Array[Byte](0, 0, 0) ++ // frame tag
+        Array(0x9d, 0x01, 0x2a).map(_.toByte) ++ le16(w) ++ le16(h) ++
+        filler(8 + rnd.nextInt(24)))
+    def webpLossless(w: Int, h: Int): Array[Byte] = {
+      val v = ((w - 1) & 0x3fff) | (((h - 1) & 0x3fff) << 14)
+      riff("VP8L", Array(0x2f.toByte) ++ le32(v) ++ filler(4 + rnd.nextInt(16)))
+    }
+    def webpExtended(w: Int, h: Int): Array[Byte] =
+      riff("VP8X", Array[Byte](0x10, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1)) ++
+        filler(rnd.nextInt(16))
+    def tiff(w: Int, h: Int, le: Boolean, useLong: Boolean,
+        dropHeight: Boolean = false): Array[Byte] = {
+      def w16(v: Int) = if (le) le16(v) else be16(v)
+      def w32(v: Long) = if (le) le32(v.toInt) else be32(v)
+      val typ = if (useLong) 4 else 3
+      def entry(tag: Int, v: Int): Array[Byte] =
+        w16(tag) ++ w16(typ) ++ w32(1L) ++
+          // SHORT is left-justified in the 4-byte value field
+          (if (useLong) w32(v.toLong) else w16(v) ++ Array[Byte](0, 0))
+      val entries =
+        (Seq(entry(256, w)) ++
+          (if (dropHeight) Seq.empty else Seq(entry(257, h))) ++
+          Seq(entry(296, 2))).toArray // ResolutionUnit: a non-dim tag to skip
+      ascii(if (le) "II" else "MM") ++ w16(42) ++ w32(8L) ++
+        w16(entries.length) ++ entries.flatten ++ w32(0L) ++
+        filler(rnd.nextInt(32))
+    }
 
     (0 until n).map { i =>
       val id = i.toLong
       val w = 1 + rnd.nextInt(4096)
       val h = 1 + rnd.nextInt(4096)
-      i % 10 match {
-        case 0 | 1 => MediaFixtureRow(id, "png", Some(w), Some(h), 1, png(w, h))
-        case 2 | 3 =>
+      val w14 = w min 16383; val h14 = h min 16383 // VP8's 14-bit dims
+      i % 25 match {
+        case 0 | 13 => MediaFixtureRow(id, "png", Some(w), Some(h), 1, png(w, h))
+        case 1 =>
           MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
-            jpeg(w min 65535, h min 65535, if (i % 20 < 10) 0xc0 else 0xc2,
-              extraSegs = rnd.nextInt(3)))
+            jpeg(w min 65535, h min 65535, 0xc0, extraSegs = rnd.nextInt(3)))
+        case 2 =>
+          MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
+            jpeg(w min 65535, h min 65535, 0xc2, extraSegs = rnd.nextInt(3)))
+        case 3 => // buffer ends exactly after the SOF width — still valid
+          MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
+            jpegTruncAtWidth(w min 65535, h min 65535))
         case 4 => MediaFixtureRow(id, "gif", Some(w min 65535), Some(h min 65535), 1,
-          gif(w min 65535, h min 65535, v89 = i % 20 >= 10))
-        case 5 => MediaFixtureRow(id, "bmp", Some(w), Some(h), 1,
-          bmp(w, if (i % 20 < 10) h else -h)) // top-down negative height
-        case 6 => // truncated PNG: signature only
+          gif(w min 65535, h min 65535, v89 = false))
+        case 5 => MediaFixtureRow(id, "gif", Some(w min 65535), Some(h min 65535), 1,
+          gif(w min 65535, h min 65535, v89 = true))
+        case 6 => MediaFixtureRow(id, "bmp", Some(w), Some(h), 1, bmp(w, h))
+        case 7 => // top-down negative height
+          MediaFixtureRow(id, "bmp", Some(w), Some(h), 1, bmp(w, -h))
+        case 8 => MediaFixtureRow(id, "webp", Some(w14), Some(h14), 1,
+          webpLossy(w14, h14))
+        case 9 => MediaFixtureRow(id, "webp", Some(w14), Some(h14), 1,
+          webpLossless(w14, h14))
+        case 10 => MediaFixtureRow(id, "webp", Some(w), Some(h), 1,
+          webpExtended(w, h))
+        case 11 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
+          tiff(w, h, le = true, useLong = false))
+        case 12 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
+          tiff(w, h, le = false, useLong = true))
+        case 14 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
+          tiff(w, h, le = i % 50 < 25, useLong = i % 50 >= 25))
+        case 15 =>
+          MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
+            jpeg(w min 65535, h min 65535, 0xc1, extraSegs = 1 + rnd.nextInt(2)))
+        case 16 => // truncated PNG: signature only
           MediaFixtureRow(id, "unknown", None, None, 0,
             pngSig.take(4 + rnd.nextInt(5)))
-        case 7 => // PNG whose first chunk is not IHDR
+        case 17 => // PNG whose first chunk is not IHDR
           MediaFixtureRow(id, "unknown", None, None, 0,
             pngSig ++ be32(13L) ++ ascii("IDAT") ++ filler(21))
-        case 8 => // JPEG that hits SOS with no SOF emitted
+        case 18 => // JPEG that hits SOS with no SOF emitted
           MediaFixtureRow(id, "unknown", None, None, 0,
             Array(0xff, 0xd8, 0xff, 0xda).map(_.toByte) ++ be16(8) ++ filler(16))
-        case _ => // garbage / empty / zero-dim GIF
-          if (i % 30 == 9) MediaFixtureRow(id, "unknown", None, None, 0, Array.empty)
-          else if (i % 30 == 19) MediaFixtureRow(id, "unknown", None, None, 0,
+        case 19 => // a RIFF that is not a WebP image (WAVE audio)
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++ ascii("fmt ") ++
+              le32(16) ++ filler(16))
+        case 20 => // VP8 chunk truncated before its keyframe start code
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            ascii("RIFF") ++ le32(4 + 8 + 3) ++ ascii("WEBP") ++
+              ascii("VP8 ") ++ le32(3) ++ Array[Byte](0, 0, 0))
+        case 21 => // TIFF whose IFD offset points past the buffer
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            ascii("II") ++ le16(42) ++ le32(100000) ++ filler(8))
+        case 22 => // TIFF missing its height tag (ImageLength)
+          MediaFixtureRow(id, "unknown", None, None, 0,
+            tiff(w, h, le = true, useLong = false, dropHeight = true))
+        case 23 => // zero-dim GIF
+          MediaFixtureRow(id, "unknown", None, None, 0,
             gif(0, h min 65535, v89 = true))
+        case _ => // garbage / empty
+          if (i % 50 == 24) MediaFixtureRow(id, "unknown", None, None, 0, Array.empty)
           else MediaFixtureRow(id, "unknown", None, None, 0, filler(24 + rnd.nextInt(64)))
       }
     }
@@ -329,11 +417,11 @@ object Fixtures {
   val mediaParquet = s"$dir/media_payloads.parquet"
   val mediaParquetGlob = s"$mediaParquet/*.parquet"
 
-  /** 500 seeded media payloads (~60% real headers across PNG/JPEG/GIF/
-    * BMP, ~40% deliberately malformed) with generator ground truth —
-    * the corpus `ext_multimodal_real_meta` parses and its oracle reads
-    * back. Deterministic (seed 1213), so a wiped checkout regenerates
-    * byte-identical content.
+  /** 500 seeded media payloads (~64% real headers across PNG/JPEG/GIF/
+    * BMP/WebP/TIFF, ~36% deliberately malformed) with generator ground
+    * truth — the corpus `ext_multimodal_real_meta` parses and its oracle
+    * reads back. Deterministic (seed 1213), so a wiped checkout
+    * regenerates byte-identical content.
     */
   def ensureMedia(spark: SparkSession): Unit = synchronized {
     if (new java.io.File(mediaParquet).exists()) return

@@ -65,27 +65,46 @@ object Multimodal {
       ok: Int)
 
   /** Real container-header parse: `Some((format, width, height))` for a
-    * payload whose header is a well-formed PNG / JPEG / GIF / BMP,
-    * `None` for anything truncated, corrupt, or unrecognized. Reads ONLY
-    * the header bytes — trailing payload content is never touched, which
-    * is the production property that makes header-only scans cheap on
-    * multi-MB media columns (columnar readers fetch the binary cell
-    * either way, but the CPU cost stays O(header)).
+    * payload whose header is a well-formed PNG / JPEG / GIF / BMP /
+    * WebP / TIFF, `None` for anything truncated, corrupt, or
+    * unrecognized (a null payload counts as empty = unrecognized).
+    * Reads ONLY the header bytes — trailing payload content is never
+    * touched, which is the production property that makes header-only
+    * scans cheap on multi-MB media columns (columnar readers fetch the
+    * binary cell either way, but the CPU cost stays O(header)).
     *
     *   - PNG (ISO/IEC 15948 §5.2/§11.2.2): 8-byte signature, first chunk
     *     must be IHDR with length 13; width/height big-endian u32 > 0.
     *   - JPEG (ITU T.81 §B.2): SOI then a marker walk over variable-
     *     length segments until a frame header SOFn (C0–CF minus C4/C8/CC,
     *     which are DHT/JPG/DAC); height/width big-endian u16 from the
-    *     SOF payload. Standalone markers (TEM, RSTn) carry no length.
-    *     Hitting SOS/EOI or truncation before a SOF ⇒ malformed.
+    *     SOF payload (spec-minimal SOF length is 11: 8 fixed bytes +
+    *     3 per component, Nf ≥ 1). Standalone markers (TEM, RSTn) carry
+    *     no length. Hitting SOS/EOI or truncation before a SOF ⇒
+    *     malformed — but a buffer ending exactly after the SOF width
+    *     bytes still parses (the dims were readable).
     *   - GIF (87a/89a §17-18): 6-byte version magic, then the logical
     *     screen descriptor's little-endian u16 width/height.
     *   - BMP (BITMAPINFOHEADER): "BM", DIB size ≥ 40 at offset 14,
     *     little-endian i32 width and height (height may be negative =
     *     top-down; dimensions are its absolute value).
+    *   - WebP (RIFF container): "RIFF" + "WEBP", then the first chunk's
+    *     FourCC picks the codec layout — "VP8 " (lossy: 3-byte frame
+    *     tag, 9D 01 2A keyframe start code, 14-bit LE dims), "VP8L"
+    *     (lossless: 0x2F signature then width−1/height−1 as two 14-bit
+    *     LE fields), "VP8X" (extended: canvas width−1/height−1 as LE
+    *     u24 at data+4/data+7). Any other FourCC (a RIFF that is not a
+    *     WebP image, e.g. WAVE audio) rejects.
+    *   - TIFF 6.0: "II"+42 (LE) or "MM"+42 (BE), u32 offset to the
+    *     first IFD, then a bounded IFD-entry walk for tags 256
+    *     (ImageWidth) and 257 (ImageLength), each SHORT (type 3,
+    *     left-justified in the value field) or LONG (type 4). Both tags
+    *     must be present and positive; an IFD offset past the buffer or
+    *     a truncated entry table rejects.
     */
-  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+  def parseImageHeader(bIn: Array[Byte]): Option[(String, Int, Int)] = {
+    // a null binary cell is byte garbage like any other: reject, don't NPE
+    val b: Array[Byte] = if (bIn == null) Array.emptyByteArray else bIn
     def u8(i: Int): Int = b(i) & 0xff
     def be32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -123,8 +142,11 @@ object Multimodal {
             val len = be16(i + 2)
             if (len < 2) stop = true
             else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-              // SOF payload: precision u8, height u16, width u16
-              if (i + 9 < b.length && len >= 8) {
+              // SOF payload: precision u8, height u16, width u16, Nf u8,
+              // 3 bytes per component — spec minimum len is 11 (Nf ≥ 1).
+              // Width's last byte is index i+8, so i+9 <= length suffices:
+              // a buffer truncated exactly after the width still parses.
+              if (i + 9 <= b.length && len >= 11) {
                 val h = be16(i + 5); val w = be16(i + 7)
                 if (w > 0 && h > 0) res = Some(("jpeg", w, h))
               }
@@ -147,6 +169,69 @@ object Multimodal {
       // a negative height
       if (w > 0 && h != 0 && h != Int.MinValue) Some(("bmp", w, math.abs(h)))
       else None
+    } else if (b.length >= 16 && ascii(0, "RIFF") && ascii(8, "WEBP")) {
+      // first chunk's FourCC at 12, chunk payload starts at 20
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      if (ascii(12, "VP8 ")) {
+        // lossy: 3-byte frame tag, keyframe start code 9D 01 2A, then
+        // 14-bit LE width/height (top 2 bits are the scale fields)
+        if (b.length >= 30 && u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a) {
+          val w = le16(26) & 0x3fff; val h = le16(28) & 0x3fff
+          if (w > 0 && h > 0) Some(("webp", w, h)) else None
+        } else None
+      } else if (ascii(12, "VP8L")) {
+        // lossless: 0x2F signature byte, then width-1 (14 bits) and
+        // height-1 (next 14 bits) packed LE from the following 4 bytes
+        if (b.length >= 25 && u8(20) == 0x2f) {
+          val v = le32(21)
+          Some(("webp", (v & 0x3fff) + 1, ((v >>> 14) & 0x3fff) + 1))
+        } else None
+      } else if (ascii(12, "VP8X")) {
+        // extended: 4 flag/reserved bytes, canvas width-1 / height-1 LE u24
+        if (b.length >= 30) Some(("webp", le24(24) + 1, le24(27) + 1))
+        else None
+      } else None // a RIFF that is not a WebP image chunk (e.g. WAVE)
+    } else if (b.length >= 8 &&
+      ((u8(0) == 0x49 && u8(1) == 0x49 && u8(2) == 42 && u8(3) == 0) ||
+        (u8(0) == 0x4d && u8(1) == 0x4d && u8(2) == 0 && u8(3) == 42))) {
+      // TIFF 6.0: endianness from the magic, then walk the first IFD's
+      // entry table for ImageWidth (256) / ImageLength (257). The walk is
+      // bounded by the declared entry count and every read is
+      // bounds-checked, so a hostile offset can't run off the buffer.
+      val le = u8(0) == 0x49
+      def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      def r32(i: Int): Long = if (le) le32(i).toLong & 0xffffffffL else be32(i)
+      val ifdOff = r32(4)
+      if (ifdOff < 8 || ifdOff + 2 > b.length) None
+      else {
+        val off = ifdOff.toInt
+        val nEntries = r16(off)
+        var w = -1L; var h = -1L
+        var bad = false
+        var k = 0
+        while (k < nEntries && !bad) {
+          val e = off + 2 + 12 * k
+          if (e + 12 > b.length) bad = true
+          else {
+            val tag = r16(e)
+            if (tag == 256 || tag == 257) {
+              // SHORT (3) is left-justified in the 4-byte value field
+              // regardless of endianness; LONG (4) fills it
+              val typ = r16(e + 2)
+              val v =
+                if (typ == 3) r16(e + 8).toLong
+                else if (typ == 4) r32(e + 8)
+                else -1L
+              if (v <= 0) bad = true
+              else if (tag == 256) w = v else h = v
+            }
+            k += 1
+          }
+        }
+        if (!bad && w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some(("tiff", w.toInt, h.toInt))
+        else None
+      }
     } else None
   }
 
@@ -155,7 +240,11 @@ object Multimodal {
     * `mapPartitions`, malformed headers REJECTED as typed rows
     * (`fmt = "unknown"`, null dims, `ok = 0`) rather than dropped or
     * thrown, so a 100 TB scan over crawled media never dies on byte
-    * garbage and the rejection rate is itself queryable.
+    * garbage and the rejection rate is itself queryable. A NULL payload
+    * cell is treated as an empty payload (an `ok = 0` rejection row,
+    * `n_bytes = 0`); rows with a NULL id are dropped before the decode —
+    * the typed `Long` key can't carry them, and a crawled corpus row
+    * without a key isn't attributable to anything downstream anyway.
     */
   def decodeImageMeta(
       spark: SparkSession, media: DataFrame,
@@ -163,14 +252,17 @@ object Multimodal {
       payloadCol: String = "payload"): Dataset[ImageMeta] = {
     import spark.implicits._
     media.select(col(idCol).cast("long").as("doc_id"),
-      col(payloadCol).cast("binary").as("payload")).as[MediaPayload]
+      col(payloadCol).cast("binary").as("payload"))
+      .where(col("doc_id").isNotNull)
+      .as[MediaPayload]
       .mapPartitions { it =>
         it.map { p =>
-          parseImageHeader(p.payload) match {
+          val bytes = if (p.payload == null) Array.emptyByteArray else p.payload
+          parseImageHeader(bytes) match {
             case Some((fmt, w, h)) =>
-              ImageMeta(p.doc_id, fmt, Some(w), Some(h), p.payload.length.toLong, 1)
+              ImageMeta(p.doc_id, fmt, Some(w), Some(h), bytes.length.toLong, 1)
             case None =>
-              ImageMeta(p.doc_id, "unknown", None, None, p.payload.length.toLong, 0)
+              ImageMeta(p.doc_id, "unknown", None, None, bytes.length.toLong, 0)
           }
         }
       }

@@ -483,7 +483,9 @@ object TextAnalysis {
     * exact ordering Spark's string sort uses, so which path runs can
     * never change the merge table (equivalence pinned byte-identical in
     * TextAndJsonSpec; `localFinishMaxSyms = 0` forces the distributed
-    * path).
+    * path). The gate re-checks at every checkpoint boundary (every 4
+    * merges): symbol mass only shrinks, so a corpus entering just above
+    * the cap hops to the driver loop mid-train once it crosses under.
     */
   def bpeMerges(
       docs: DataFrame,
@@ -541,10 +543,37 @@ object TextAnalysis {
           // the vocab-bounded frame makes eager cleanup unnecessary
           wordFreq = rewritten.localCheckpoint()
           sinceCkpt = 0
+          r += 1
+          // Mid-train gate re-check (round-16 verdict task 5): merges
+          // only SHRINK the symbol mass (each rewrite replaces two
+          // symbols with one in every affected word), so a corpus that
+          // entered just above `localFinishMaxSyms` crosses under it as
+          // training proceeds — hop to the driver loop for the REMAINING
+          // merges instead of paying a full cluster job per merge to the
+          // end. One tiny aggregate per checkpoint (every 4 rounds) over
+          // the vocab-bounded frame buys the crossover; ranks continue
+          // where the distributed loop stopped, and both paths share the
+          // byte-order tie-break, so the merge table is identical either
+          // way (pinned in TextAndJsonSpec).
+          if (r < numMerges && localFinishMaxSyms > 0) {
+            val mass = wordFreq
+              .agg(coalesce(sum(size(col("syms"))), lit(0L)).cast("long"))
+              .head().getLong(0)
+            if (mass <= localFinishMaxSyms) {
+              val collected = wordFreq.collect().map(row =>
+                (row.getSeq[String](0).toArray, row.getLong(1)))
+              import spark.implicits._
+              return out.toSeq
+                .toDF("rank", "left", "right", "pair_count", "token")
+                .unionByName(localBpeMerges(
+                  spark, collected, numMerges - r, minPairCount,
+                  rankOffset = r))
+            }
+          }
         } else {
           wordFreq = rewritten
+          r += 1
         }
-        r += 1
       }
     }
     import spark.implicits._
@@ -616,7 +645,8 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       vocab: Array[(Array[String], Long)],
       numMerges: Int,
-      minPairCount: Long): DataFrame = {
+      minPairCount: Long,
+      rankOffset: Int = 0): DataFrame = {
     import scala.collection.mutable
     val words: Array[Array[String]] = vocab.map(_._1)
     val freqs: Array[Long] = vocab.map(_._2)
@@ -651,7 +681,7 @@ object TextAnalysis {
       if (best == null || bestCnt < minPairCount) go = false
       else {
         val (l, r) = best
-        out += ((rank + 1, l, r, bestCnt, l + r))
+        out += ((rankOffset + rank + 1, l, r, bestCnt, l + r))
         val affected = index.remove(best).getOrElse(mutable.HashSet.empty)
         affected.foreach { wi =>
           if (hasAdjacentPair(words(wi), l, r)) {

@@ -111,7 +111,8 @@ class TextAndJsonSpec extends AnyFunSuite {
     val rows = graft.fixtures.FixtureGen.mediaPayloads(500, seed = 1213L)
     assert(rows.count(_.valid == 1) >= 250, "fixture must be majority-real")
     assert(rows.exists(_.exp_fmt == "png") && rows.exists(_.exp_fmt == "jpeg") &&
-      rows.exists(_.exp_fmt == "gif") && rows.exists(_.exp_fmt == "bmp"))
+      rows.exists(_.exp_fmt == "gif") && rows.exists(_.exp_fmt == "bmp") &&
+      rows.exists(_.exp_fmt == "webp") && rows.exists(_.exp_fmt == "tiff"))
     rows.foreach { r =>
       val got = Multimodal.parseImageHeader(r.payload)
       if (r.valid == 1)
@@ -154,6 +155,62 @@ class TextAndJsonSpec extends AnyFunSuite {
     val evil = bmps.head.payload.clone()
     evil(22) = 0x00; evil(23) = 0x00; evil(24) = 0x00; evil(25) = 0x80.toByte
     assert(Multimodal.parseImageHeader(evil).isEmpty)
+    // a JPEG whose buffer ends exactly after the SOF width bytes parses
+    // (the header was readable; pins the i+9 <= length bound)
+    val atWidth = bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x00, 0x02, 0x00)
+    assert(Multimodal.parseImageHeader(atWidth).contains(("jpeg", 512, 256)))
+    // but a spec-impossible SOF length (< 11) rejects even with dims readable
+    val shortSof = bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x08, 8, 0x01, 0x00,
+      0x02, 0x00, 0xff, 0xd9)
+    assert(Multimodal.parseImageHeader(shortSof).isEmpty)
+    // null payload rejects instead of NPE-ing
+    assert(Multimodal.parseImageHeader(null).isEmpty)
+  }
+
+  test("parseImageHeader: WebP (VP8/VP8L/VP8X) and TIFF (II/MM) corner cases") {
+    val rows = graft.fixtures.FixtureGen.mediaPayloads(60, seed = 1213L)
+    val webps = rows.filter(_.exp_fmt == "webp")
+    val tiffs = rows.filter(_.exp_fmt == "tiff")
+    assert(webps.size >= 3 && tiffs.size >= 3, "all chunk/endian variants present")
+    (webps ++ tiffs).foreach { r =>
+      assert(Multimodal.parseImageHeader(r.payload)
+        .contains((r.exp_fmt, r.exp_width.get, r.exp_height.get)),
+        s"media ${r.media_id} (${r.exp_fmt})")
+    }
+    // truncation at every prefix length must reject or parse, never throw
+    (webps.take(3) ++ tiffs.take(2)).foreach { r =>
+      (0 until r.payload.length).foreach { k =>
+        Multimodal.parseImageHeader(java.util.Arrays.copyOf(r.payload, k)): Unit
+      }
+    }
+    // malformed fixture rows exercising the new rejection paths exist and reject
+    val malformed = rows.filter(_.valid == 0)
+    assert(malformed.exists(r => r.payload.length >= 12 &&
+      new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE"), "WAVE RIFF present")
+    assert(malformed.forall(r => Multimodal.parseImageHeader(r.payload).isEmpty))
+    // a TIFF IFD entry table truncated mid-entry rejects (bounds, not throw)
+    val t = tiffs.head.payload
+    assert(Multimodal.parseImageHeader(java.util.Arrays.copyOf(t, 12)).isEmpty)
+  }
+
+  test("decodeImageMeta: null payloads become ok=0 rows; null ids are dropped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val png = graft.fixtures.FixtureGen.mediaPayloads(60, seed = 1213L)
+      .find(_.exp_fmt == "png").get
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, png.payload),
+        Row(2L, null), // null payload: reject as a typed row
+        Row(null, png.payload))), // null id: dropped, not NPE
+      schema)
+    val got = Multimodal.decodeImageMeta(spark, df).collect().sortBy(_.media_id)
+    assert(got.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(got(0).ok == 1 && got(0).fmt == "png")
+    assert(got(1).ok == 0 && got(1).fmt == "unknown" && got(1).n_bytes == 0L)
   }
 
   test("decodeImageMeta: typed rejection rows ride through, ok flag queryable") {
@@ -402,6 +459,33 @@ class TextAndJsonSpec extends AnyFunSuite {
     val dist = table(0L)
     assert(local.size == 20, "fixture must sustain all 20 merges")
     assert(local == dist, "local and distributed merge tables must be byte-identical")
+  }
+
+  test("bpeMerges: mid-train hop to the local endgame leaves the table unchanged") {
+    // a corpus entering JUST ABOVE the gate starts distributed, then
+    // crosses under at the first checkpoint (merges strictly shrink the
+    // symbol mass) and hops to the driver loop — ranks continue, table
+    // byte-identical to both pure paths
+    val rnd = new scala.util.Random(777L)
+    val docsSeq = (1L to 30L).map { id =>
+      val ws = Seq.fill(4 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(8))("abcd"(rnd.nextInt(4))).mkString)
+      (id, ws.mkString(" "))
+    }
+    val docs = docsSeq.toDF("doc_id", "text")
+    // symbol mass = total chars over DISTINCT words (letters-only corpus,
+    // so the tokenizer splits exactly on spaces)
+    val mass = docsSeq.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .distinct.map(_.length.toLong).sum
+    def table(maxSyms: Long): Seq[(Int, String, String, Long, String)] =
+      TextAnalysis.bpeMerges(docs, numMerges = 12, minPairCount = 1L,
+        localFinishMaxSyms = maxSyms)
+        .select("rank", "left", "right", "pair_count", "token")
+        .as[(Int, String, String, Long, String)].collect().sortBy(_._1).toSeq
+    val hopped = table(mass - 1)
+    assert(hopped.size == 12, "fixture must sustain all 12 merges")
+    assert(hopped == table(0L), "hopped path diverged from pure distributed")
+    assert(hopped == table(Long.MaxValue), "hopped path diverged from pure local")
   }
 
   test("bpeMerges: local ≡ distributed on tie-dense random corpora") {
