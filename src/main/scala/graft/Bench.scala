@@ -28,6 +28,12 @@ object Bench {
     * the per-query median table. */
   private var streamingTelemetry: Option[String] = None
 
+  /** Same, for the drift-monitor stream: per-trigger `triggerExecution`
+    * durations (round-16 verdict task 4 — stream_drift's history tracked
+    * host noise; the per-trigger series makes a slow median attributable
+    * to a specific contaminated trigger instead of the whole replay). */
+  private var driftTelemetry: Option[String] = None
+
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -201,6 +207,28 @@ object Bench {
       else "bench_full.json")
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_full.json")
     val priorMedians: Map[String, Double] = readPriorMedians(priorPath)
+
+    // Rolling last-3-committed-rounds medians (verdict-16 task 2): read
+    // the prior artifact's history block and roll the prior run's own
+    // medians into it. A prior artifact that predates the block (≤ r16)
+    // falls back to the committed seed extracted from the r14/r15
+    // captures in git, so the creep window is 3 rounds deep from day one.
+    val history: Map[String, Seq[Double]] = {
+      val priorHistory = {
+        val fromArtifact =
+          try {
+            val src = scala.io.Source.fromFile(priorPath, "UTF-8")
+            try graft.tools.BenchUtil.parseHistory(src.mkString) finally src.close()
+          } catch { case _: Throwable => Map.empty[String, Seq[Double]] }
+        if (fromArtifact.nonEmpty) fromArtifact
+        else try {
+          val src = scala.io.Source.fromFile("config/bench_history_seed.json", "UTF-8")
+          try graft.tools.BenchUtil.parseHistory(src.mkString, wholeFile = true)
+          finally src.close()
+        } catch { case _: Throwable => Map.empty[String, Seq[Double]] }
+      }
+      graft.tools.BenchUtil.rollHistory(priorHistory, priorMedians)
+    }
 
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     // median of `trials` runs; queries are isolated between trials (no
@@ -394,6 +422,11 @@ object Bench {
           windowDur = "1 hour", watermarkDelay = "2 hours")
         val q = psi.writeStream.outputMode("append").format("noop").start()
         try q.processAllAvailable() finally q.stop()
+        val progs = q.recentProgress.filter(_.numInputRows > 0)
+        val perBatch = progs.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        if (perBatch.nonEmpty) driftTelemetry = Some(
+          s"""{"input_rows":${progs.map(_.numInputRows).sum},"batches":${progs.length},"batch_ms":${perBatch.mkString("[", ",", "]")}}""")
       } finally spark.conf.set("spark.sql.shuffle.partitions", shuffleRestore)
     }
     workloadRunners("stream_drift") = () => streamDriftOnce()
@@ -534,19 +567,44 @@ object Bench {
         // drift was machine_day_pipeline at +23% — real movement on the
         // graded headline number, but below the 1.5× phantom gate, so
         // the artifact carried no isolated number for it. Forcing these
-        // two means every round's flagship medians ship with their own
-        // post-GC idle re-measure attached.
-        val forced = Seq("machine_day_pipeline", "stream_machine_day").collect {
+        // means every round's flagship medians ship with their own
+        // post-GC idle re-measure attached. stream_drift joined the list
+        // in round 17: the most expensive streaming entry, and its
+        // 5.2/7.2/5.8/8.6/21.7 s history tracked host conditions, not
+        // code — it needs the isolated number every round.
+        val forced = Seq("machine_day_pipeline", "stream_machine_day",
+          "stream_drift").collect {
           case name if !gatedMovers.exists(_._1 == name) &&
               results.get(name).exists(_.median >= 0) &&
               priorMedians.get(name).exists(_ >= 0.05) =>
             (name, results(name).median, priorMedians(name))
         }
-        val movers = gatedMovers ++ forced
-        // the streaming runner rewrites streamingTelemetry per replay;
-        // the artifact's "streaming" block must describe the GRADED run,
-        // not the post-GC adjudication replay — snapshot and restore
+        // Sub-gate creepers (verdict-16 task 2): queries ≥1 s whose
+        // median exceeds the best of the last 3 committed rounds by
+        // ≥1.3× — movement too slow for the single-round 1.5× gate —
+        // also earn an isolated re-measure, against the SAME prior
+        // baseline the gate uses (last round) so the artifact columns
+        // stay commensurable; the drift_flags block carries the
+        // 3-round-best ratio.
+        val creepRatio =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CREEP_RATIO", "1.3").toDouble
+        val creepers = graft.tools.BenchUtil.creepFlags(
+          results.toMap.view.mapValues(_.median).toMap, history,
+          minSec = 1.0, ratio = creepRatio)
+          .collect {
+            case (name, cur, _, _)
+              if runnable.contains(name) &&
+                !gatedMovers.exists(_._1 == name) &&
+                !forced.exists(_._1 == name) &&
+                priorMedians.get(name).exists(_ >= 0.05) =>
+              (name, cur, priorMedians(name))
+          }.take(topN)
+        val movers = gatedMovers ++ forced ++ creepers
+        // the streaming runners rewrite their telemetry per replay; the
+        // artifact's streaming blocks must describe the GRADED run, not
+        // the post-GC adjudication replay — snapshot and restore
         val telemetrySnapshot = streamingTelemetry
+        val driftTelemetrySnapshot = driftTelemetry
         // Round-15 verdict task 2: the canary/isolation machinery used to
         // DETECT contamination but the committed total still carried it.
         // Now each flagged entry is re-measured until its isolated ratio
@@ -562,6 +620,10 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_RATIO", "1.2").toDouble
         val maxRetries =
           sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_RETRIES", "2").toInt
+        val gateOf: String => String = name =>
+          if (gatedMovers.exists(_._1 == name)) "prior"
+          else if (forced.exists(_._1 == name)) "forced"
+          else "creep"
         val checks = movers.map { case (name, cur, prior) =>
           def measureOnce(): QueryResult = {
             System.gc()
@@ -569,18 +631,33 @@ object Bench {
             try timeMedian(runnable(name)())
             catch { case _: Throwable => failedResult }
           }
-          var best = measureOnce()
+          // Adopt the CLEANEST re-measure session, not the fastest: the
+          // old min-median selection was a one-sided bias (entries that
+          // got faster are never re-measured, so keeping the minimum of
+          // up-to-3 sessions under noise pulls committed medians
+          // downward). Cleanest = least hypervisor steal, then least GC,
+          // then median as the only remaining tie-break — contention
+          // evidence picks the session, speed only breaks exact ties.
+          val sessions = scala.collection.mutable.ArrayBuffer[QueryResult]()
+          def cleanest: QueryResult = {
+            val valid = sessions.filter(_.median >= 0)
+            if (valid.isEmpty) failedResult
+            else valid.minBy(r => (
+              r.stealMsPerTrial.filter(_ >= 0).sum,
+              r.gcMsPerTrial.sum,
+              r.median))
+          }
+          sessions += measureOnce()
           var attempts = 1
-          while (best.median >= 0 && best.median / prior > cleanRatio &&
+          while (cleanest.median >= 0 && cleanest.median / prior > cleanRatio &&
               attempts <= maxRetries) {
-            val again = measureOnce()
-            if (again.median >= 0 &&
-                (best.median < 0 || again.median < best.median)) best = again
+            sessions += measureOnce()
             attempts += 1
           }
+          val best = cleanest
           val adopted = best.median >= 0 && best.median < cur
           if (adopted) results(name) = best
-          s"""{"query":"$name","prior_median":${fm(prior, 3)},""" +
+          s"""{"query":"$name","gate":"${gateOf(name)}","prior_median":${fm(prior, 3)},""" +
             s""""run_median":${fm(cur, 3)},"isolated_median":${fm(best.median, 3)},""" +
             s""""ratio_run":${fm(cur / prior, 2)},"ratio_isolated":${fm(best.median / prior, 2)},""" +
             s""""attempts":$attempts,"adopted":$adopted,""" +
@@ -590,7 +667,29 @@ object Bench {
             s""""loadavg_after":${fm(best.loadAvgAfter, 2)}}"""
         }
         streamingTelemetry = telemetrySnapshot
+        driftTelemetry = driftTelemetrySnapshot
         checks
+      }
+
+    // Final (post-adoption) creep list vs the 3-round-best history — the
+    // committed record of sub-gate drift (verdict-16 task 2). Uses the
+    // adopted medians, so an entry whose isolated re-measure came back
+    // clean drops off; what remains is movement contention can't explain.
+    val driftFlagsJson: Seq[String] =
+      if (only.isDefined || history.isEmpty) Nil
+      else {
+        val creepRatio =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CREEP_RATIO", "1.3").toDouble
+        graft.tools.BenchUtil.creepFlags(
+          results.toMap.view.mapValues(_.median).toMap, history,
+          minSec = 1.0, ratio = creepRatio).map { case (q, m, best, r) =>
+          // key is "window", NOT "history": the next run's history parser
+          // locates the artifact's rolling block by that literal key, and
+          // drift_flags print before it
+          s"""{"query":"$q","median":${fm(m, 3)},"best_prior_3r":${fm(best, 3)},""" +
+            s""""ratio_vs_best":${fm(r, 2)},""" +
+            s""""window":${history(q).map(v => fm(v, 3)).mkString("[", ",", "]")}}"""
+        }
       }
 
     // dev runs must not clobber the committed full-catalog evidence:
@@ -621,7 +720,34 @@ object Bench {
             s""""total_canary_normalized_sec":${fm(total / ratio, 3)}"""
         }.getOrElse("") + "}"
 
-    emit(results, sfDir, trials, fullPathForRun, isolationJson, calibrationJson)
+    // Adjudication trail (verdict-16 task 8): the prior run's per-query
+    // medians + the prior file's sha, inline, so a third party computes
+    // every per-query ratio column from THIS artifact alone — the r16
+    // driver-vs-committed 247 s/292 s divergence needed git archaeology
+    // to adjudicate; now both sides of the ratio ship together.
+    val priorJson =
+      if (priorMedians.isEmpty) ""
+      else {
+        val sha = try {
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(priorPath))
+          java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+            .map("%02x".format(_)).mkString
+        } catch { case _: Throwable => "" }
+        val meds = priorMedians.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fm(v, 3) }
+          .mkString("{", ",", "}")
+        s"""{"file":"$priorPath","sha256":"$sha","medians":$meds}"""
+      }
+    val historyJson =
+      if (history.isEmpty) ""
+      else history.toSeq.sortBy(_._1)
+        .map { case (k, vs) => "\"" + k + "\":" +
+          vs.map(v => fm(v, 3)).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+
+    emit(results, sfDir, trials, fullPathForRun, isolationJson, calibrationJson,
+      driftFlagsJson, historyJson, priorJson)
     finalDigest(spark, results, sfDir, fullPathForRun)
   }
 
@@ -723,7 +849,10 @@ object Bench {
       trials: Int,
       fullPath: String,
       isolationChecks: Seq[String] = Nil,
-      calibrationJson: String = ""): Unit = {
+      calibrationJson: String = "",
+      driftFlags: Seq[String] = Nil,
+      historyJson: String = "",
+      priorJson: String = ""): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fm(v.median, 3) }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
@@ -745,6 +874,8 @@ object Bench {
       }.mkString(",\n")
       val streamingField =
         streamingTelemetry.map(t => s"""  "streaming": $t,\n""").getOrElse("")
+      val driftStreamField =
+        driftTelemetry.map(t => s"""  "streaming_drift": $t,\n""").getOrElse("")
       val calibrationField =
         if (calibrationJson.isEmpty) ""
         else s"""  "calibration": $calibrationJson,\n"""
@@ -752,13 +883,21 @@ object Bench {
         if (isolationChecks.isEmpty) ""
         else isolationChecks.mkString(
           "  \"isolation_checks\": [\n    ", ",\n    ", "\n  ],\n")
+      val driftFlagsField =
+        if (driftFlags.isEmpty) ""
+        else driftFlags.mkString(
+          "  \"drift_flags\": [\n    ", ",\n    ", "\n  ],\n")
+      val historyField =
+        if (historyJson.isEmpty) "" else s"""  "history": $historyJson,\n"""
+      val priorField =
+        if (priorJson.isEmpty) "" else s"""  "prior": $priorJson,\n"""
       val json =
         s"""{
            |  "sf": "$sfDir",
            |  "trials_per_query": $trials,
            |  "total_median_sec": ${fm(total, 3)},
            |  "loadavg_final": ${fm(loadAvg(), 2)},
-           |${streamingField}${calibrationField}${isolationField}  "queries": {
+           |${streamingField}${driftStreamField}${calibrationField}${isolationField}${driftFlagsField}${historyField}${priorField}  "queries": {
            |$entries
            |  }
            |}

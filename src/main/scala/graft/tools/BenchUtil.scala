@@ -35,6 +35,68 @@ private[graft] object BenchUtil {
   def fmt3(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
+  /** Parses the rolling `"history"` block (query → last-N committed
+    * medians) out of a prior `bench_full.json`, or an entire seed file
+    * whose content IS the map (`wholeFile = true`). The block contains
+    * no nested braces, so the substring up to the first `}` after the
+    * key is exact; parsing the whole artifact instead would also match
+    * the per-query `trials`/`gc_ms` arrays.
+    */
+  def parseHistory(text: String, wholeFile: Boolean = false): Map[String, Seq[Double]] = {
+    val body =
+      if (wholeFile) text
+      else {
+        val i = text.indexOf("\"history\":")
+        val j = if (i < 0) -1 else text.indexOf('}', i)
+        if (i < 0 || j < 0) return Map.empty
+        text.substring(i, j)
+      }
+    val re = """"([A-Za-z0-9_]+)":\s*\[([^\]]*)\]""".r
+    re.findAllMatchIn(body).flatMap { m =>
+      val vals = m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      if (vals.isEmpty) None else Some(m.group(1) -> vals)
+    }.toMap
+  }
+
+  /** Rolls the committed-medians history forward one round: the prior
+    * artifact's history plus the prior run's own median, newest last,
+    * keeping `keep`. The current run's numbers are deliberately NOT
+    * included — the block always describes prior committed rounds, so
+    * the creep check compares against history this run cannot touch. */
+  def rollHistory(
+      priorHistory: Map[String, Seq[Double]],
+      priorMedians: Map[String, Double],
+      keep: Int = 3): Map[String, Seq[Double]] = {
+    val keys = priorHistory.keySet ++ priorMedians.keySet
+    keys.iterator.map { k =>
+      val h = priorHistory.getOrElse(k, Seq.empty) ++
+        priorMedians.get(k).filter(_ >= 0).toSeq
+      k -> h.takeRight(keep)
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** Sub-gate creep detection (round-16 verdict task 2): entries whose
+    * median is ≥ `minSec` AND exceeds the BEST committed median of the
+    * history window by ≥ `ratio`. The single-round isolation gate only
+    * flags ≥1.5× movers vs LAST round, so a family drifting ~1.3–1.4×
+    * per round compounds forever unseen (`ext_semdedup` did 6.96 →
+    * 7.06 → 10.05 s across r14–r16 without ever tripping it; vs the
+    * 3-round best that r16 number is 1.44× — caught). Returns
+    * (query, median, bestPrior, ratio) sorted worst-first. */
+  def creepFlags(
+      current: Map[String, Double],
+      history: Map[String, Seq[Double]],
+      minSec: Double = 1.0,
+      ratio: Double = 1.3): Seq[(String, Double, Double, Double)] =
+    current.toSeq.flatMap { case (q, m) =>
+      history.get(q).map(_.filter(_ >= 0.05)).filter(_.nonEmpty).map(_.min) match {
+        case Some(best) if m >= minSec && m / best >= ratio =>
+          Some((q, m, best, m / best))
+        case _ => None
+      }
+    }.sortBy(-_._4)
+
   /** Recursive delete for stale fixture/scratch dirs under /tmp. */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
