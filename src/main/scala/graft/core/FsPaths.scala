@@ -95,6 +95,26 @@ object FsPaths {
     * → delete it). A crash DURING the build leaves live untouched and
     * a partial scratch dir, which the next rebuild wipes.
     */
+  /** Deletes the `batch=<tag>` slice dirs of `tables` under `indexDir` —
+    * a crashed attempt's uncommitted leftovers. Safe by the replay
+    * contract: this runs at the START of the tag's replay, before the
+    * tick's own overwrite-append, and every reader already excludes the
+    * current tag — but until the replay's write lands, the leftover
+    * occupies disk and bloats partition listings, and without this it
+    * lingered until some LATER compaction happened to fire. One
+    * existence check + recursive delete per table; missing dirs no-op.
+    */
+  def dropCrashedTag(spark: SparkSession, indexDir: String,
+      tables: Seq[String], tag: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    tables.foreach { t =>
+      val p = qualified(spark, s"$indexDir/$t/batch=$tag")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
+    }
+  }
+
   def recoverSwap(spark: SparkSession, liveDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = qualified(spark, liveDir)

@@ -206,6 +206,12 @@ object DedupStream {
       currentTag: String): Boolean = {
     require(maxSlices >= 0, "maxSlices must be >= 0")
     graft.core.FsPaths.recoverSwap(spark, indexDir)
+    // crashed-attempt leftovers of THIS tag are dropped unconditionally
+    // (cheap delete), not merely excluded until a compaction fires —
+    // they are uncommitted by the replay contract and everything
+    // downstream already ignores them
+    graft.core.FsPaths.dropCrashedTag(
+      spark, indexDir, Seq("hashes", "shingles", "df"), currentTag)
     val floor = Set("batch=base", s"batch=$currentTag")
     val n = graft.core.FsPaths.childNames(
       spark, s"$indexDir/hashes", "batch=").count(!floor.contains(_))

@@ -115,7 +115,8 @@ object EmbedIngest {
       maxSlices: Option[Int] = None,
       rebuildHotShare: Option[Double] = None,
       rebuildMinRows: Long = 1000L,
-      rebuildStride: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      rebuildStride: Option[Long] = None,
+      autoRebuildStride: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -128,11 +129,14 @@ object EmbedIngest {
         // show a drift response often wants SMALLER post-rebuild lists
         // than the original build — at 100k, rebuilding at stride 100
         // instead of the ingest's 500 cut the probe bill 12x for 5x
-        // rebuild cost at unchanged recall.
+        // rebuild cost at unchanged recall. autoRebuildStride derives
+        // that number from the measured bill instead of a hand pick
+        // ([[deriveRebuildStride]]); an explicit rebuildStride wins.
         val rebuilt = rebuildHotShare.exists(th =>
           rebuildIfDrifted(df.sparkSession, indexDir, th,
             rebuildStride.getOrElse(centroidStride),
-            currentTag = tag, minRows = rebuildMinRows))
+            currentTag = tag, minRows = rebuildMinRows,
+            autoStride = autoRebuildStride && rebuildStride.isEmpty))
         if (!rebuilt) maxSlices.foreach(m =>
           compactIfNeeded(df.sparkSession, indexDir, m, currentTag = tag))
         ingestTick(df.sparkSession, df, indexDir, outDir, tag,
@@ -159,7 +163,8 @@ object EmbedIngest {
   def rebuildIfDrifted(
       spark: SparkSession, indexDir: String, hotShareThreshold: Double,
       centroidStride: Long, currentTag: String,
-      minRows: Long = 1000L): Boolean = {
+      minRows: Long = 1000L,
+      autoStride: Boolean = false): Boolean = {
     require(hotShareThreshold > 0.0 && hotShareThreshold <= 1.0,
       "hotShareThreshold must be in (0, 1]")
     graft.core.FsPaths.recoverSwap(spark, indexDir)
@@ -186,12 +191,57 @@ object EmbedIngest {
     val total = byList.getAs[Long]("total")
     val hot = byList.getAs[Long]("hot")
     if (total >= minRows && hot.toDouble / total >= hotShareThreshold) {
+      val stride =
+        if (autoStride) deriveRebuildStride(spark, indexDir, centroidStride, currentTag)
+        else centroidStride
       graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
-        Similarity.rebuildIvfIndex(spark, indexDir, dst, centroidStride,
+        Similarity.rebuildIvfIndex(spark, indexDir, dst, stride,
           excludeTag = Some(currentTag))
       }
       true
     } else false
+  }
+
+  /** Derives the rebuild's centroid stride from the MEASURED probe bill
+    * instead of a hand pick (round-16 verdict task 3 — the r16 ladder
+    * proved the stride lever head-to-head at 100 k: rebuilding at 100
+    * instead of the ingest's 500 cut the post-rebuild probe bill 23.5×
+    * for 5× rebuild cost, recall untouched, but callers had to KNOW the
+    * right number).
+    *
+    * The bill math ([[Similarity.ivfProbeCells]] is the direct form):
+    * a drifted query's primary probed list is, in expectation, the list
+    * the appended mass landed in, so the measured per-list bill is the
+    * appended-mass-weighted mean TOTAL list size
+    * `Σ_L share_appended(L) · rows(L)`. The design target is
+    * `designStride` rows per probed list (stride == expected rows/list
+    * by construction). The response scales the stride by
+    * `target / measured`, clamped to `[designStride/10, designStride]` —
+    * never coarser than the design (over-splitting is bounded: 10× the
+    * centroid-ranking cost at most), and a bill already at or under
+    * target rebuilds at the design stride unchanged. The current tag's
+    * crashed-attempt slices are excluded like everywhere else in the
+    * replay contract.
+    */
+  def deriveRebuildStride(
+      spark: SparkSession, indexDir: String, designStride: Long,
+      currentTag: String): Long = {
+    val stats = Similarity.ivfListStats(spark, indexDir)
+      .filter(col("batch") =!= currentTag)
+    val perList = stats.groupBy("list_id").agg(
+      sum("n").as("total_n"),
+      sum(when(col("batch") =!= "base", col("n")).otherwise(lit(0L))).as("app_n"))
+    val bill = perList
+      .agg((sum(col("app_n") * col("total_n")) /
+        sum(col("app_n"))).as("bill"))
+      .head().getAs[Any]("bill") match {
+      case null => designStride.toDouble // no appended mass: design holds
+      case d: java.lang.Double => d.doubleValue
+      case other => other.toString.toDouble
+    }
+    val scaled = designStride * (designStride.toDouble / math.max(bill, 1.0))
+    math.max(1L, math.min(designStride,
+      math.max(designStride / 10, math.round(scaled))))
   }
 
   /** IVF twin of `DedupStream.compactIfNeeded`: when more than
@@ -219,6 +269,11 @@ object EmbedIngest {
       currentTag: String): Boolean = {
     require(maxSlices >= 0, "maxSlices must be >= 0")
     graft.core.FsPaths.recoverSwap(spark, indexDir)
+    // crashed-attempt leftovers of THIS tag: dropped unconditionally
+    // (cheap delete) instead of lingering excluded until a compaction
+    // fires — same contract as the text twin
+    graft.core.FsPaths.dropCrashedTag(
+      spark, indexDir, Seq("lists", "codes"), currentTag)
     val floor = Set("batch=base", "batch=appended", s"batch=$currentTag")
     val n = graft.core.FsPaths.childNames(
       spark, s"$indexDir/lists", "batch=").count(!floor.contains(_))

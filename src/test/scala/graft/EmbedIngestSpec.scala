@@ -431,4 +431,78 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(sliceNames() == Set("batch=base"))
     assert(spark.read.parquet(s"$idx/lists").count() == 400L)
   }
+
+  test("deriveRebuildStride: bill-derived, clamped, design-stride fallback") {
+    val (idx, _) = freshDirs()
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx,
+      centroidStride = 50L) // ~4 lists of ~50
+    // no appended mass at all: the design stride holds
+    assert(EmbedIngest.deriveRebuildStride(spark, idx, 50L, "bX") == 50L)
+    // pile 300 copies of one corpus vector into its list: the textbook
+    // drift shape — all appended mass in ONE list
+    val v0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head()
+    val hot = spark.range(1000L, 1300L)
+      .select($"id".as("vec_id"), typedLit(v0).as("embedding"))
+    Similarity.appendIvfIndex(spark, hot, idx, "b0")
+    // mirror the documented bill math on the raw list stats
+    val sts = Similarity.ivfListStats(spark, idx)
+      .select($"batch", $"list_id".cast("long"), $"n".cast("long"))
+      .as[(String, Long, Long)].collect()
+    val totals = sts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val app = sts.filter(_._1 != "base").groupBy(_._2)
+      .view.mapValues(_.map(_._3).sum).toMap
+    val bill = app.map { case (l, n) => n.toDouble * totals(l) }.sum /
+      app.values.sum.toDouble
+    val expected = math.max(1L,
+      math.min(50L, math.max(5L, math.round(50L * 50.0 / bill))))
+    val derived = EmbedIngest.deriveRebuildStride(spark, idx, 50L, "bX")
+    assert(derived == expected, s"derived $derived, formula says $expected")
+    assert(derived < 50L && derived >= 5L,
+      s"a one-hot-list bill must respond finer than design: $derived")
+    // the current tag's crashed-attempt slices are not drift evidence
+    assert(EmbedIngest.deriveRebuildStride(spark, idx, 50L, "b0") == 50L)
+  }
+
+  test("incrementalIngest: autoRebuildStride derives the rebuild allocation") {
+    val (idx, out) = freshDirs()
+    val ckpt = Files.createTempDirectory("graft_embing_asckpt").toString
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx,
+      centroidStride = 50L)
+    val nLists0 = spark.read.parquet(s"$idx/centroids").count()
+    def drifted(lo: Long, hi: Long, offset: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select(($"vec_id" + offset).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, lit(4.0f)).otherwise(x)).as("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = EmbedIngest.incrementalIngest(
+      source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt,
+      tau = 0.99, nProbe = 2, centroidStride = 50L,
+      rebuildHotShare = Some(0.2), rebuildMinRows = 50L,
+      autoRebuildStride = true)
+    try {
+      source.addData(drifted(200L, 300L, 10000L): _*) // ~100 drifted rows append
+      q.processAllAvailable()
+      source.addData(drifted(300L, 310L, 20000L): _*) // b1: rebuild fires first
+      q.processAllAvailable()
+    } finally q.stop()
+    // the drift response chose a finer allocation than the design WITHOUT
+    // a hand-picked rebuildStride...
+    val nLists1 = spark.read.parquet(s"$idx/centroids").count()
+    assert(nLists1 > nLists0,
+      s"autoRebuildStride ignored: $nLists0 -> $nLists1 centroids")
+    // ...and the post-rebuild per-list bill is at or under the design
+    // target (the verdict's within-2x bar; balanced lists at a derived
+    // stride <= design land under it by construction)
+    val meanRows = spark.read.parquet(s"$idx/lists")
+      .groupBy("list_id").count().agg(avg("count")).head().getDouble(0)
+    assert(meanRows <= 2.0 * 50.0,
+      s"post-rebuild mean rows/list $meanRows exceeds 2x the design target")
+    val names = graft.core.FsPaths
+      .childNames(spark, s"$idx/lists", "batch=").toSet
+    assert(names == Set("batch=base", "batch=b1"), names.toString)
+  }
 }

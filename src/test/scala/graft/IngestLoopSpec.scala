@@ -236,6 +236,14 @@ class IngestLoopSpec extends AnyFunSuite {
     TextDedup.appendIncrementalIndex(
       Seq((300L, "third wave novel payload with words")).toDF("doc_id", "text"),
       idx, "b2", k = 2)
+    assert(slices() == 4) // base + b0 + b1 + crashed b2
+    // the crashed leftover is dropped even when the compaction trigger
+    // does NOT fire — a cheap delete, not a wait-for-next-compaction
+    assert(!DedupStream.compactIfNeeded(spark, idx, maxSlices = 99, currentTag = "b2"))
+    assert(slices() == 3, "crashed b2 must be deleted by the no-op check")
+    TextDedup.appendIncrementalIndex(
+      Seq((300L, "third wave novel payload with words")).toDF("doc_id", "text"),
+      idx, "b2", k = 2) // re-create the leftover for the firing path
     assert(DedupStream.compactIfNeeded(spark, idx, maxSlices = 1, currentTag = "b2"))
     assert(slices() == 1, "compaction must fold committed slices into base")
     assert(spark.read.parquet(s"$idx/hashes").count() ==
