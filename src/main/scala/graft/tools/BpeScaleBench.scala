@@ -60,6 +60,26 @@ object BpeScaleBench {
     run(s"dist_dense_$distMerges", dense, distMerges, 0L)
     ladder.foreach(n => run(s"local_dense_$n", dense, n, Long.MaxValue))
 
+    // round-17 arm (verdict-16 task 5): a corpus entering JUST ABOVE the
+    // gate starts distributed and hops to the driver loop at the first
+    // checkpoint (merges strictly shrink the symbol mass) — priced
+    // head-to-head against the pure distributed loop at the same merge
+    // count. The dense corpus is one word per doc (spaces stripped,
+    // words() splits on space), so its entry mass is exactly the
+    // sum of lengths over DISTINCT texts.
+    locally {
+      import org.apache.spark.sql.functions._
+      val hopMerges = args.lift(3).map(_.toInt).getOrElse(40)
+      val denseMass = dense.select(col("text")).distinct()
+        .agg(coalesce(sum(length(col("text"))), lit(0L)).cast("long"))
+        .head().getLong(0)
+      run(s"hop_dense_$hopMerges", dense, hopMerges, denseMass - 1)
+      run(s"distonly_dense_$hopMerges", dense, hopMerges, 0L)
+      println(s"[bpe-scale] hop arm: entry mass $denseMass vs gate ${denseMass - 1}; " +
+        s"hop ${fmt3(out(s"hop_dense_$hopMerges"))} s vs pure distributed " +
+        fmt3(out(s"distonly_dense_$hopMerges")) + s" s at $hopMerges merges")
+    }
+
     // ENCODE at depth: the Column-chain tier's plan grows one layer per
     // merge (analyzer bill ∝ vocab size), the mapPartitions fast tier
     // replays the same passes as JVM loops. Chain measured at 100

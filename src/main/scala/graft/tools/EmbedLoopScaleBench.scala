@@ -195,12 +195,23 @@ object EmbedLoopScaleBench {
       // arg 6 overrides the REBUILD's centroid stride (the lever the 1 M
       // run identified: stride == expected rows/list, so a drift
       // response that wants smaller drifted lists rebuilds at a smaller
-      // stride than the ingest path trained with)
-      val rebuildStride = args.lift(5).map(_.toLong).getOrElse(stride)
+      // stride than the ingest path trained with); arg 6 = "auto" lets
+      // the loop DERIVE it from the measured bill
+      // (EmbedIngest.deriveRebuildStride — round-16 verdict task 3)
+      val autoStride = args.lift(5).contains("auto")
+      val rebuildStride =
+        if (autoStride) stride
+        else args.lift(5).map(_.toLong).getOrElse(stride)
+      if (autoStride) {
+        val derived = EmbedIngest.deriveRebuildStride(spark, idx, stride, "d3")
+        results("drift_auto_stride") = derived.toDouble
+        System.err.println(
+          s"[eloop-bench] auto-derived rebuild stride: $derived (design $stride)")
+      }
       val tR = System.nanoTime()
       val fired = EmbedIngest.rebuildIfDrifted(spark, idx,
         hotShareThreshold = 0.05, centroidStride = rebuildStride,
-        currentTag = "d3", minRows = 1000L)
+        currentTag = "d3", minRows = 1000L, autoStride = autoStride)
       results("drift_rebuild_sec") = (System.nanoTime() - tR) / 1e9
       counts("drift_rebuild_fired") = if (fired) 1L else 0L
       results("drift_recall1_after") = recall1()
@@ -209,6 +220,17 @@ object EmbedLoopScaleBench {
         fmt3(results("drift_rebuild_sec")) + " s, recall@1=" +
         fmt3(results("drift_recall1_after")) + " probe_rows/query=" +
         fmt3(results("drift_probe_rows_after")))
+      if (autoStride) {
+        // the verdict-16 bar: the self-tuned rebuild's bill lands within
+        // 2x of the DESIGN target (nProbe x design rows/list) with no
+        // hand-picked stride
+        val target = 2.0 * stride
+        results("drift_bill_target") = target
+        System.err.println("[eloop-bench] auto-stride bill " +
+          fmt3(results("drift_probe_rows_after")) +
+          s" vs design target ${fmt3(target)} rows/query" +
+          s" (ratio ${fmt3(results("drift_probe_rows_after") / target)})")
+      }
       (3 until 6).foreach { i =>
         val batch = drifted(i).localCheckpoint()
         val t0 = System.nanoTime()
