@@ -490,4 +490,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("parseImageHeader never throws: random bytes, magic-prefixed garbage, truncations") {
+    // the 100 TB robustness claim, fuzzed: any byte garbage must return
+    // None or Some, never throw — including buffers that START like a
+    // real container (magic bytes) and then dissolve into noise, the
+    // shape real crawled corpora produce (truncated downloads, content
+    // sniffed by extension, HTML error pages saved as .jpg)
+    val magics: Seq[Array[Byte]] = Seq(
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8).map(_.toByte), // JPEG SOI
+      "GIF89a".getBytes("US-ASCII"), "GIF87a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
+      "RIFF????WEBP".getBytes("US-ASCII"),
+      "RIFF????WEBPVP8 ".getBytes("US-ASCII"),
+      "RIFF????WEBPVP8L".getBytes("US-ASCII"),
+      "RIFF????WEBPVP8X".getBytes("US-ASCII"),
+      Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42))
+    (1 to 50).foreach { seed =>
+      val rnd = new Random(seed)
+      val noise = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(noise)
+      // pure noise
+      graft.ops.Multimodal.parseImageHeader(noise): Unit
+      // every magic + noise tail, at every truncation point
+      magics.foreach { m =>
+        val b = m ++ noise
+        (0 to b.length).foreach { k =>
+          graft.ops.Multimodal.parseImageHeader(
+            java.util.Arrays.copyOf(b, k)): Unit
+        }
+      }
+    }
+    // adversarial TIFF: IFD offset walking to the very edge, entry count
+    // claiming more entries than the buffer holds, offsets at u32 max
+    def le32b(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val hostileTiffs = Seq(
+      Array[Byte]('I', 'I', 42, 0) ++ le32b(0xffffffffL),
+      Array[Byte]('I', 'I', 42, 0) ++ le32b(8L) ++ Array[Byte](-1, -1), // 65535 entries
+      Array[Byte]('M', 'M', 0, 42) ++ Array[Byte](0, 0, 0, 8, 0, 3))
+    hostileTiffs.foreach(b =>
+      assert(graft.ops.Multimodal.parseImageHeader(b).isEmpty))
+  }
 }
