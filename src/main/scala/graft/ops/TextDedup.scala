@@ -371,30 +371,52 @@ object TextDedup {
       numHashes: Int = 128,
       rowsPerBand: Int = 4,
       tau: Double = 0.8,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
-    val sh = shingles(docs, k, idCol)
-    val sig = minHashSignaturesAgg(sh, numHashes, idCol)
-    val numBands = numHashes / rowsPerBand
-    // One (id, band, bandHash) row per band; collisions inside a band bucket
-    // are the candidate pairs. element_at is 1-based.
-    val banded = sig.select(
-      col(idCol),
-      explode(array((0 until numBands).map { b =>
-        struct(
-          lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => element_at(col("sig"), i + 1)): _*)
-            .as("band_hash"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.band_hash"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
-      .distinct()
-    verifyJaccard(candidates, sh, tau, idCol)
+    // the jaccardPairs/lshPairs persist contract applied here too: the
+    // shingle table feeds the signature aggregate AND verification, and
+    // the banded frame is BOTH sides of the bucket self-join — without
+    // the scoped persists each consumer recomputes the lineage (3×
+    // shingling, 2× the 128-hash signature UDAF — the dominant cost).
+    // Each persist is populated by one cheap count() first (the lazy-
+    // persist race), and the (small) verified pair list returns eagerly
+    // via localCheckpoint so no cache entry outlives the call.
+    val sh = shingles(docs, k, idCol).persist()
+    try {
+      sh.count()
+      val sig = minHashSignaturesAgg(sh, numHashes, idCol)
+      val numBands = numHashes / rowsPerBand
+      // One (id, band, bandHash) row per band; collisions inside a band bucket
+      // are the candidate pairs. element_at is 1-based.
+      val banded = sig.select(
+        col(idCol),
+        explode(array((0 until numBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => element_at(col("sig"), i + 1)): _*)
+              .as("band_hash"))
+        }: _*)).as("bb"))
+        .select(col(idCol), col("bb.band"), col("bb.band_hash"))
+        .persist()
+      try {
+        banded.count()
+        val candidates = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+          .distinct()
+        eager(verifyJaccard(candidates, sh, tau, idCol), checkpointDir)
+      } finally {
+        banded.unpersist()
+        ()
+      }
+    } finally {
+      sh.unpersist()
+      ()
+    }
   }
 
   /** Output bundle of [[dedupPipeline]]: the exact-group table, the
@@ -468,13 +490,13 @@ object TextDedup {
     val groups = exactGroups(docs, idCol, textCol)
     val survivors = docs.join(
       groups.select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
-    // materialize the (small) pair list once: clusters() below AND the
-    // caller's own reads of nearDupPairs must not re-execute the LSH /
-    // inverted-index candidate generation per consumer (jaccardPairs is
-    // already eager via its own persist contract; minHashPairs is lazy)
+    // the (small) pair list arrives already materialized: both pair
+    // paths are eager via their own persist contract, so clusters()
+    // below AND the caller's own reads of nearDupPairs never re-execute
+    // the LSH / inverted-index candidate generation
     val pairs = strategy match {
       case MinHashLsh(numHashes, rowsPerBand) =>
-        eager(minHashPairs(survivors, k, numHashes, rowsPerBand, tau, idCol),
+        minHashPairs(survivors, k, numHashes, rowsPerBand, tau, idCol,
           checkpointDir)
       case ShingleJaccard(maxShingleDf) =>
         jaccardPairs(survivors, k, tau, maxShingleDf, idCol, checkpointDir)
