@@ -1948,6 +1948,31 @@ object ExtQueries {
         |  CAST(valid AS INT) AS ok
         |FROM read_parquet('${graft.fixtures.Fixtures.mediaParquetGlob}')""".stripMargin)),
 
+    // Format-distribution audit over the REAL header decode — the first
+    // report any crawled-media ingest produces (what formats arrived, at
+    // what dimensions, how much was rejected). The engine aggregates its
+    // own byte-level parses; the oracle aggregates the generator's
+    // ground truth — a hash match proves the decode THROUGH the
+    // aggregation. Integral sums, not averages, keep the compare
+    // bit-exact.
+    Q("ext_multimodal_format_stats",
+      (s, _) => {
+        graft.fixtures.Fixtures.ensureMedia(s)
+        Multimodal.decodeImageMeta(
+          s, s.read.parquet(graft.fixtures.Fixtures.mediaParquet)).toDF()
+          .groupBy("fmt").agg(
+            count(lit(1)).as("n_media"),
+            coalesce(sum("width"), lit(0)).cast("long").as("sum_width"),
+            coalesce(sum("height"), lit(0)).cast("long").as("sum_height"),
+            sum("n_bytes").cast("long").as("sum_bytes"))
+      },
+      Some(s"""SELECT exp_fmt AS fmt, count(*) AS n_media,
+        |  CAST(COALESCE(sum(exp_width), 0) AS BIGINT) AS sum_width,
+        |  CAST(COALESCE(sum(exp_height), 0) AS BIGINT) AS sum_height,
+        |  CAST(sum(octet_length(payload)) AS BIGINT) AS sum_bytes
+        |FROM read_parquet('${graft.fixtures.Fixtures.mediaParquetGlob}')
+        |GROUP BY 1""".stripMargin)),
+
     // Frame sampling: 1 payload row → n_frames binary rows (keyframe-
     // extraction shape); frame lengths are a pure function of payload size
     // so the oracle mirrors the chunking arithmetic.
