@@ -786,12 +786,7 @@ object Bench {
     val priorJson =
       if (priorMedians.isEmpty) ""
       else {
-        val sha = try {
-          val bytes = java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(priorPath))
-          java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-            .map("%02x".format(_)).mkString
-        } catch { case _: Throwable => "" }
+        val sha = graft.tools.BenchUtil.sha256(priorPath)
         val meds = priorMedians.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fm(v, 3) }
           .mkString("{", ",", "}")
@@ -884,11 +879,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2.median).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fm(v.median, 3) }
       .mkString("{", ",", "}")
-    val sha = try {
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fullPath))
-      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-        .map("%02x".format(_)).mkString
-    } catch { case _: Throwable => "" }
+    val sha = graft.tools.BenchUtil.sha256(fullPath)
     val digest =
       s"""{"metric":"total","value":${fm(total, 3)},"unit":"sec","queries":$top,""" +
         s""""sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,""" +

@@ -87,14 +87,6 @@ object FsPaths {
     ()
   }
 
-  /** Heal an interrupted [[rebuildAndSwap]] — call before reading
-    * `liveDir` at the start of a tick. Crash windows and their fixes:
-    * after `live → __old` but before `__compact → live` (live missing,
-    * scratch complete → finish the second rename); after the second
-    * rename but before the `__old` delete (live present, stale `__old`
-    * → delete it). A crash DURING the build leaves live untouched and
-    * a partial scratch dir, which the next rebuild wipes.
-    */
   /** Deletes the `batch=<tag>` slice dirs of `tables` under `indexDir` —
     * a crashed attempt's uncommitted leftovers. Safe by the replay
     * contract: this runs at the START of the tag's replay, before the
@@ -115,6 +107,14 @@ object FsPaths {
     }
   }
 
+  /** Heal an interrupted [[rebuildAndSwap]] — call before reading
+    * `liveDir` at the start of a tick. Crash windows and their fixes:
+    * after `live → __old` but before `__compact → live` (live missing,
+    * scratch complete → finish the second rename); after the second
+    * rename but before the `__old` delete (live present, stale `__old`
+    * → delete it). A crash DURING the build leaves live untouched and
+    * a partial scratch dir, which the next rebuild wipes.
+    */
   def recoverSwap(spark: SparkSession, liveDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = qualified(spark, liveDir)

@@ -366,8 +366,12 @@ object FixtureGen {
           tiff(w, h, le = true, useLong = false))
         case 12 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
           tiff(w, h, le = false, useLong = true))
+        // the two combos cases 11/12 do NOT cover: (LE, LONG) when
+        // i%50 == 14, (BE, SHORT) when i%50 == 39 — both le and useLong
+        // keyed to the SAME predicate, or this row would regenerate the
+        // 11/12 combos and leave the other two parser paths unexercised
         case 14 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
-          tiff(w, h, le = i % 50 < 25, useLong = i % 50 >= 25))
+          tiff(w, h, le = i % 50 < 25, useLong = i % 50 < 25))
         case 15 =>
           MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
             jpeg(w min 65535, h min 65535, 0xc1, extraSegs = 1 + rnd.nextInt(2)))

@@ -242,9 +242,13 @@ object Multimodal {
     * thrown, so a 100 TB scan over crawled media never dies on byte
     * garbage and the rejection rate is itself queryable. A NULL payload
     * cell is treated as an empty payload (an `ok = 0` rejection row,
-    * `n_bytes = 0`); rows with a NULL id are dropped before the decode —
-    * the typed `Long` key can't carry them, and a crawled corpus row
-    * without a key isn't attributable to anything downstream anyway.
+    * `n_bytes = 0`); rows whose id cell is NULL are dropped before the
+    * decode — the typed `Long` key can't carry them, and a crawled
+    * corpus row without a key isn't attributable to anything downstream
+    * anyway. A NON-null id that fails the long cast is a misconfigured
+    * id column, not a data row to skip: it fails the job loudly (the
+    * silent alternative is a 100%-empty result that looks like an empty
+    * corpus).
     */
   def decodeImageMeta(
       spark: SparkSession, media: DataFrame,
@@ -252,21 +256,31 @@ object Multimodal {
       payloadCol: String = "payload"): Dataset[ImageMeta] = {
     import spark.implicits._
     media.select(col(idCol).cast("long").as("doc_id"),
-      col(payloadCol).cast("binary").as("payload"))
-      .where(col("doc_id").isNotNull)
-      .as[MediaPayload]
+      col(payloadCol).cast("binary").as("payload"),
+      col(idCol).isNotNull.as("src_id_present"))
+      .where(col("doc_id").isNotNull || col("src_id_present"))
+      .select("doc_id", "payload")
+      .as[MediaPayloadOpt]
       .mapPartitions { it =>
         it.map { p =>
+          val id = p.doc_id.getOrElse(throw new IllegalArgumentException(
+            "decodeImageMeta: id column has non-null values that do not " +
+              "cast to long — wrong column, or a string-keyed corpus"))
           val bytes = if (p.payload == null) Array.emptyByteArray else p.payload
           parseImageHeader(bytes) match {
             case Some((fmt, w, h)) =>
-              ImageMeta(p.doc_id, fmt, Some(w), Some(h), bytes.length.toLong, 1)
+              ImageMeta(id, fmt, Some(w), Some(h), bytes.length.toLong, 1)
             case None =>
-              ImageMeta(p.doc_id, "unknown", None, None, bytes.length.toLong, 0)
+              ImageMeta(id, "unknown", None, None, bytes.length.toLong, 0)
           }
         }
       }
   }
+
+  /** [[MediaPayload]] with a nullable key: lets [[decodeImageMeta]] see
+    * a failed id cast (source non-null, cast null) and fail loudly
+    * instead of the Long encoder masking it as a dropped row. */
+  final case class MediaPayloadOpt(doc_id: Option[Long], payload: Array[Byte])
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int, frame: Array[Byte])
 

@@ -173,6 +173,11 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val tag = s"b$batchId"
+        // a crashed attempt's leftovers are dropped at EVERY tick start
+        // (cheap existence check + delete), not only when a compaction
+        // happens to run — a loop without maxSlices gets the cleanup too
+        graft.core.FsPaths.dropCrashedTag(df.sparkSession, indexDir,
+          Seq("hashes", "shingles", "df"), tag)
         maxSlices.foreach(m =>
           compactIfNeeded(df.sparkSession, indexDir, m, currentTag = tag))
         ingestTick(df.sparkSession, df, indexDir, outDir, tag,

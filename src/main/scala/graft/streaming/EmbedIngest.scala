@@ -122,6 +122,11 @@ object EmbedIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val tag = s"b$batchId"
+        // a crashed attempt's leftovers are dropped at EVERY tick start
+        // (cheap delete), independent of whether the rebuild or the
+        // compaction below runs this tick — same contract as the text loop
+        graft.core.FsPaths.dropCrashedTag(df.sparkSession, indexDir,
+          Seq("lists", "codes"), tag)
         // a rebuild resets slices too, so it subsumes this tick's
         // compaction check. rebuildStride decouples the REBUILD's
         // centroid allocation from the ingest path's: stride == expected

@@ -35,6 +35,17 @@ private[graft] object BenchUtil {
   def fmt3(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
+  /** SHA-256 of a file's bytes as lowercase hex; empty string when the
+    * file is unreadable. One copy for the artifact's self-hash and the
+    * prior-file hash — divergent duplicates could silently emit
+    * incommensurable hashes. */
+  def sha256(path: String): String =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "" }
+
   /** Parses the rolling `"history"` block (query → last-N committed
     * medians) out of a prior `bench_full.json`, or an entire seed file
     * whose content IS the map (`wholeFile = true`). The block contains

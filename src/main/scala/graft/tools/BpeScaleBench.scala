@@ -14,8 +14,11 @@ import graft.ops.TextAnalysis
   * ladder (100 / 1 000 merges), plus the vocab-collect cost the local
   * path pays once. Findings go to PLANS.md.
   *
-  * Usage: runMain graft.tools.BpeScaleBench <sfDir> [distMerges] [ladder]
-  * e.g. `BpeScaleBench /root/testdata/sf0.1 20 100,1000`
+  * Usage: runMain graft.tools.BpeScaleBench <sfDir> [distMerges] [ladder] [hopMerges]
+  * e.g. `BpeScaleBench /root/testdata/sf0.1 20 100,1000 12`
+  * `hopMerges` (default 12) sizes the round-17 mid-train-hop arm;
+  * `GRAFT_BPE_HOP_ONLY=1` runs only that arm (the dense distributed
+  * control alone is ~10 minutes).
   */
 object BpeScaleBench {
   import BenchUtil.{force, time, fmt3}

@@ -200,18 +200,26 @@ object EmbedLoopScaleBench {
       // (EmbedIngest.deriveRebuildStride — round-16 verdict task 3)
       val autoStride = args.lift(5).contains("auto")
       val rebuildStride =
-        if (autoStride) stride
-        else args.lift(5).map(_.toLong).getOrElse(stride)
-      if (autoStride) {
-        val derived = EmbedIngest.deriveRebuildStride(spark, idx, stride, "d3")
-        results("drift_auto_stride") = derived.toDouble
-        System.err.println(
-          s"[eloop-bench] auto-derived rebuild stride: $derived (design $stride)")
-      }
+        if (autoStride) {
+          // derive ONCE here, untimed, and hand the result to the timed
+          // rebuild as an explicit stride: letting rebuildIfDrifted's
+          // own autoStride path re-run the stats aggregation INSIDE the
+          // drift_rebuild_sec window would bias the head-to-head
+          // rebuild-cost comparison against the manual-stride arms. The
+          // derivation's own cost is recorded separately.
+          val t0 = System.nanoTime()
+          val derived = EmbedIngest.deriveRebuildStride(spark, idx, stride, "d3")
+          results("drift_stride_derive_sec") = (System.nanoTime() - t0) / 1e9
+          results("drift_auto_stride") = derived.toDouble
+          System.err.println(
+            s"[eloop-bench] auto-derived rebuild stride: $derived (design $stride, " +
+              s"derive cost ${fmt3(results("drift_stride_derive_sec"))} s)")
+          derived
+        } else args.lift(5).map(_.toLong).getOrElse(stride)
       val tR = System.nanoTime()
       val fired = EmbedIngest.rebuildIfDrifted(spark, idx,
         hotShareThreshold = 0.05, centroidStride = rebuildStride,
-        currentTag = "d3", minRows = 1000L, autoStride = autoStride)
+        currentTag = "d3", minRows = 1000L)
       results("drift_rebuild_sec") = (System.nanoTime() - tR) / 1e9
       counts("drift_rebuild_fired") = if (fired) 1L else 0L
       results("drift_recall1_after") = recall1()

@@ -191,6 +191,21 @@ class TextAndJsonSpec extends AnyFunSuite {
     // a TIFF IFD entry table truncated mid-entry rejects (bounds, not throw)
     val t = tiffs.head.payload
     assert(Multimodal.parseImageHeader(java.util.Arrays.copyOf(t, 12)).isEmpty)
+    // all four (endianness × tag-type) combos present: the first entry's
+    // type field sits at bytes 12-13 (magic 4 + ifd offset 4 + count 2 +
+    // tag 2) — a fixture that only regenerated the (LE,SHORT)/(BE,LONG)
+    // pair would leave two of the parser's TIFF paths unexercised
+    val combos = graft.fixtures.FixtureGen.mediaPayloads(100, seed = 1213L)
+      .filter(_.exp_fmt == "tiff").map { r =>
+        val p = r.payload
+        val le = p(0) == 'I'.toByte
+        val typ =
+          if (le) (p(12) & 0xff) | ((p(13) & 0xff) << 8)
+          else ((p(12) & 0xff) << 8) | (p(13) & 0xff)
+        (le, typ)
+      }.toSet
+    assert(combos == Set((true, 3), (true, 4), (false, 3), (false, 4)),
+      s"TIFF endianness x type combos incomplete: $combos")
   }
 
   test("decodeImageMeta: null payloads become ok=0 rows; null ids are dropped") {
