@@ -298,6 +298,38 @@ class IngestLoopSpec extends AnyFunSuite {
       2, "maxSlices=1 run never compacted")
   }
 
+  test("incrementalIngest stream drops a crashed tag's leftovers WITHOUT maxSlices") {
+    // pre-crash simulation: batch b0's index slices landed but the tick
+    // never committed (no checkpoint offset). The replayed b0 must (a)
+    // not dedup against its own crashed write, and (b) find the
+    // leftover slices DELETED at tick start even though no compaction
+    // trigger is configured — the per-tick dropCrashedTag contract.
+    val (idx, out) = freshDirs()
+    val ckpt = Files.createTempDirectory("graft_ingest_crashckpt").toString
+    TextDedup.writeIncrementalIndex(corpus, idx, k = 2)
+    TextDedup.appendIncrementalIndex(
+      Seq((100L, "crashed wave novel payload with words")).toDF("doc_id", "text"),
+      idx, "b0", k = 2)
+    assert(graft.core.FsPaths.countChildren(spark, s"$idx/hashes", "batch=") == 2)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = DedupStream.incrementalIngest(
+      source.toDF().toDF("doc_id", "text"), idx, out, ckpt, k = 2, tau = 0.8)
+    try {
+      source.addData(
+        (100L, "crashed wave novel payload with words"), // must SURVIVE the replay
+        (101L, "corpus doc number 3 with words"))        // dup vs seed -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.read.parquet(out)) == Set(100L),
+      "replayed batch deduped against its own crashed slice or lost the dup check")
+    // the replay's own committed slice is the only b0 slice left: the
+    // crashed one was deleted, then overwritten by the tick's append
+    assert(graft.core.FsPaths.countChildren(spark, s"$idx/hashes", "batch=") == 2)
+    assert(spark.read.parquet(s"$idx/hashes").count() == corpus.count() + 1,
+      "crashed leftover rows must not accumulate next to the replay's write")
+  }
+
   test("incrementalIngest stream: micro-batches dedup against all earlier survivors") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
