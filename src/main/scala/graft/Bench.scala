@@ -55,7 +55,13 @@ object Bench {
       processCpu: Double,
       gcMsPerTrial: Seq[Long] = Nil,
       skewJoinsPerTrial: Seq[Long] = Nil,
-      stealMsPerTrial: Seq[Long] = Nil)
+      stealMsPerTrial: Seq[Long] = Nil,
+      // steal-rejected trials (round-17 verdict task 1): wall times the
+      // median did NOT use, with the steal that disqualified them —
+      // present in the artifact so the rejection is auditable, absent
+      // from every downstream stat
+      discardedTrials: Seq[Double] = Nil,
+      discardedStealMs: Seq[Long] = Nil)
 
   /** Sentinel row for a query/workload that threw: median -1 keeps it
     * out of totals, the name stays in the table so the failure is
@@ -279,9 +285,23 @@ object Bench {
     // Per-trial times and load telemetry are kept, not just the median:
     // they go to the full-result file so an interference-polluted run is
     // self-evident instead of masquerading as a regression.
+    // Steal-robust medians (round-17 verdict task 1): a trial whose
+    // hypervisor steal exceeds STEAL_FRAC of its wall time is re-run (up
+    // to STEAL_RETRIES extra trials per query) and the median is formed
+    // over CLEAN trials only — the old median could be computed entirely
+    // from trials the artifact itself proved were garbage (r17's
+    // committed ext_dedup_jaccard median used trials with 70 s of steal
+    // on ~5 s of wall). Rejected trials land in `discarded_trials` /
+    // `discarded_steal_ms`; if every trial (original + retries) is dirty
+    // the median falls back to all of them and discards nothing — the
+    // steal columns then carry the contamination evidence as before.
+    val stealFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_FRAC", "0.2").toDouble
+    val stealRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2").toInt
     def timeMedian(body: => Unit): QueryResult = {
       val before = loadAvg()
-      val measured = (1 to trials).map { _ =>
+      def oneTrial(): (Double, Long, Long, Long) = {
         val gc0 = gcMillis()
         val skew0 = skewFires.get()
         val steal0 = stealTicks()
@@ -291,11 +311,24 @@ object Bench {
           if (steal0 < 0) -1L else (stealTicks() - steal0) * 10L
         (t, gcMillis() - gc0, skewFires.get() - skew0, stealMs)
       }
-      val ts = measured.map(_._1)
+      val measured = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
+      (1 to trials).foreach(_ => measured += oneTrial())
+      var extras = 0
+      while (extras < stealRetries &&
+          measured.exists(m => graft.tools.BenchUtil.stealDirty(m._1, m._4, stealFrac))) {
+        measured += oneTrial()
+        extras += 1
+      }
+      val (keptIdx, dropIdx) = graft.tools.BenchUtil.splitBySteal(
+        measured.map(_._1).toSeq, measured.map(_._4).toSeq, stealFrac)
+      val kept = keptIdx.map(measured)
+      val dropped = dropIdx.map(measured)
+      val ts = kept.map(_._1)
       val cpu = processCpu()
       val after = loadAvg()
       QueryResult(graft.tools.BenchUtil.median(ts), ts, before, after, cpu,
-        measured.map(_._2), measured.map(_._3), measured.map(_._4))
+        kept.map(_._2), kept.map(_._3), kept.map(_._4),
+        dropped.map(_._1), dropped.map(_._4))
     }
 
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to named
@@ -714,27 +747,6 @@ object Bench {
         checks
       }
 
-    // Final (post-adoption) creep list vs the 3-round-best history — the
-    // committed record of sub-gate drift (verdict-16 task 2). Uses the
-    // adopted medians, so an entry whose isolated re-measure came back
-    // clean drops off; what remains is movement contention can't explain.
-    val driftFlagsJson: Seq[String] =
-      if (only.isDefined || history.isEmpty) Nil
-      else {
-        val creepRatio =
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_CREEP_RATIO", "1.3").toDouble
-        graft.tools.BenchUtil.creepFlags(
-          results.toMap.view.mapValues(_.median).toMap, history,
-          minSec = 1.0, ratio = creepRatio).map { case (q, m, best, r) =>
-          // key is "window", NOT "history": the next run's history parser
-          // locates the artifact's rolling block by that literal key, and
-          // drift_flags print before it
-          s"""{"query":"$q","median":${fm(m, 3)},"best_prior_3r":${fm(best, 3)},""" +
-            s""""ratio_vs_best":${fm(r, 2)},""" +
-            s""""window":${history(q).map(v => fm(v, 3)).mkString("[", ",", "]")}}"""
-        }
-      }
-
     // dev runs must not clobber the committed full-catalog evidence:
     // a BENCH_ONLY subset goes to bench_partial.json (untracked) unless
     // the caller overrode the path explicitly
@@ -777,6 +789,42 @@ object Bench {
           s""","prior_membw_median_sec":${fm(p, 3)},""" +
             s""""membw_ratio":${fm(runMembwCanary / p, 3)}"""
         }.getOrElse("") + "}"
+
+    // Final (post-adoption) creep list vs the 3-round-best history — the
+    // committed record of sub-gate drift (verdict-16 task 2). Uses the
+    // adopted medians, so an entry whose isolated re-measure came back
+    // clean drops off; what remains is movement contention can't explain.
+    // Each flag is SELF-ADJUDICATING (round-17 verdict task 6): it
+    // carries the run's canary axes (host_speed_ratio = CPU, membw_ratio
+    // = memory bandwidth, vs the prior committed run) plus the flagged
+    // entry's own kept-trial steal/gc sums, so a reader tells ambient
+    // host movement from real movement without cross-referencing the
+    // calibration block. Computed here, after the end canary, so the
+    // stamped ratios are the same medians the calibration block commits.
+    val driftFlagsJson: Seq[String] =
+      if (only.isDefined || history.isEmpty) Nil
+      else {
+        val creepRatio =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_CREEP_RATIO", "1.3").toDouble
+        val hostAxis = priorParallelCanary.map(p =>
+          s""","host_speed_ratio":${fm(runParallelCanary / p, 3)}""").getOrElse("")
+        val membwAxis = priorMembwCanary.map(p =>
+          s""","membw_ratio":${fm(runMembwCanary / p, 3)}""").getOrElse("")
+        graft.tools.BenchUtil.creepFlags(
+          results.toMap.view.mapValues(_.median).toMap, history,
+          minSec = 1.0, ratio = creepRatio).map { case (q, m, best, r) =>
+          val qr = results(q)
+          val stealSum = qr.stealMsPerTrial.filter(_ >= 0).sum
+          val gcSum = qr.gcMsPerTrial.sum
+          // key is "window", NOT "history": the next run's history parser
+          // locates the artifact's rolling block by that literal key, and
+          // drift_flags print before it
+          s"""{"query":"$q","median":${fm(m, 3)},"best_prior_3r":${fm(best, 3)},""" +
+            s""""ratio_vs_best":${fm(r, 2)}$hostAxis$membwAxis,""" +
+            s""""steal_ms_sum":$stealSum,"gc_ms_sum":$gcSum,""" +
+            s""""window":${history(q).map(v => fm(v, 3)).mkString("[", ",", "]")}}"""
+        }
+      }
 
     // Adjudication trail (verdict-16 task 8): the prior run's per-query
     // medians + the prior file's sha, inline, so a third party computes
@@ -826,9 +874,10 @@ object Bench {
     try {
       val src = scala.io.Source.fromFile(path, "UTF-8")
       val text = try src.mkString finally src.close()
-      // negative lookbehind keeps the CPU axis clean of the
-      // membw_parallel_sec fields added in round 17
-      val re = """(?<!membw_)"parallel_sec":(-?[0-9.]+)""".r
+      // the leading quote in the literal already excludes the
+      // membw_parallel_sec fields (their preceding char is '_', not '"'),
+      // so no lookbehind is needed to keep the CPU axis clean
+      val re = """"parallel_sec":(-?[0-9.]+)""".r
       val xs = re.findAllMatchIn(text).map(_.group(1).toDouble).toSeq
       if (xs.isEmpty) None else Some(graft.tools.BenchUtil.median(xs))
     } catch { case _: Throwable => None }
@@ -928,9 +977,16 @@ object Bench {
         val gcArr = v.gcMsPerTrial.mkString("[", ",", "]")
         val skewArr = v.skewJoinsPerTrial.mkString("[", ",", "]")
         val stealArr = v.stealMsPerTrial.mkString("[", ",", "]")
+        // steal-rejected trials, present only when a rejection happened:
+        // the wall times the median did NOT use and the steal that
+        // disqualified them (round-17 verdict task 1)
+        val discarded =
+          if (v.discardedTrials.isEmpty) ""
+          else s""""discarded_trials":${v.discardedTrials.map(t => fm(t, 3)).mkString("[", ",", "]")},""" +
+            s""""discarded_steal_ms":${v.discardedStealMs.mkString("[", ",", "]")},"""
         "    \"" + k + "\": {" +
           s""""median":${fm(v.median, 3)},"trials":$trialArr,""" +
-          s""""gc_ms":$gcArr,"skew_joins":$skewArr,"steal_ms":$stealArr,""" +
+          s""""gc_ms":$gcArr,"skew_joins":$skewArr,"steal_ms":$stealArr,$discarded""" +
           s""""loadavg_before":${fm(v.loadAvgBefore, 2)},"loadavg_after":${fm(v.loadAvgAfter, 2)},""" +
           s""""process_cpu":${fm(v.processCpu, 3)}}"""
       }.mkString(",\n")

@@ -48,19 +48,39 @@ private[graft] object BenchUtil {
 
   /** Parses the rolling `"history"` block (query → last-N committed
     * medians) out of a prior `bench_full.json`, or an entire seed file
-    * whose content IS the map (`wholeFile = true`). The block contains
-    * no nested braces, so the substring up to the first `}` after the
-    * key is exact; parsing the whole artifact instead would also match
-    * the per-query `trials`/`gc_ms` arrays.
+    * whose content IS the map (`wholeFile = true`). The block is located
+    * by the literal `"history":` key and delimited by a BALANCED-brace
+    * scan from the `{` that follows it — not "first `}` after the key",
+    * which silently truncated the window if the map ever grew nested
+    * braces. Parsing the whole artifact instead would also match the
+    * per-query `trials`/`gc_ms` arrays, so the block extraction stays.
+    * Remaining invariant (asserted here): the value after the key must
+    * BE the map — JSON allows only whitespace between a key and its
+    * value, so a non-`{` first character means the artifact writer
+    * changed shape, and the parse returns empty rather than guessing.
     */
   def parseHistory(text: String, wholeFile: Boolean = false): Map[String, Seq[Double]] = {
     val body =
       if (wholeFile) text
       else {
         val i = text.indexOf("\"history\":")
-        val j = if (i < 0) -1 else text.indexOf('}', i)
-        if (i < 0 || j < 0) return Map.empty
-        text.substring(i, j)
+        if (i < 0) return Map.empty
+        val start = text.indexOf('{', i)
+        // nothing but whitespace may sit between the key and its map
+        if (start < 0 ||
+          !text.substring(i + "\"history\":".length, start).forall(_.isWhitespace))
+          return Map.empty
+        var depth = 0; var j = start; var end = -1
+        while (j < text.length && end < 0) {
+          text.charAt(j) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = j
+            case _ => ()
+          }
+          j += 1
+        }
+        if (end < 0) return Map.empty
+        text.substring(start, end)
       }
     val re = """"([A-Za-z0-9_]+)":\s*\[([^\]]*)\]""".r
     re.findAllMatchIn(body).flatMap { m =>
@@ -85,6 +105,27 @@ private[graft] object BenchUtil {
         priorMedians.get(k).filter(_ >= 0).toSeq
       k -> h.takeRight(keep)
     }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** Steal-contaminated trial test (round-17 verdict task 1): a trial
+    * whose recorded hypervisor steal exceeds `frac` of its own wall time
+    * is measurement garbage the artifact itself has proven — the
+    * committed r17 capture formed `ext_dedup_jaccard`'s 5.59 s median
+    * from trials carrying 2.4/70.0/36.2 s of steal on ~5 s of wall.
+    * `stealMs <= 0` (quiet, or /proc/stat unavailable = -1) is clean:
+    * no evidence is not evidence of contamination. */
+  def stealDirty(wallSec: Double, stealMs: Long, frac: Double = 0.2): Boolean =
+    stealMs > 0 && stealMs.toDouble > wallSec * 1000.0 * frac
+
+  /** Splits trial indices into (kept, discarded) under [[stealDirty]].
+    * When EVERY trial is dirty, all are kept (an all-contaminated
+    * session has no clean median to offer; the full steal columns in
+    * the artifact say so) and nothing is discarded. */
+  def splitBySteal(walls: Seq[Double], stealMs: Seq[Long],
+      frac: Double = 0.2): (Seq[Int], Seq[Int]) = {
+    val (bad, good) = walls.indices.partition(i =>
+      stealDirty(walls(i), stealMs.applyOrElse(i, (_: Int) => -1L), frac))
+    if (good.isEmpty) (walls.indices.toSeq, Nil) else (good, bad)
   }
 
   /** Sub-gate creep detection (round-16 verdict task 2): entries whose

@@ -31,6 +31,40 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(BenchUtil.parseHistory("""{"queries":{"q":{"median":1.0,"trials":[1.0]}}}""").isEmpty)
   }
 
+  test("parseHistory: balanced-brace extraction survives what first-} could not") {
+    // the old first-'}' scan would truncate this window to just q_a if
+    // the map ever grew a nested object; the balanced scan reads it whole
+    val nested =
+      """{"history": {"q_a":[1.000,2.000], "q_b":[3.000]}, "queries": {}}"""
+    assert(BenchUtil.parseHistory(nested) ==
+      Map("q_a" -> Seq(1.0, 2.0), "q_b" -> Seq(3.0)))
+    // a shape change that puts anything but whitespace between the key
+    // and its map returns empty instead of guessing at the wrong object
+    val reshaped = """{"history": "v2", "history_v2": {"q_a":[1.0]}}"""
+    assert(BenchUtil.parseHistory(reshaped).isEmpty)
+    // unterminated map (truncated artifact): empty, not an exception
+    assert(BenchUtil.parseHistory("""{"history": {"q_a":[1.0]""").isEmpty)
+  }
+
+  test("stealDirty/splitBySteal: medians reject steal-contaminated trials") {
+    // the r17 committed capture's actual shape: ~5 s of wall carrying
+    // 2.4/70.0/36.2 s of steal — every trial dirty under the 20% rule
+    assert(BenchUtil.stealDirty(5.59, 70000L))
+    assert(BenchUtil.stealDirty(5.0, 2400L))
+    assert(!BenchUtil.stealDirty(5.0, 999L)) // under 20% of wall: clean
+    assert(!BenchUtil.stealDirty(5.0, -1L)) // /proc/stat unavailable: clean
+    assert(!BenchUtil.stealDirty(5.0, 0L))
+    // mixed session: dirty trials discarded, clean kept
+    val (kept, dropped) = BenchUtil.splitBySteal(
+      Seq(5.0, 5.2, 40.0), Seq(100L, 0L, 36200L))
+    assert(kept == Seq(0, 1) && dropped == Seq(2))
+    // ALL-dirty session: keep everything, discard nothing — there is no
+    // clean median to offer and the steal columns carry the evidence
+    val (keptAll, droppedAll) = BenchUtil.splitBySteal(
+      Seq(5.0, 6.0), Seq(2400L, 70000L))
+    assert(keptAll == Seq(0, 1) && droppedAll.isEmpty)
+  }
+
   test("rollHistory: appends the prior run's medians, keeps the newest 3") {
     val rolled = BenchUtil.rollHistory(
       priorHistory = Map("q_a" -> Seq(5.0, 6.0, 7.0), "q_gone" -> Seq(1.0)),
