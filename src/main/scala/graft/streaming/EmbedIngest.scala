@@ -197,14 +197,44 @@ object EmbedIngest {
     val hot = byList.getAs[Long]("hot")
     if (total >= minRows && hot.toDouble / total >= hotShareThreshold) {
       val stride =
-        if (autoStride) deriveRebuildStride(spark, indexDir, centroidStride, currentTag)
-        else centroidStride
+        if (autoStride) {
+          val d = deriveRebuildStrideInfo(spark, indexDir, centroidStride, currentTag)
+          // the saturation marker (round-17 verdict task 3): when the
+          // derived stride hits the designStride/10 clamp floor the
+          // post-rebuild bill can still land over target — without this
+          // line the operator looks self-tuned while missing its target.
+          // One JSON line per rebuild to the loop's telemetry stream.
+          System.err.println(d.telemetryJson)
+          d.stride
+        } else centroidStride
       graft.core.FsPaths.rebuildAndSwap(spark, indexDir) { dst =>
         Similarity.rebuildIvfIndex(spark, indexDir, dst, stride,
           excludeTag = Some(currentTag))
       }
       true
     } else false
+  }
+
+  /** Result of [[deriveRebuildStrideInfo]]: the derived stride plus the
+    * numbers that produced it. `saturated = true` means the unclamped
+    * derivation wanted a stride BELOW the `designStride/10` clamp floor
+    * — the measured bill is more than 10× the design target, so even
+    * the floored rebuild will land over target. A deployment loop reads
+    * this to tell "tuned" from "clamped": a saturated rebuild warrants
+    * a second rebuild after the first settles, or a raised nLists. */
+  final case class StrideDerivation(
+      measuredBill: Double,
+      targetBill: Double,
+      stride: Long,
+      saturated: Boolean) {
+    /** The one-line JSON marker [[rebuildIfDrifted]] emits per rebuild. */
+    def telemetryJson: String = {
+      def f(x: Double) =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+      s"""{"event":"rebuild_stride_derived","measured_bill":${f(measuredBill)},""" +
+        s""""target_bill":${f(targetBill)},"derived_stride":$stride,""" +
+        s""""saturated":$saturated}"""
+    }
   }
 
   /** Derives the rebuild's centroid stride from the MEASURED probe bill
@@ -230,7 +260,14 @@ object EmbedIngest {
     */
   def deriveRebuildStride(
       spark: SparkSession, indexDir: String, designStride: Long,
-      currentTag: String): Long = {
+      currentTag: String): Long =
+    deriveRebuildStrideInfo(spark, indexDir, designStride, currentTag).stride
+
+  /** [[deriveRebuildStride]] with the derivation's inputs and the clamp
+    * saturation marker attached ([[StrideDerivation]]). */
+  def deriveRebuildStrideInfo(
+      spark: SparkSession, indexDir: String, designStride: Long,
+      currentTag: String): StrideDerivation = {
     val stats = Similarity.ivfListStats(spark, indexDir)
       .filter(col("batch") =!= currentTag)
     val perList = stats.groupBy("list_id").agg(
@@ -245,8 +282,14 @@ object EmbedIngest {
       case other => other.toString.toDouble
     }
     val scaled = designStride * (designStride.toDouble / math.max(bill, 1.0))
-    math.max(1L, math.min(designStride,
-      math.max(designStride / 10, math.round(scaled))))
+    val floor = designStride / 10
+    val raw = math.round(scaled)
+    val stride = math.max(1L, math.min(designStride, math.max(floor, raw)))
+    // saturated = the unclamped derivation wanted LESS than the floor the
+    // clamp enforces (bill > 10x target); a floor of 0 (designStride < 10)
+    // never saturates — the max(1, _) there is arithmetic, not a clamp
+    StrideDerivation(bill, designStride.toDouble, stride,
+      saturated = floor > 0 && raw < floor)
   }
 
   /** IVF twin of `DedupStream.compactIfNeeded`: when more than

@@ -208,13 +208,15 @@ object EmbedLoopScaleBench {
           // rebuild-cost comparison against the manual-stride arms. The
           // derivation's own cost is recorded separately.
           val t0 = System.nanoTime()
-          val derived = EmbedIngest.deriveRebuildStride(spark, idx, stride, "d3")
+          val d = EmbedIngest.deriveRebuildStrideInfo(spark, idx, stride, "d3")
           results("drift_stride_derive_sec") = (System.nanoTime() - t0) / 1e9
-          results("drift_auto_stride") = derived.toDouble
-          System.err.println(
-            s"[eloop-bench] auto-derived rebuild stride: $derived (design $stride, " +
-              s"derive cost ${fmt3(results("drift_stride_derive_sec"))} s)")
-          derived
+          results("drift_auto_stride") = d.stride.toDouble
+          results("drift_measured_bill") = d.measuredBill
+          counts("drift_stride_saturated") = if (d.saturated) 1L else 0L
+          // the per-rebuild telemetry marker (round-17 verdict task 3) —
+          // same line rebuildIfDrifted's own autoStride path emits
+          System.err.println(s"[eloop-bench] ${d.telemetryJson}")
+          d.stride
         } else args.lift(5).map(_.toLong).getOrElse(stride)
       val tR = System.nanoTime()
       val fired = EmbedIngest.rebuildIfDrifted(spark, idx,

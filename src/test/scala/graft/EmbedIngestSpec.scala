@@ -464,6 +464,40 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(EmbedIngest.deriveRebuildStride(spark, idx, 50L, "b0") == 50L)
   }
 
+  test("deriveRebuildStrideInfo: a bill over 10x target saturates the clamp, visibly") {
+    val (idx, _) = freshDirs()
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx,
+      centroidStride = 50L) // ~4 lists of ~50, design target 50 rows/list
+    // a drift burst 12x worse than the clamp can answer: 600 copies of
+    // one corpus vector into its list -> measured bill ~650 rows/query,
+    // unclamped stride round(2500/650) = 4, below the floor of 5
+    val v0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head()
+    val burst = spark.range(1000L, 1600L)
+      .select($"id".as("vec_id"), typedLit(v0).as("embedding"))
+    Similarity.appendIvfIndex(spark, burst, idx, "b0")
+    val d = EmbedIngest.deriveRebuildStrideInfo(spark, idx, 50L, "bX")
+    assert(d.saturated,
+      s"bill ${d.measuredBill} is over 10x the 50-row target; must mark saturated")
+    assert(d.stride == 5L, s"saturated derivation must sit ON the floor: ${d.stride}")
+    assert(d.measuredBill > 500.0 && d.targetBill == 50.0)
+    // the telemetry line a deployment loop greps for — "tuned" vs "clamped"
+    assert(d.telemetryJson.contains("\"saturated\":true") &&
+      d.telemetryJson.contains("\"derived_stride\":5"), d.telemetryJson)
+    // contrast: the milder one-hot fixture of the previous test does NOT
+    // saturate — marker false, stride strictly between floor and design
+    val (idx2, _) = freshDirs()
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx2,
+      centroidStride = 50L)
+    Similarity.appendIvfIndex(spark,
+      spark.range(1000L, 1300L)
+        .select($"id".as("vec_id"), typedLit(v0).as("embedding")),
+      idx2, "b0")
+    val d2 = EmbedIngest.deriveRebuildStrideInfo(spark, idx2, 50L, "bX")
+    assert(!d2.saturated && d2.stride > 5L && d2.stride < 50L,
+      s"unsaturated derivation expected: $d2")
+  }
+
   test("incrementalIngest: autoRebuildStride derives the rebuild allocation") {
     val (idx, out) = freshDirs()
     val ckpt = Files.createTempDirectory("graft_embing_asckpt").toString
