@@ -223,6 +223,16 @@ object FixtureGen {
     * recover (`exp_*` null and `valid = 0` for deliberately-malformed
     * payloads). The oracle for `ext_multimodal_real_meta` just selects
     * these columns; the engine side must re-derive them from the bytes.
+    *
+    * Rows whose payload carries a REAL decodable pixel array
+    * (uncompressed 24-bit BMP, zlib-deflated PNG) additionally carry
+    * the pixel-tier ground truth the `ext_multimodal_pixel_*` oracles
+    * read back: integer channel/luma sums, the 16-bin luma histogram,
+    * and the 8×8 integer-box-resample checksum — all computed by the
+    * generator from the raw pixels BEFORE encoding, so a hash match
+    * proves the engine's container decode + unfilter + resample end to
+    * end. `px_ok = 0` rows (no pixel array, or a deliberately corrupt
+    * one behind a valid header) pin the pixel tier's rejection path.
     */
   final case class MediaFixtureRow(
       media_id: Long,
@@ -230,7 +240,17 @@ object FixtureGen {
       exp_width: Option[Int],
       exp_height: Option[Int],
       valid: Int,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      px_ok: Int = 0,
+      px_n: Option[Long] = None,
+      px_sum_r: Option[Long] = None,
+      px_sum_g: Option[Long] = None,
+      px_sum_b: Option[Long] = None,
+      px_sum_luma: Option[Long] = None,
+      px_luma_hist: Option[Seq[Long]] = None,
+      rz_w: Option[Int] = None,
+      rz_h: Option[Int] = None,
+      rz_checksum: Option[Long] = None)
 
   /** Deterministic media payloads with GENUINE minimal container
     * headers — real PNG signatures + IHDR, real JPEG marker sequences
@@ -239,14 +259,21 @@ object FixtureGen {
     * SOF width bytes, which a correct T.81 walk still parses), real
     * GIF87a/89a logical screen descriptors, real BITMAPINFOHEADER BMPs,
     * real WebP RIFF containers in all three chunk layouts (VP8 lossy /
-    * VP8L lossless / VP8X extended), and real TIFF 6.0 headers in both
-    * byte orders with SHORT and LONG dimension tags — followed by seeded
-    * filler standing in for pixel data. Interleaved malformed rows cover
-    * the rejection paths: truncated signatures, a PNG whose first chunk
-    * is not IHDR, a JPEG that reaches SOS without any SOF, a RIFF that
-    * is not a WebP (WAVE audio), a VP8 chunk truncated before its start
-    * code, a TIFF whose IFD offset points past the buffer, a TIFF
-    * missing its height tag, zero dims, empty and garbage payloads.
+    * VP8L lossless / VP8X extended), real TIFF 6.0 headers in both byte
+    * orders with SHORT and LONG dimension tags, real BigTIFF headers
+    * (magic 43, LONG8 widths), and thumbnail-first TIFFs whose ground
+    * truth is the SECOND (full-resolution) IFD — followed by seeded
+    * filler standing in for pixel data. Four row classes additionally
+    * carry COMPLETE decodable images with pixel-level ground truth:
+    * uncompressed 24-bit BMP (bottom-up and top-down) and zlib-real PNG
+    * (truecolor and truecolor-alpha, scanline filters 0–4). Interleaved
+    * malformed rows cover the rejection paths: truncated signatures, a
+    * PNG whose first chunk is not IHDR, a JPEG that reaches SOS without
+    * any SOF, a RIFF that is not a WebP (WAVE audio), a VP8 chunk
+    * truncated before its start code, a TIFF whose IFD offset points
+    * past the buffer, a TIFF missing its height tag, zero dims, empty
+    * and garbage payloads, and a header-valid PNG whose IDAT is garbage
+    * (pixel tier must reject what the header tier accepts).
     */
   def mediaPayloads(n: Int, seed: Long): Seq[MediaFixtureRow] = {
     val rnd = new Random(seed)
@@ -332,13 +359,181 @@ object FixtureGen {
         w16(entries.length) ++ entries.flatten ++ w32(0L) ++
         filler(rnd.nextInt(32))
     }
+    // BigTIFF (magic 43): u16 offset size 8, u16 reserved 0, u64 first-IFD
+    // offset; IFD = u64 entry count, 20-byte entries (u64 count, 8-byte
+    // value field), u64 next pointer. Width as LONG8 (type 16) and height
+    // as LONG (type 4) exercise both wide-value reads; tag 254 = 0 pins
+    // the full-resolution NewSubfileType parse in BigTIFF form.
+    def bigTiff(w: Int, h: Int, le: Boolean): Array[Byte] = {
+      def w16(v: Int) = if (le) le16(v) else be16(v)
+      def w32(v: Long) = if (le) le32(v.toInt) else be32(v)
+      def w64(v: Long): Array[Byte] =
+        if (le) (0 until 8).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+        else (0 until 8).map(k => ((v >> (8 * (7 - k))) & 0xff).toByte).toArray
+      def entry(tag: Int, typ: Int, v: Long): Array[Byte] =
+        w16(tag) ++ w16(typ) ++ w64(1L) ++ (typ match {
+          case 3 => w16(v.toInt) ++ Array.fill[Byte](6)(0) // SHORT, left-justified
+          case 4 => w32(v) ++ Array.fill[Byte](4)(0) // LONG
+          case _ => w64(v) // LONG8
+        })
+      val entries = Array(
+        entry(254, 4, 0L), // NewSubfileType: full-resolution image
+        entry(256, 16, w.toLong), // ImageWidth as LONG8
+        entry(257, 4, h.toLong), // ImageLength as LONG
+        entry(296, 3, 2L)) // ResolutionUnit: a non-dim tag to skip
+      ascii(if (le) "II" else "MM") ++ w16(43) ++ w16(8) ++ w16(0) ++
+        w64(16L) ++ w64(entries.length.toLong) ++ entries.flatten ++
+        w64(0L) ++ filler(rnd.nextInt(32))
+    }
+    // Classic TIFF whose FIRST IFD is a reduced-resolution thumbnail
+    // (NewSubfileType bit 0) with the full image behind the next-IFD
+    // pointer — the crawled-corpus layout a naive first-IFD-only parser
+    // reports thumbnail dims for. Ground truth is the SECOND IFD's dims.
+    def tiffThumbFirst(w: Int, h: Int, le: Boolean): Array[Byte] = {
+      def w16(v: Int) = if (le) le16(v) else be16(v)
+      def w32(v: Long) = if (le) le32(v.toInt) else be32(v)
+      def entry(tag: Int, typ: Int, v: Long): Array[Byte] =
+        w16(tag) ++ w16(typ) ++ w32(1L) ++
+          (if (typ == 3) w16(v.toInt) ++ Array[Byte](0, 0) else w32(v))
+      def ifd(sub: Long, iw: Int, ih: Int, next: Long): Array[Byte] =
+        w16(3) ++ entry(254, 4, sub) ++ entry(256, 3, iw.toLong) ++
+          entry(257, 3, ih.toLong) ++ w32(next)
+      val ifdLen = 2 + 3 * 12 + 4 // 42 bytes
+      val ifd0At = 8L
+      val ifd1At = ifd0At + ifdLen
+      ascii(if (le) "II" else "MM") ++ w16(42) ++ w32(ifd0At) ++
+        ifd(1L, math.max(1, w / 8), math.max(1, h / 8), ifd1At) ++
+        ifd(0L, w, h, 0L) ++ filler(rnd.nextInt(32))
+    }
+
+    // --- pixel-true payloads (REAL decodable pixel arrays) + the
+    //     generator-side ground truth the ext_multimodal_pixel_* oracles
+    //     read back. Stats/histogram/resample are computed from the raw
+    //     RGB array BEFORE encoding, with the documented integer
+    //     arithmetic (luma = (299r+587g+114b)/1000; 8x8 box resample,
+    //     channel mean = floor(sum/count), checksum = sum of resampled
+    //     unsigned bytes).
+    def rgbPixels(w: Int, h: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3); rnd.nextBytes(a); a
+    }
+    def bmpPixelFile(w: Int, h: Int, topDown: Boolean, pix: Array[Byte]): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      val data = new Array[Byte](stride * h)
+      var j = 0
+      while (j < h) {
+        // bottom-up files store the bottom image row first
+        val imgRow = if (topDown) j else h - 1 - j
+        var x = 0
+        while (x < w) {
+          val s = (imgRow * w + x) * 3
+          data(j * stride + x * 3) = pix(s + 2) // BMP stores BGR
+          data(j * stride + x * 3 + 1) = pix(s + 1)
+          data(j * stride + x * 3 + 2) = pix(s)
+          x += 1
+        }
+        j += 1
+      }
+      ascii("BM") ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+        le16(1) ++ le16(24) ++ le32(0) ++ le32(data.length) ++
+        le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ data
+    }
+    def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = ascii(typ)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    def pngPixelFile(w: Int, h: Int, colorType: Int, pix: Array[Byte]): Array[Byte] = {
+      val bpp = if (colorType == 2) 3 else 4
+      // raw scanlines (random alpha when RGBA — the decoder must drop it)
+      val lines = Array.ofDim[Byte](h, w * bpp)
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = (y * w + x) * 3
+        lines(y)(x * bpp) = pix(s)
+        lines(y)(x * bpp + 1) = pix(s + 1)
+        lines(y)(x * bpp + 2) = pix(s + 2)
+        if (bpp == 4) lines(y)(x * bpp + 3) = (rnd.nextInt(256) & 0xff).toByte
+      }
+      // forward-filter, type cycling 0..4 per row so every unfilter path
+      // in the decoder is exercised
+      val filtered = new Array[Byte](h * (1 + w * bpp))
+      for (y <- 0 until h) {
+        val ft = y % 5
+        filtered(y * (1 + w * bpp)) = ft.toByte
+        for (i <- 0 until w * bpp) {
+          val x = lines(y)(i) & 0xff
+          val a = if (i >= bpp) lines(y)(i - bpp) & 0xff else 0
+          val b = if (y > 0) lines(y - 1)(i) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) lines(y - 1)(i - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case _ =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          filtered(y * (1 + w * bpp) + 1 + i) = ((x - pred) & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered); defl.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!defl.finished()) bos.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      pngSig ++
+        pngChunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+          Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+        pngChunk("IDAT", bos.toByteArray) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+    def pixelRow(id: Long, fmt: String, w: Int, h: Int,
+        payload: Array[Byte], pix: Array[Byte]): MediaFixtureRow = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < pix.length) {
+        val r = pix(i) & 0xff; val g = pix(i + 1) & 0xff; val b = pix(i + 2) & 0xff
+        sr += r; sg += g; sb += b
+        sl += 299L * r + 587L * g + 114L * b
+        hist(((299 * r + 587 * g + 114 * b) / 1000) >> 4) += 1
+        i += 3
+      }
+      var checksum = 0L
+      for (py <- 0 until 8; px <- 0 until 8) {
+        val y0 = (py.toLong * h / 8).toInt
+        val y1 = math.max(y0 + 1, ((py + 1).toLong * h / 8).toInt)
+        val x0 = (px.toLong * w / 8).toInt
+        val x1 = math.max(x0 + 1, ((px + 1).toLong * w / 8).toInt)
+        var cr = 0L; var cg = 0L; var cb = 0L
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val o = (y * w + x) * 3
+          cr += pix(o) & 0xff; cg += pix(o + 1) & 0xff; cb += pix(o + 2) & 0xff
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        checksum += cr / n + cg / n + cb / n
+      }
+      MediaFixtureRow(id, fmt, Some(w), Some(h), 1, payload,
+        px_ok = 1, px_n = Some(w.toLong * h),
+        px_sum_r = Some(sr), px_sum_g = Some(sg), px_sum_b = Some(sb),
+        px_sum_luma = Some(sl), px_luma_hist = Some(hist.toSeq),
+        rz_w = Some(8), rz_h = Some(8), rz_checksum = Some(checksum))
+    }
 
     (0 until n).map { i =>
       val id = i.toLong
       val w = 1 + rnd.nextInt(4096)
       val h = 1 + rnd.nextInt(4096)
       val w14 = w min 16383; val h14 = h min 16383 // VP8's 14-bit dims
-      i % 25 match {
+      // pixel-true rows keep dims small (the pixel array is committed
+      // payload bytes); everything else uses the wide dim range above
+      val pw = 1 + rnd.nextInt(32); val ph = 1 + rnd.nextInt(32)
+      i % 32 match {
         case 0 | 13 => MediaFixtureRow(id, "png", Some(w), Some(h), 1, png(w, h))
         case 1 =>
           MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
@@ -367,11 +562,11 @@ object FixtureGen {
         case 12 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
           tiff(w, h, le = false, useLong = true))
         // the two combos cases 11/12 do NOT cover: (LE, LONG) when
-        // i%50 == 14, (BE, SHORT) when i%50 == 39 — both le and useLong
+        // i%64 == 14, (BE, SHORT) when i%64 == 46 — both le and useLong
         // keyed to the SAME predicate, or this row would regenerate the
         // 11/12 combos and leave the other two parser paths unexercised
         case 14 => MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
-          tiff(w, h, le = i % 50 < 25, useLong = i % 50 < 25))
+          tiff(w, h, le = i % 64 < 32, useLong = i % 64 < 32))
         case 15 =>
           MediaFixtureRow(id, "jpeg", Some(w min 65535), Some(h min 65535), 1,
             jpeg(w min 65535, h min 65535, 0xc1, extraSegs = 1 + rnd.nextInt(2)))
@@ -401,9 +596,46 @@ object FixtureGen {
         case 23 => // zero-dim GIF
           MediaFixtureRow(id, "unknown", None, None, 0,
             gif(0, h min 65535, v89 = true))
-        case _ => // garbage / empty
-          if (i % 50 == 24) MediaFixtureRow(id, "unknown", None, None, 0, Array.empty)
+        case 24 => // garbage / empty
+          if (i % 64 == 24) MediaFixtureRow(id, "unknown", None, None, 0, Array.empty)
           else MediaFixtureRow(id, "unknown", None, None, 0, filler(24 + rnd.nextInt(64)))
+        case 25 => // pixel-true BMP, bottom-up (the default row order)
+          locally {
+            val pix = rgbPixels(pw, ph)
+            pixelRow(id, "bmp", pw, ph, bmpPixelFile(pw, ph, topDown = false, pix), pix)
+          }
+        case 26 => // pixel-true BMP, top-down (negative biHeight)
+          locally {
+            val pix = rgbPixels(pw, ph)
+            pixelRow(id, "bmp", pw, ph, bmpPixelFile(pw, ph, topDown = true, pix), pix)
+          }
+        case 27 => // pixel-true PNG, 8-bit truecolor (type 2), filters 0-4
+          locally {
+            val pix = rgbPixels(pw, ph)
+            pixelRow(id, "png", pw, ph, pngPixelFile(pw, ph, colorType = 2, pix), pix)
+          }
+        case 28 => // pixel-true PNG with alpha (type 6) — alpha dropped
+          locally {
+            val pix = rgbPixels(pw, ph)
+            pixelRow(id, "png", pw, ph, pngPixelFile(pw, ph, colorType = 6, pix), pix)
+          }
+        case 29 => // BigTIFF, both byte orders (keyed like case 14)
+          MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
+            bigTiff(w, h, le = i % 64 < 32))
+        case 30 => // thumbnail-first TIFF: ground truth = 2nd IFD's dims
+          MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,
+            tiffThumbFirst(w, h, le = i % 64 < 32))
+        case _ => // 31: valid PNG header, corrupt IDAT — the pixel tier
+          // must reject (px_ok 0) what the header tier accepts (ok 1)
+          locally {
+            val cw = w min 512; val ch = h min 512
+            MediaFixtureRow(id, "png", Some(cw), Some(ch), 1,
+              pngSig ++
+                pngChunk("IHDR", be32(cw.toLong) ++ be32(ch.toLong) ++
+                  Array[Byte](8, 2, 0, 0, 0)) ++
+                pngChunk("IDAT", filler(20)) ++
+                pngChunk("IEND", Array.emptyByteArray))
+          }
       }
     }
   }
@@ -421,11 +653,12 @@ object Fixtures {
   val mediaParquet = s"$dir/media_payloads.parquet"
   val mediaParquetGlob = s"$mediaParquet/*.parquet"
 
-  /** 500 seeded media payloads (~64% real headers across PNG/JPEG/GIF/
-    * BMP/WebP/TIFF, ~36% deliberately malformed) with generator ground
-    * truth — the corpus `ext_multimodal_real_meta` parses and its oracle
-    * reads back. Deterministic (seed 1213), so a wiped checkout
-    * regenerates byte-identical content.
+  /** 500 seeded media payloads (~72% real headers across PNG/JPEG/GIF/
+    * BMP/WebP/TIFF/BigTIFF incl. four pixel-true row classes, ~28%
+    * deliberately malformed) with generator ground truth — the corpus
+    * the `ext_multimodal_real_meta` / `ext_multimodal_pixel_*` queries
+    * parse and their oracles read back. Deterministic (seed 1213), so a
+    * wiped checkout regenerates byte-identical content.
     */
   def ensureMedia(spark: SparkSession): Unit = synchronized {
     if (new java.io.File(mediaParquet).exists()) return

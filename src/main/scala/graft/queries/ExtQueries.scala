@@ -2026,6 +2026,62 @@ object ExtQueries {
         |  CAST(least(out_len, (n + stride - 1) // stride) AS INT) AS resized_len
         |FROM st""".stripMargin)),
 
+    // REAL pixel statistics (round-18: Multimodal.decodePixels — BMP
+    // pixel arrays and PNG Inflater+unfilter, pure JDK): integer
+    // channel/luma sums per image. The generator computed the same sums
+    // from the raw pixels BEFORE encoding them, so a hash match proves
+    // container walk + zlib + all five scanline unfilters + BGR/row
+    // order handling end to end. Rows with no pure-JVM pixel path
+    // (every other format, plus a header-valid PNG with corrupt IDAT)
+    // are typed px_ok = 0 rejections on BOTH sides.
+    Q("ext_multimodal_pixel_stats",
+      (s, _) => {
+        graft.fixtures.Fixtures.ensureMedia(s)
+        Multimodal.pixelStats(
+          s, s.read.parquet(graft.fixtures.Fixtures.mediaParquet)).toDF()
+      },
+      Some(s"""SELECT media_id, CAST(px_ok AS INT) AS px_ok,
+        |  px_n AS n_px, px_sum_r AS sum_r, px_sum_g AS sum_g,
+        |  px_sum_b AS sum_b, px_sum_luma AS sum_luma
+        |FROM read_parquet('${graft.fixtures.Fixtures.mediaParquetGlob}')""".stripMargin)),
+
+    // Pixel-true features through the SAME extractFeatures entry point
+    // the stub tier uses (the dispatch is the operator): 16-bin luma
+    // histogram normalized by pixel count, float32 division on both
+    // sides (exact-integer operands -> bitwise-equal quotients).
+    Q("ext_multimodal_pixel_features",
+      (s, _) => {
+        graft.fixtures.Fixtures.ensureMedia(s)
+        Multimodal.extractFeatures(
+          s, s.read.parquet(graft.fixtures.Fixtures.mediaParquet),
+          idCol = "media_id", payloadCol = "payload")
+          .toDF().filter(col("pixel_true") === 1)
+          .select(col("doc_id").as("media_id"),
+            posexplode(col("features")).as(Seq("dim", "value")))
+      },
+      Some(s"""SELECT media_id, CAST(i AS INT) AS dim,
+        |  CAST(px_luma_hist[CAST(i AS INT) + 1] AS REAL)
+        |    / CAST(px_n AS REAL) AS value
+        |FROM read_parquet('${graft.fixtures.Fixtures.mediaParquetGlob}'),
+        |  LATERAL (SELECT unnest(range(0, 16)) AS i)
+        |WHERE px_ok = 1""".stripMargin)),
+
+    // REAL resize: integer 8x8 box resample of the decoded pixels
+    // (Multimodal.boxResample — floor-mean boxes, no floats), proven by
+    // the resampled buffer's byte checksum against the generator's
+    // mirrored arithmetic over the raw pixel array.
+    Q("ext_multimodal_pixel_resize",
+      (s, _) => {
+        graft.fixtures.Fixtures.ensureMedia(s)
+        Multimodal.resizePixels(
+          s, s.read.parquet(graft.fixtures.Fixtures.mediaParquet),
+          targetW = 8, targetH = 8).toDF()
+          .select("media_id", "px_ok", "out_w", "out_h", "checksum")
+      },
+      Some(s"""SELECT media_id, CAST(px_ok AS INT) AS px_ok,
+        |  rz_w AS out_w, rz_h AS out_h, rz_checksum AS checksum
+        |FROM read_parquet('${graft.fixtures.Fixtures.mediaParquetGlob}')""".stripMargin)),
+
     // Corpus-relative term weighting (TF-IDF + BM25) per observed
     // (doc, term): three bounded shuffles + a broadcast corpus aggregate;
     // scores rounded to 6 dp on BOTH sides so libm ln() ulp differences

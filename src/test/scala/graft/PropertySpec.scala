@@ -506,7 +506,8 @@ class PropertySpec extends AnyFunSuite {
       "RIFF????WEBPVP8 ".getBytes("US-ASCII"),
       "RIFF????WEBPVP8L".getBytes("US-ASCII"),
       "RIFF????WEBPVP8X".getBytes("US-ASCII"),
-      Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42))
+      Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42),
+      Array[Byte]('I', 'I', 43, 0), Array[Byte]('M', 'M', 0, 43))
     (1 to 50).foreach { seed =>
       val rnd = new Random(seed)
       val noise = new Array[Byte](rnd.nextInt(200))

@@ -194,18 +194,122 @@ class TextAndJsonSpec extends AnyFunSuite {
     // all four (endianness × tag-type) combos present: the first entry's
     // type field sits at bytes 12-13 (magic 4 + ifd offset 4 + count 2 +
     // tag 2) — a fixture that only regenerated the (LE,SHORT)/(BE,LONG)
-    // pair would leave two of the parser's TIFF paths unexercised
+    // pair would leave two of the parser's TIFF paths unexercised.
+    // Classic single-IFD rows only: BigTIFF has a different layout and
+    // the thumbnail-first rows lead with tag 254 (the tag field sits at
+    // bytes 10-11).
     val combos = graft.fixtures.FixtureGen.mediaPayloads(100, seed = 1213L)
-      .filter(_.exp_fmt == "tiff").map { r =>
+      .filter(_.exp_fmt == "tiff").flatMap { r =>
         val p = r.payload
         val le = p(0) == 'I'.toByte
-        val typ =
-          if (le) (p(12) & 0xff) | ((p(13) & 0xff) << 8)
-          else ((p(12) & 0xff) << 8) | (p(13) & 0xff)
-        (le, typ)
+        def u16(i: Int) =
+          if (le) (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+          else ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+        if (u16(2) != 42 || u16(10) == 254) None // BigTIFF / thumb-first
+        else Some((le, u16(12)))
       }.toSet
     assert(combos == Set((true, 3), (true, 4), (false, 3), (false, 4)),
       s"TIFF endianness x type combos incomplete: $combos")
+  }
+
+  test("parseImageHeader: BigTIFF and thumbnail-first IFD chains") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // fixture rows: BigTIFF (both byte orders) and thumbnail-first TIFFs
+    // recover the generator dims — for thumb-first that is the SECOND
+    // (full-resolution) IFD's dims, which the generic valid-row loop in
+    // the real-headers test already pins; here, pin the mechanisms
+    val rows = graft.fixtures.FixtureGen.mediaPayloads(128, seed = 1213L)
+    val bigs = rows.filter(r => r.exp_fmt == "tiff" && r.payload.length > 4 &&
+      (r.payload(2) == 43 || r.payload(3) == 43))
+    assert(bigs.size >= 2 && bigs.exists(_.payload(0) == 'I'.toByte) &&
+      bigs.exists(_.payload(0) == 'M'.toByte), "both BigTIFF byte orders present")
+    bigs.foreach(r => assert(Multimodal.parseImageHeader(r.payload)
+      .contains(("tiff", r.exp_width.get, r.exp_height.get)), s"media ${r.media_id}"))
+    // truncation fuzz over a BigTIFF payload: reject or parse, never throw
+    (0 until bigs.head.payload.length).foreach { k =>
+      Multimodal.parseImageHeader(
+        java.util.Arrays.copyOf(bigs.head.payload, k)): Unit
+    }
+    // hand-built: first IFD reduced (tag 254 bit 0) with a full-res
+    // second IFD 40x30 — the walk must skip the 5x4 thumbnail
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def entryS(tag: Int, v: Int) = le16(tag) ++ le16(3) ++ le32(1) ++ le16(v) ++ Seq(0, 0)
+    def entryL(tag: Int, v: Int) = le16(tag) ++ le16(4) ++ le32(1) ++ le32(v)
+    def ifd(sub: Int, w: Int, h: Int, next: Int) =
+      le16(3) ++ entryL(254, sub) ++ entryS(256, w) ++ entryS(257, h) ++ le32(next)
+    val thumbFirst = bytes((Seq('I'.toInt, 'I'.toInt) ++ le16(42) ++ le32(8) ++
+      ifd(1, 5, 4, 8 + 42) ++ ifd(0, 40, 30, 0)): _*)
+    assert(Multimodal.parseImageHeader(thumbFirst).contains(("tiff", 40, 30)))
+    // first IFD reduced, chain ENDS: fall back to the thumbnail's dims —
+    // a reduced image is still an image
+    val thumbOnly = bytes((Seq('I'.toInt, 'I'.toInt) ++ le16(42) ++ le32(8) ++
+      ifd(1, 5, 4, 0)): _*)
+    assert(Multimodal.parseImageHeader(thumbOnly).contains(("tiff", 5, 4)))
+    // count != 1 on a dimension tag: the value field holds a file
+    // OFFSET, not the dimension — must reject, not misread (the
+    // offset-as-width bug class)
+    val countTwo = bytes((Seq('I'.toInt, 'I'.toInt) ++ le16(42) ++ le32(8) ++
+      le16(2) ++ (le16(256) ++ le16(3) ++ le32(2) ++ le16(40) ++ Seq(0, 0)) ++
+      entryS(257, 30) ++ le32(0)): _*)
+    assert(Multimodal.parseImageHeader(countTwo).isEmpty)
+    // a BAD second IFD (offset past the buffer) ends the walk; the
+    // reduced first IFD's dims still come back as the fallback
+    val badNext = bytes((Seq('I'.toInt, 'I'.toInt) ++ le16(42) ++ le32(8) ++
+      ifd(1, 5, 4, 100000)): _*)
+    assert(Multimodal.parseImageHeader(badNext).contains(("tiff", 5, 4)))
+    // a self-pointing chain terminates (hop cap), yielding the fallback
+    val selfLoop = bytes((Seq('I'.toInt, 'I'.toInt) ++ le16(42) ++ le32(8) ++
+      ifd(1, 5, 4, 8)): _*)
+    assert(Multimodal.parseImageHeader(selfLoop).contains(("tiff", 5, 4)))
+  }
+
+  test("decodePixels/boxResample: BMP and PNG pixels recover generator ground truth") {
+    val rows = graft.fixtures.FixtureGen.mediaPayloads(500, seed = 1213L)
+    val px = rows.filter(_.px_ok == 1)
+    assert(px.size >= 50, s"pixel-true rows: ${px.size}")
+    // all four pixel row classes present: BMP up/down, PNG RGB/RGBA
+    assert(px.count(_.exp_fmt == "bmp") >= 10 && px.count(_.exp_fmt == "png") >= 10)
+    px.foreach { r =>
+      val img = Multimodal.decodePixels(r.payload)
+      assert(img.isDefined, s"media ${r.media_id} (${r.exp_fmt}) must pixel-decode")
+      val i = img.get
+      assert(i.width == r.exp_width.get && i.height == r.exp_height.get)
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      var k = 0
+      while (k < i.rgb.length) {
+        val rr = i.rgb(k) & 0xff; val gg = i.rgb(k + 1) & 0xff
+        val bb = i.rgb(k + 2) & 0xff
+        sr += rr; sg += gg; sb += bb
+        sl += 299L * rr + 587L * gg + 114L * bb
+        k += 3
+      }
+      assert(sr == r.px_sum_r.get && sg == r.px_sum_g.get &&
+        sb == r.px_sum_b.get && sl == r.px_sum_luma.get,
+        s"media ${r.media_id} (${r.exp_fmt}): channel sums diverge")
+      val rz = Multimodal.boxResample(i, 8, 8)
+      var cs = 0L
+      rz.rgb.foreach(b => cs += (b & 0xff))
+      assert(cs == r.rz_checksum.get,
+        s"media ${r.media_id} (${r.exp_fmt}): resample checksum diverges")
+    }
+    // header-valid rows WITHOUT a real pixel array (filler payloads, the
+    // corrupt-IDAT PNG) reject at the pixel tier instead of throwing
+    val rejects = rows.filter(r => r.valid == 1 && r.px_ok == 0 &&
+      (r.exp_fmt == "png" || r.exp_fmt == "bmp"))
+    assert(rejects.nonEmpty)
+    rejects.foreach(r => assert(Multimodal.decodePixels(r.payload).isEmpty,
+      s"media ${r.media_id} (${r.exp_fmt}): no pixel array, must reject"))
+    // truncation fuzz over one pixel-true payload of each format: the
+    // chunk walk / pixel-array bounds must reject, never throw
+    Seq(px.find(_.exp_fmt == "png").get, px.find(_.exp_fmt == "bmp").get)
+      .foreach { r =>
+        (0 until r.payload.length).foreach { k =>
+          Multimodal.decodePixels(java.util.Arrays.copyOf(r.payload, k)): Unit
+        }
+      }
+    // null payload rejects instead of NPE-ing
+    assert(Multimodal.decodePixels(null).isEmpty)
   }
 
   test("decodeImageMeta: null payloads become ok=0 rows; null ids are dropped") {
