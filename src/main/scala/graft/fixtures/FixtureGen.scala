@@ -416,8 +416,22 @@ object FixtureGen {
     def rgbPixels(w: Int, h: Int): Array[Byte] = {
       val a = new Array[Byte](w * h * 3); rnd.nextBytes(a); a
     }
-    def bmpPixelFile(w: Int, h: Int, topDown: Boolean, pix: Array[Byte]): Array[Byte] = {
-      val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    // grayscale source as an r=g=b RGB array: one ground-truth shape for
+    // both color and gray rows; the PNG encoder reads the R channel
+    def grayRgbPixels(w: Int, h: Int): Array[Byte] = {
+      val g = new Array[Byte](w * h); rnd.nextBytes(g)
+      val a = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < g.length) {
+        a(i * 3) = g(i); a(i * 3 + 1) = g(i); a(i * 3 + 2) = g(i)
+        i += 1
+      }
+      a
+    }
+    def bmpPixelFile(w: Int, h: Int, topDown: Boolean, pix: Array[Byte],
+        bits: Int = 24): Array[Byte] = {
+      val px = bits / 8 // 24-bit BGR or 32-bit BGRX
+      val stride = ((w * px + 3) / 4) * 4 // rows pad to 4-byte boundaries
       val data = new Array[Byte](stride * h)
       var j = 0
       while (j < h) {
@@ -426,16 +440,17 @@ object FixtureGen {
         var x = 0
         while (x < w) {
           val s = (imgRow * w + x) * 3
-          data(j * stride + x * 3) = pix(s + 2) // BMP stores BGR
-          data(j * stride + x * 3 + 1) = pix(s + 1)
-          data(j * stride + x * 3 + 2) = pix(s)
+          data(j * stride + x * px) = pix(s + 2) // BMP stores BGR(X)
+          data(j * stride + x * px + 1) = pix(s + 1)
+          data(j * stride + x * px + 2) = pix(s)
+          // 32-bit pad byte X stays 0
           x += 1
         }
         j += 1
       }
       ascii("BM") ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
         le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
-        le16(1) ++ le16(24) ++ le32(0) ++ le32(data.length) ++
+        le16(1) ++ le16(bits) ++ le32(0) ++ le32(data.length) ++
         le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ data
     }
     def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -445,15 +460,22 @@ object FixtureGen {
       be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
     }
     def pngPixelFile(w: Int, h: Int, colorType: Int, pix: Array[Byte]): Array[Byte] = {
-      val bpp = if (colorType == 2) 3 else 4
-      // raw scanlines (random alpha when RGBA — the decoder must drop it)
+      // 0 = grayscale, 2 = truecolor, 4 = gray+alpha, 6 = RGBA
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+      val gray = colorType == 0 || colorType == 4
+      val alpha = colorType == 4 || colorType == 6
+      // raw scanlines (random alpha where present — the decoder must
+      // drop it; gray sources are r=g=b, the encoder takes the R channel)
       val lines = Array.ofDim[Byte](h, w * bpp)
       for (y <- 0 until h; x <- 0 until w) {
         val s = (y * w + x) * 3
-        lines(y)(x * bpp) = pix(s)
-        lines(y)(x * bpp + 1) = pix(s + 1)
-        lines(y)(x * bpp + 2) = pix(s + 2)
-        if (bpp == 4) lines(y)(x * bpp + 3) = (rnd.nextInt(256) & 0xff).toByte
+        if (gray) lines(y)(x * bpp) = pix(s)
+        else {
+          lines(y)(x * bpp) = pix(s)
+          lines(y)(x * bpp + 1) = pix(s + 1)
+          lines(y)(x * bpp + 2) = pix(s + 2)
+        }
+        if (alpha) lines(y)(x * bpp + bpp - 1) = (rnd.nextInt(256) & 0xff).toByte
       }
       // forward-filter, type cycling 0..4 per row so every unfilter path
       // in the decoder is exercised
@@ -599,25 +621,33 @@ object FixtureGen {
         case 24 => // garbage / empty
           if (i % 64 == 24) MediaFixtureRow(id, "unknown", None, None, 0, Array.empty)
           else MediaFixtureRow(id, "unknown", None, None, 0, filler(24 + rnd.nextInt(64)))
-        case 25 => // pixel-true BMP, bottom-up (the default row order)
+        case 25 => // pixel-true BMP, bottom-up; 24-bit / 32-bit alternating
           locally {
             val pix = rgbPixels(pw, ph)
-            pixelRow(id, "bmp", pw, ph, bmpPixelFile(pw, ph, topDown = false, pix), pix)
+            val bits = if (i % 64 < 32) 24 else 32
+            pixelRow(id, "bmp", pw, ph,
+              bmpPixelFile(pw, ph, topDown = false, pix, bits), pix)
           }
-        case 26 => // pixel-true BMP, top-down (negative biHeight)
+        case 26 => // pixel-true BMP, top-down (negative biHeight); both depths
           locally {
             val pix = rgbPixels(pw, ph)
-            pixelRow(id, "bmp", pw, ph, bmpPixelFile(pw, ph, topDown = true, pix), pix)
+            val bits = if (i % 64 < 32) 24 else 32
+            pixelRow(id, "bmp", pw, ph,
+              bmpPixelFile(pw, ph, topDown = true, pix, bits), pix)
           }
-        case 27 => // pixel-true PNG, 8-bit truecolor (type 2), filters 0-4
+        case 27 => // pixel-true PNG: truecolor (2) / grayscale (0) alternating
           locally {
-            val pix = rgbPixels(pw, ph)
-            pixelRow(id, "png", pw, ph, pngPixelFile(pw, ph, colorType = 2, pix), pix)
+            val gray = i % 64 >= 32
+            val pix = if (gray) grayRgbPixels(pw, ph) else rgbPixels(pw, ph)
+            pixelRow(id, "png", pw, ph,
+              pngPixelFile(pw, ph, colorType = if (gray) 0 else 2, pix), pix)
           }
-        case 28 => // pixel-true PNG with alpha (type 6) — alpha dropped
+        case 28 => // pixel-true PNG with alpha: RGBA (6) / gray+alpha (4)
           locally {
-            val pix = rgbPixels(pw, ph)
-            pixelRow(id, "png", pw, ph, pngPixelFile(pw, ph, colorType = 6, pix), pix)
+            val gray = i % 64 >= 32
+            val pix = if (gray) grayRgbPixels(pw, ph) else rgbPixels(pw, ph)
+            pixelRow(id, "png", pw, ph,
+              pngPixelFile(pw, ph, colorType = if (gray) 4 else 6, pix), pix)
           }
         case 29 => // BigTIFF, both byte orders (keyed like case 14)
           MediaFixtureRow(id, "tiff", Some(w), Some(h), 1,

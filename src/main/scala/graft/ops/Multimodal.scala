@@ -361,16 +361,16 @@ object Multimodal {
   private val MaxDecodePixels: Long = 1L << 26
 
   /** REAL pixel decode for the two formats pure JDK can handle with
-    * zero codec dependencies: uncompressed 24-bit BMP (row padding,
-    * bottom-up and top-down, BGR→RGB) and PNG (zlib IDAT via
+    * zero codec dependencies: uncompressed BMP (24-bit BGR and 32-bit
+    * BGRX, row padding, bottom-up and top-down) and PNG (zlib IDAT via
     * `java.util.zip.Inflater`, all five scanline filters unfiltered,
-    * 8-bit truecolor with or without alpha — alpha dropped). Anything
-    * else — palette/interlaced PNG, RLE BMP, every compressed codec —
-    * returns None and falls back to the caller's stub tier; swapping a
-    * JNI codec in for those changes no plumbing. Truncated pixel
-    * arrays, corrupt zlib streams, and over-[[MaxDecodePixels]] dims
-    * all reject rather than throw: the 100 TB contract is byte garbage
-    * never kills the scan.
+    * 8-bit grayscale / truecolor / gray+alpha / RGBA — gray replicated
+    * to RGB, alpha dropped). Anything else — palette/interlaced PNG,
+    * RLE/bitfields BMP, every compressed codec — returns None and falls
+    * back to the caller's stub tier; swapping a JNI codec in for those
+    * changes no plumbing. Truncated pixel arrays, corrupt zlib streams,
+    * and over-[[MaxDecodePixels]] dims all reject rather than throw:
+    * the 100 TB contract is byte garbage never kills the scan.
     */
   def decodePixels(bIn: Array[Byte]): Option[PixelImage] = {
     val b: Array[Byte] = if (bIn == null) Array.emptyByteArray else bIn
@@ -390,9 +390,12 @@ object Multimodal {
     val dataOff = le32(10).toLong & 0xffffffffL
     val rawH = le32(22) // sign picks bottom-up (+) vs top-down (-)
     val planes = le16(26); val bpp = le16(28); val comp = le32(30)
-    if (planes != 1 || bpp != 24 || comp != 0) return None
+    // 24-bit BGR and 32-bit BGRX (both BI_RGB = uncompressed); RLE,
+    // bitfields, and palette depths stay with the stub tier
+    if (planes != 1 || (bpp != 24 && bpp != 32) || comp != 0) return None
     if (w.toLong * h > MaxDecodePixels) return None
-    val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    val px = bpp / 8
+    val stride = ((w * px + 3) / 4) * 4 // rows pad to 4-byte boundaries
     if (dataOff < 54L || dataOff + stride.toLong * h > b.length) return None
     val out = new Array[Byte](w * h * 3)
     var y = 0
@@ -402,9 +405,9 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val o = (y * w + x) * 3
-        out(o) = b(src + x * 3 + 2) // BMP stores BGR
-        out(o + 1) = b(src + x * 3 + 1)
-        out(o + 2) = b(src + x * 3)
+        out(o) = b(src + x * px + 2) // BMP stores BGR(X)
+        out(o + 1) = b(src + x * px + 1)
+        out(o + 2) = b(src + x * px)
         x += 1
       }
       y += 1
@@ -415,12 +418,16 @@ object Multimodal {
   private def decodePngPixels(b: Array[Byte], w: Int, h: Int): Option[PixelImage] = {
     def u8(i: Int): Int = b(i) & 0xff
     if (b.length < 33) return None
-    // IHDR fields past the dims parseImageHeader already verified
+    // IHDR fields past the dims parseImageHeader already verified.
+    // 8-bit grayscale (0), truecolor (2), gray+alpha (4), RGBA (6);
+    // palette (3), sub-8-bit depths, and Adam7 interlace stay with the
+    // stub tier
     val depth = u8(24); val color = u8(25)
-    if (depth != 8 || (color != 2 && color != 6) ||
-      u8(26) != 0 || u8(27) != 0 || u8(28) != 0) return None // no palette/Adam7
+    if (depth != 8 || !(color == 0 || color == 2 || color == 4 || color == 6) ||
+      u8(26) != 0 || u8(27) != 0 || u8(28) != 0) return None
     if (w.toLong * h > MaxDecodePixels) return None
-    val bpp = if (color == 2) 3 else 4
+    val bpp = color match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    val gray = color == 0 || color == 4
     // chunk walk: concatenate IDAT payloads; a file truncated before
     // IEND rejects (the pixel stream is not trustworthy without it)
     val idat = new java.io.ByteArrayOutputStream()
@@ -488,9 +495,14 @@ object Multimodal {
       var px = 0
       while (px < w) {
         val o = (y * w + px) * 3
-        out(o) = line(px * bpp)
-        out(o + 1) = line(px * bpp + 1)
-        out(o + 2) = line(px * bpp + 2) // alpha (bpp 4) dropped
+        if (gray) { // replicate the gray sample; alpha (if any) dropped
+          out(o) = line(px * bpp); out(o + 1) = line(px * bpp)
+          out(o + 2) = line(px * bpp)
+        } else {
+          out(o) = line(px * bpp)
+          out(o + 1) = line(px * bpp + 1)
+          out(o + 2) = line(px * bpp + 2) // alpha (RGBA) dropped
+        }
         px += 1
       }
       System.arraycopy(line, 0, prior, 0, line.length)

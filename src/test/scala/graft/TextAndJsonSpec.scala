@@ -268,8 +268,13 @@ class TextAndJsonSpec extends AnyFunSuite {
     val rows = graft.fixtures.FixtureGen.mediaPayloads(500, seed = 1213L)
     val px = rows.filter(_.px_ok == 1)
     assert(px.size >= 50, s"pixel-true rows: ${px.size}")
-    // all four pixel row classes present: BMP up/down, PNG RGB/RGBA
+    // all pixel row classes present: BMP up/down at both depths, PNG in
+    // all four 8-bit color types (gray / truecolor / gray+alpha / RGBA)
     assert(px.count(_.exp_fmt == "bmp") >= 10 && px.count(_.exp_fmt == "png") >= 10)
+    val bmpDepths = px.filter(_.exp_fmt == "bmp").map(r => r.payload(28) & 0xff).toSet
+    assert(bmpDepths == Set(24, 32), s"BMP bit depths: $bmpDepths")
+    val pngTypes = px.filter(_.exp_fmt == "png").map(r => r.payload(25) & 0xff).toSet
+    assert(pngTypes == Set(0, 2, 4, 6), s"PNG color types: $pngTypes")
     px.foreach { r =>
       val img = Multimodal.decodePixels(r.payload)
       assert(img.isDefined, s"media ${r.media_id} (${r.exp_fmt}) must pixel-decode")
