@@ -512,14 +512,18 @@ class PropertySpec extends AnyFunSuite {
       val rnd = new Random(seed)
       val noise = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(noise)
-      // pure noise
+      // pure noise — the pixel tier shares the never-throw contract:
+      // whatever garbage the header parse lets through must still fail
+      // CLEANLY in the chunk walk / zlib / pixel-array bounds
       graft.ops.Multimodal.parseImageHeader(noise): Unit
+      graft.ops.Multimodal.decodePixels(noise): Unit
       // every magic + noise tail, at every truncation point
       magics.foreach { m =>
         val b = m ++ noise
         (0 to b.length).foreach { k =>
-          graft.ops.Multimodal.parseImageHeader(
-            java.util.Arrays.copyOf(b, k)): Unit
+          val prefix = java.util.Arrays.copyOf(b, k)
+          graft.ops.Multimodal.parseImageHeader(prefix): Unit
+          graft.ops.Multimodal.decodePixels(prefix): Unit
         }
       }
     }
