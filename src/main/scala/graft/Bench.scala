@@ -313,9 +313,12 @@ object Bench {
       }
       val measured = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
       (1 to trials).foreach(_ => measured += oneTrial())
+      // retry until `trials` CLEAN trials exist (or the retry budget is
+      // spent) — see BenchUtil.needMoreCleanTrials for why the predicate
+      // counts clean trials rather than testing "any dirty?"
       var extras = 0
-      while (extras < stealRetries &&
-          measured.exists(m => graft.tools.BenchUtil.stealDirty(m._1, m._4, stealFrac))) {
+      while (extras < stealRetries && graft.tools.BenchUtil.needMoreCleanTrials(
+          measured.map(_._1).toSeq, measured.map(_._4).toSeq, trials, stealFrac)) {
         measured += oneTrial()
         extras += 1
       }

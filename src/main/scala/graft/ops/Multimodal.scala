@@ -455,7 +455,11 @@ object Multimodal {
         var stalled = false
         while (off < raw.length && !inf.finished() && !stalled) {
           val n = inf.inflate(raw, off, raw.length - off)
-          if (n == 0 && inf.needsInput()) stalled = true // truncated stream
+          // inflate() == 0 with the stream unfinished means it wants more
+          // input (truncated) OR a preset dictionary (FDICT zlib header) —
+          // both unrecoverable here, and looping on the latter would spin
+          // forever on a single hostile row
+          if (n == 0 && !inf.finished()) stalled = true
           off += n
         }
         off

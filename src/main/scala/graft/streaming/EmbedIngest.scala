@@ -286,10 +286,12 @@ object EmbedIngest {
     val raw = math.round(scaled)
     val stride = math.max(1L, math.min(designStride, math.max(floor, raw)))
     // saturated = the unclamped derivation wanted LESS than the floor the
-    // clamp enforces (bill > 10x target); a floor of 0 (designStride < 10)
+    // clamp enforces (bill > 10x target); compare the UNROUNDED value —
+    // rounding `scaled` up to the floor (bills in the (10x, ~11.1x] band)
+    // must still report saturation. A floor of 0 (designStride < 10)
     // never saturates — the max(1, _) there is arithmetic, not a clamp
     StrideDerivation(bill, designStride.toDouble, stride,
-      saturated = floor > 0 && raw < floor)
+      saturated = floor > 0 && scaled < floor)
   }
 
   /** IVF twin of `DedupStream.compactIfNeeded`: when more than

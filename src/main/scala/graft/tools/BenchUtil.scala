@@ -117,6 +117,16 @@ private[graft] object BenchUtil {
   def stealDirty(wallSec: Double, stealMs: Long, frac: Double = 0.2): Boolean =
     stealMs > 0 && stealMs.toDouble > wallSec * 1000.0 * frac
 
+  /** True while fewer than `want` trials are steal-clean. The bench
+    * retry loop samples extra trials until this returns false or the
+    * retry budget is spent — dirty trials never leave the measured
+    * list, so testing "any dirty?" instead would burn every retry even
+    * after clean replacements already restored the count. */
+  def needMoreCleanTrials(walls: Seq[Double], stealMs: Seq[Long],
+      want: Int, frac: Double = 0.2): Boolean =
+    walls.indices.count(i => !stealDirty(
+      walls(i), stealMs.applyOrElse(i, (_: Int) => -1L), frac)) < want
+
   /** Splits trial indices into (kept, discarded) under [[stealDirty]].
     * When EVERY trial is dirty, all are kept (an all-contaminated
     * session has no clean median to offer; the full steal columns in

@@ -65,6 +65,26 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(keptAll == Seq(0, 1) && droppedAll.isEmpty)
   }
 
+  test("needMoreCleanTrials: retry stops once enough clean trials exist") {
+    // 3 trials wanted, trial 1 dirty: retry
+    assert(BenchUtil.needMoreCleanTrials(
+      Seq(5.0, 40.0, 5.2), Seq(100L, 36200L, 0L), want = 3))
+    // one clean replacement lands: STOP — the dirty trial never leaves
+    // the list, so an "any dirty?" predicate would burn the remaining
+    // retry budget (a full extra query execution) for nothing
+    assert(!BenchUtil.needMoreCleanTrials(
+      Seq(5.0, 40.0, 5.2, 5.1), Seq(100L, 36200L, 0L, 50L), want = 3))
+    // all clean from the start: no retries at all
+    assert(!BenchUtil.needMoreCleanTrials(
+      Seq(5.0, 5.2, 5.1), Seq(100L, 0L, 50L), want = 3))
+    // dirty replacement doesn't help: still short, keep retrying
+    assert(BenchUtil.needMoreCleanTrials(
+      Seq(5.0, 40.0, 5.2, 41.0), Seq(100L, 36200L, 0L, 37000L), want = 3))
+    // missing steal samples count as clean, matching splitBySteal
+    assert(!BenchUtil.needMoreCleanTrials(
+      Seq(5.0, 5.2, 5.1), Seq(-1L), want = 3))
+  }
+
   test("rollHistory: appends the prior run's medians, keeps the newest 3") {
     val rolled = BenchUtil.rollHistory(
       priorHistory = Map("q_a" -> Seq(5.0, 6.0, 7.0), "q_gone" -> Seq(1.0)),

@@ -496,6 +496,24 @@ class EmbedIngestSpec extends AnyFunSuite {
     val d2 = EmbedIngest.deriveRebuildStrideInfo(spark, idx2, 50L, "bX")
     assert(!d2.saturated && d2.stride > 5L && d2.stride < 50L,
       s"unsaturated derivation expected: $d2")
+    // the rounding band: a bill in (10x, ~11.1x] target derives an
+    // UNROUNDED stride below the floor that math.round lifts back onto
+    // it (480 copies -> bill ~510-550, scaled 2500/bill ~4.5-4.9 ->
+    // round = 5 == floor). The marker must compare the unrounded value:
+    // these rebuilds land over target just like the 12x burst above,
+    // and a deployment loop grepping "saturated":true must see them.
+    val (idx3, _) = freshDirs()
+    Similarity.writeIvfIndex(emb.filter($"vec_id" < 200), idx3,
+      centroidStride = 50L)
+    Similarity.appendIvfIndex(spark,
+      spark.range(1000L, 1480L)
+        .select($"id".as("vec_id"), typedLit(v0).as("embedding")),
+      idx3, "b0")
+    val d3 = EmbedIngest.deriveRebuildStrideInfo(spark, idx3, 50L, "bX")
+    assert(d3.measuredBill > 500.0 && d3.measuredBill < 555.0,
+      s"fixture must sit in the rounding band: $d3")
+    assert(d3.saturated && d3.stride == 5L,
+      s"band bill rounds onto the floor but still exceeds 10x target: $d3")
   }
 
   test("incrementalIngest: autoRebuildStride derives the rebuild allocation") {

@@ -317,6 +317,32 @@ class TextAndJsonSpec extends AnyFunSuite {
     assert(Multimodal.decodePixels(null).isEmpty)
   }
 
+  test("decodePixels: a PNG whose zlib stream demands a preset dictionary rejects, not hangs") {
+    // 0x78BB is a VALID zlib header ((0x78*256+0xBB) % 31 == 0) with the
+    // FDICT bit (0x20) set: Inflater.inflate() returns 0 with
+    // needsDictionary()==true, needsInput()==false, finished()==false.
+    // A stall test of only `n == 0 && needsInput()` spins forever on
+    // this one row — the decode must treat any 0-byte non-finished
+    // inflate as unrecoverable and reject.
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write((v & 0xff).toInt) }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      u32(data.length.toLong); out.write(typ.getBytes("US-ASCII"))
+      out.write(data); u32(0L) // CRC unchecked by the chunk walk
+    }
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(Array(0, 0, 0, 2, 0, 0, 0, 2).map(_.toByte)) // 2x2
+    ihdr.write(Array(8, 0, 0, 0, 0).map(_.toByte)) // 8-bit grayscale
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", Array(0x78, 0xBB, 0x00, 0x00).map(_.toByte))
+    chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePixels(out.toByteArray).isEmpty,
+      "FDICT zlib stream must reject at the pixel tier")
+  }
+
   test("decodeImageMeta: null payloads become ok=0 rows; null ids are dropped") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
