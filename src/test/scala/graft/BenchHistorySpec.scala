@@ -85,6 +85,32 @@ class BenchHistorySpec extends AnyFunSuite {
       Seq(5.0, 5.2, 5.1), Seq(-1L), want = 3))
   }
 
+  test("needMoreCleanTrials agrees with splitBySteal on every random session") {
+    // the retry loop (needMoreCleanTrials) and the median-former
+    // (splitBySteal) must judge cleanliness identically, or the bench
+    // retries for trials the median then refuses to use. Pin the
+    // invariant over seeded random sessions including short steal
+    // vectors (missing /proc samples) and all-dirty windows.
+    val rng = new scala.util.Random(181)
+    (1 to 500).foreach { _ =>
+      val n = 1 + rng.nextInt(8)
+      val walls = Seq.fill(n)(0.5 + rng.nextDouble() * 10.0)
+      val steals = Seq.fill(rng.nextInt(n + 1))(
+        if (rng.nextBoolean()) -1L else rng.nextInt(5000).toLong)
+      val clean = walls.indices.count(i => !BenchUtil.stealDirty(
+        walls(i), steals.applyOrElse(i, (_: Int) => -1L)))
+      val (kept, dropped) = BenchUtil.splitBySteal(walls, steals)
+      // kept is exactly the clean set, unless all-dirty (keep-everything)
+      assert(if (clean == 0) kept.size == n && dropped.isEmpty
+             else kept.size == clean && dropped.size == n - clean,
+        s"walls=$walls steals=$steals clean=$clean kept=$kept dropped=$dropped")
+      (1 to n).foreach { want =>
+        assert(BenchUtil.needMoreCleanTrials(walls, steals, want) == (clean < want),
+          s"want=$want walls=$walls steals=$steals clean=$clean")
+      }
+    }
+  }
+
   test("rollHistory: appends the prior run's medians, keeps the newest 3") {
     val rolled = BenchUtil.rollHistory(
       priorHistory = Map("q_a" -> Seq(5.0, 6.0, 7.0), "q_gone" -> Seq(1.0)),
