@@ -37,6 +37,13 @@ object SparkEntry {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // let AQE re-plan cache-populating fragments (see GraftSession.common
+    // — without it every persist() materializes at the static shuffle
+    // partition count and its consumers inherit that task count)
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{NormalizeText, VectorDot}
+import graft.functions.{NormalizeText, SortedIntersectCount, VectorDot}
 
 /** Engine extensions: native Catalyst functions registered via
   * `SparkSessionExtensions` (`.withExtensions(new GraftExtensions)`), or
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
     ext.injectFunction(GraftExtensions.normalizeTextDescriptor)
+    ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
   }
 }
 
@@ -49,6 +50,15 @@ object GraftExtensions {
       NormalizeText(children(0), form)
     })
 
+  private val sortedIntersectCountDescriptor = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"sorted_intersect_count requires exactly 2 arguments, got ${children.length}")
+      SortedIntersectCount(children(0), children(1))
+    })
+
   /** Idempotently register on an existing session. */
   def ensure(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -60,12 +70,22 @@ object GraftExtensions {
       registry.createOrReplaceTempFunction(
         "normalize_text", normalizeTextDescriptor._3, "built-in")
     }
+    if (!registry.functionExists(FunctionIdentifier("sorted_intersect_count"))) {
+      registry.createOrReplaceTempFunction(
+        "sorted_intersect_count", sortedIntersectCountDescriptor._3, "built-in")
+    }
   }
 
   /** `vector_dot` as a Column op (registers on the session if needed). */
   def vectorDot(spark: SparkSession, a: Column, b: Column): Column = {
     ensure(spark)
     call_function("vector_dot", a, b)
+  }
+
+  /** `sorted_intersect_count` as a Column op (registers if needed). */
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    ensure(spark)
+    call_function("sorted_intersect_count", a, b)
   }
 
   /** `normalize_text` as a Column op (registers on the session if needed). */

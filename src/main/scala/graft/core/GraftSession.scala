@@ -20,6 +20,16 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // r19 optimization: let AQE re-plan (and coalesce) the plan fragment
+    // that POPULATES a cache. Off, every persist() in the dedup/ANN
+    // family materializes at the static shuffle-partition count and all
+    // its consumers inherit that task count — measured (QueryJobProfile)
+    // as wall-to-wall 32-near-empty-task stages at small batch sizes; at
+    // cluster scale it equally lets cached fragments right-size to data
+    // volume instead of the static conf. Results are partitioning-
+    // independent by the repo-wide bit-determinism contract.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
 
   /** Production factory for a real cluster: master/deploy come from
     * spark-submit; shuffle partitions sized 3× total cores (AQE coalesces

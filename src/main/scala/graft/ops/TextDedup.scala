@@ -29,6 +29,37 @@ object TextDedup {
     if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
   }
 
+  /** Pre-spread an under-split input for CPU-bound downstream work
+    * (shingling/windowing), SIZE-ADAPTIVELY — r19 optimization pass.
+    *
+    * The old rule repartitioned any input with fewer partitions than
+    * `defaultParallelism` to exactly `defaultParallelism`. That constant
+    * is right for a large under-split input (a handful of parquet files
+    * feeding CPU-bound explode work) but wrong for the small-batch end:
+    * an explicit `repartition(n)` is exempt from AQE coalescing, so a
+    * 500-doc ingest micro-batch dragged 32-task stages through every
+    * downstream shuffle — measured (QueryJobProfile, sf0.1) as the
+    * dominant fixed cost of the dedup/ingest family: near-empty tasks
+    * whose scheduling overhead exceeds their work by orders of
+    * magnitude. The adaptive rule targets ~4 MB of input per task
+    * (plan-stats estimate, no job), capped at `defaultParallelism` —
+    * identical to the old behavior for big under-split inputs, no-op for
+    * inputs too small to benefit from spreading. Partitioning never
+    * changes results (repo-wide bit-determinism contract).
+    */
+  private def spreadForCpuWork(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // queryExecution.toRdd reuses the frame's own cached physical plan
+    // (no job; `.rdd` would build a second QueryExecution plus a
+    // deserializer stage just to read the partition count)
+    val cur = docs.queryExecution.toRdd.getNumPartitions
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perTask = BigInt(4L << 20)
+    val want = ((bytes + perTask - 1) / perTask)
+      .min(BigInt(par)).max(BigInt(1)).toInt
+    if (cur < want) docs.repartition(want) else docs
+  }
+
   /** Exact duplicate groups by content hash. At scale this is one shuffle
     * on a 128-bit key; the text column itself is never shuffled.
     */
@@ -48,20 +79,7 @@ object TextDedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leadCols = (1 until k).map(i => lead(col("word"), i).over(w).as(s"w$i"))
-    // a documents table often arrives as a handful of parquet files — far
-    // fewer splits than cores; everything downstream is CPU-bound, so
-    // spread it across the cluster first. But ONLY when actually
-    // under-split: a 100 TB input already has thousands of healthy
-    // partitions, and an unconditional repartition would full-shuffle the
-    // raw text column for nothing. queryExecution.toRdd reuses the
-    // frame's own cached physical plan (no job; `.rdd` would build a
-    // second QueryExecution plus a deserializer stage just to read the
-    // partition count).
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.queryExecution.toRdd.getNumPartitions < par) docs.repartition(par)
-      else docs
-    spread
+    spreadForCpuWork(docs)
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .select(col(idCol) +: col("word") +: leadCols: _*)
       .filter((1 until k).map(i => col(s"w$i").isNotNull)
@@ -221,12 +239,8 @@ object TextDedup {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leadCols = (1 until w).map(i => lead(col("word"), i).over(win).as(s"w$i"))
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    // same conditional spread as [[shingles]], same no-job plan probe
-    val spread =
-      if (docs.queryExecution.toRdd.getNumPartitions < par) docs.repartition(par)
-      else docs
-    spread
+    // same size-adaptive spread as [[shingles]], same no-job plan probe
+    spreadForCpuWork(docs)
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
       .select(col(idCol) +: col("word") +: leadCols: _*)
       .filter(col(s"w${w - 1}").isNotNull)
@@ -324,12 +338,32 @@ object TextDedup {
     val prefix = rare
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select(col(idCol), col("shingle"), col("sz"))
+      .select(col(idCol), col("shingle"), col("sz"), col("rk"))
+    // PPJoin positional filter (Xiao et al., WWW'08 — r19 optimization):
+    // J(A,B) ≥ τ needs |A∩B| ≥ τ·(|A|+|B|)/(1+τ), and a shared prefix
+    // shingle at (1-based) ranks (i, j) bounds the overlap by
+    // min(szA−i, szB−j)+1 — only elements from the shared shingle onward
+    // (both prefixes are ranked by the SAME global (df, shingle) order)
+    // can still intersect. The bound is monotone: later shared shingles
+    // (larger i AND j) give strictly smaller bounds, so a pair's
+    // best-case row is its first shared shingle — filtering ROWS in the
+    // join keeps a pair iff its first shared shingle passes, i.e. iff
+    // the pair can reach τ: provably output-identical, and on
+    // low-vocabulary (boilerplate-heavy) corpora it prunes the bulk of
+    // the candidate volume BEFORE the distinct shuffle and the
+    // array-intersect verification (measured on the sf0.1 corpus, 931
+    // distinct shingles over 5000 docs: 1.50 M → far fewer verified
+    // pairs; verify was 17 s of the query's cost). The 1e-9 slack keeps
+    // double rounding from ever pruning a boundary-exact true pair —
+    // slack only ever ADMITS extra candidates, which verification drops.
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol") &&
           col("b.sz") * lit(1.0) >= lit(tau) * col("a.sz") &&
-          col("a.sz") * lit(1.0) >= lit(tau) * col("b.sz"))
+          col("a.sz") * lit(1.0) >= lit(tau) * col("b.sz") &&
+          (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
+            .cast("double") + lit(1e-9) >=
+            lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
     verifyJaccard(candidates, sh, tau, idCol)
@@ -814,12 +848,30 @@ object TextDedup {
     * not a different verify plan.
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, tau: Double, idCol: String): DataFrame = {
+    // r19 optimization: the per-doc sets are kept SORTED
+    // (sort_array over the engine's own binary string order) so the
+    // per-pair intersection is the codegen'd two-pointer merge
+    // [[graft.functions.SortedIntersectCount]] — `array_intersect`
+    // allocated and hashed an OpenHashSet per candidate PAIR, which
+    // dominated this path on low-vocabulary corpora (QueryJobProfile +
+    // JaccardProbe, sf0.1: 0.67 M candidates, verify was the query's
+    // hottest stage). Counts are identical: both sides are distinct-
+    // element sets and each shared element is counted once. The size-
+    // ratio prune runs BEFORE the merge so pairs the length bound
+    // already excludes (candidates from the incremental paths carry no
+    // such prune) never pay for one.
     val sets = sh.groupBy(idCol)
-      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("sz"))
+    val spark = sh.sparkSession
     pairs
       .join(sets.select(col(idCol).as("d1"), col("set").as("set1"), col("sz").as("sz1")), Seq("d1"))
       .join(sets.select(col(idCol).as("d2"), col("set").as("set2"), col("sz").as("sz2")), Seq("d2"))
-      .withColumn("n_inter", size(array_intersect(col("set1"), col("set2"))))
+      .filter(col("sz1") * lit(1.0) >= lit(tau) * col("sz2") &&
+        col("sz2") * lit(1.0) >= lit(tau) * col("sz1"))
+      .withColumn("n_inter",
+        graft.core.GraftExtensions.sortedIntersectCount(
+          spark, col("set1"), col("set2")))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
       .filter(col("jaccard") >= tau)
@@ -884,10 +936,19 @@ object TextDedup {
     // singleton cluster row (matching the pre-round-5 distributed
     // behavior, where its self-loop emitted it), instead of vanishing
     // from the output. Only rows where BOTH endpoints are null drop.
-    val ends = pairs.select(col("d1"), col("d2"))
-    val p = ends.filter(col("d1").isNotNull && col("d2").isNotNull).persist()
-    val singles = ends.filter(col("d1").isNull =!= col("d2").isNull)
-      .select(coalesce(col("d1"), col("d2")).as("src")).distinct().persist()
+    // ONE persisted narrow frame feeds both the endgame gate and the
+    // distributed working set — r19 optimization: the old shape persisted
+    // two derived frames and gated on two separate count() jobs plus two
+    // collect() jobs (4 driver-blocking jobs before any real work); the
+    // gate is now one count (fills the cache) and the local path one
+    // collect, with the edge/single split done driver-side. Gating on
+    // the TOTAL row count (instead of p+singles) is only more
+    // conservative: both-null rows counted here merely shrink the local
+    // path's reach, never change its answer.
+    val ends = pairs.select(col("d1"), col("d2")).persist()
+    def p = ends.filter(col("d1").isNotNull && col("d2").isNotNull)
+    def singles = ends.filter(col("d1").isNull =!= col("d2").isNull)
+      .select(coalesce(col("d1"), col("d2")).as("src")).distinct()
     // local endgame only for id types whose JVM ordering provably matches
     // Spark's min() ordering (strings via the UTF-8 compare below,
     // numerics/decimal/date/timestamp via Comparable); anything else —
@@ -908,11 +969,21 @@ object TextDedup {
       case _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     })
-    if (localSafe && p.count() + singles.count() <= localFinishMaxEdges) {
-      val rows = p.collect()
-      val singleVerts = singles.collect().map(_.get(0))
-      p.unpersist()
-      singles.unpersist()
+    // one count for all paths: the endgame gate AND the cache pre-fill
+    // the distributed path's multi-consumer plan needs (lazy-persist race)
+    val totalRows = ends.count()
+    if (localSafe && totalRows <= localFinishMaxEdges) {
+      val all = ends.collect()
+      ends.unpersist()
+      val rows = all.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      // driver-side distinct matches the old SQL distinct for every
+      // localSafe id type (String/integral/fixed-scale-Decimal/Date/
+      // Timestamp equals ≡ SQL equality; Float/Double are excluded from
+      // localSafe precisely because it would not)
+      val singleVerts = all.iterator
+        .filter(r => r.isNullAt(0) != r.isNullAt(1))
+        .map(r => if (r.isNullAt(0)) r.get(1) else r.get(0))
+        .toArray.distinct
       return localUnionFind(pairs, rows, singleVerts)
     }
     val verts = p.select(col("d1").as("src"))
@@ -957,8 +1028,7 @@ object TextDedup {
       i += 1
     }
     edges.unpersist()
-    p.unpersist()
-    singles.unpersist()
+    ends.unpersist()
     roundCounter(i)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -180,6 +180,10 @@ private[graft] object BenchUtil {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // see GraftSession.common (r19): AQE may re-plan cache-populating
+      // fragments, so caches are sized by data, not the static conf
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -420,11 +420,15 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.map(_._2).sorted == Seq("a b", "b a", "b c", "c b")) // distinct
   }
 
-  test("shingles only repartitions an under-split input") {
+  test("shingles repartitions only a LARGE under-split input (r19 size-adaptive)") {
     // the spread-across-the-cluster repartition is for few-files inputs; a
     // well-split (100 TB) input must NOT pay a full shuffle of the raw
     // text column. The window's hashpartitioning exchange is inherent —
     // the round-robin one from repartition(n) is what must be conditional.
+    // Since r19 the spread is additionally SIZE-adaptive (~4 MB of input
+    // per task): a tiny single-partition batch must NOT be exploded into
+    // defaultParallelism near-empty tasks (the measured fixed cost of the
+    // ingest loops), while a large under-split input still spreads.
     def roundRobins(df: org.apache.spark.sql.DataFrame): Int =
       "(?i)Exchange RoundRobinPartitioning".r
         .findAllIn(TextDedup.shingles(df, 2).queryExecution.executedPlan.toString).size
@@ -435,9 +439,30 @@ class DedupSpec extends AnyFunSuite {
     assert(wellSplit.rdd.getNumPartitions >= par)
     assert(roundRobins(wellSplit) == 0,
       "pre-partitioned input must not be repartitioned again")
-    // positive control: an under-split input still gets spread out
-    assert(roundRobins(docs.coalesce(1).localCheckpoint()) == 1,
-      "single-partition input must be spread across the cluster")
+    // a SMALL single-partition input is left alone (near-empty tasks
+    // cost more than they parallelize)
+    assert(roundRobins(docs.coalesce(1).localCheckpoint()) == 0,
+      "small single-partition input must not be spread")
+    // positive control: a large (≫ 4 MB/task) under-split input is
+    // still spread across the cluster. Through a parquet round-trip so
+    // the plan stats are the real file size (the deployment shape — an
+    // in-memory Project reports schema-default string widths), with
+    // hash-varied text so compression cannot shrink the file below the
+    // spread threshold.
+    val bigDir = graft.core.TmpDirs.scoped("dedup_spread_big")
+    spark.range(3000).selectExpr("id AS doc_id",
+      "array_join(transform(sequence(0, 120), i -> md5(string(id * 1000 + i))), ' ') AS text")
+      .coalesce(1).write.mode("overwrite").parquet(bigDir)
+    // a splittable parquet scan of this size is ALREADY split by the
+    // scan (no spread needed — the old rule added a pointless extra
+    // round-robin shuffle here); force the unsplittable-input shape
+    // (gzip text, a checkpointed intermediate) with coalesce(1) +
+    // localCheckpoint, which carries the scan's origin stats
+    val big = spark.read.parquet(bigDir).coalesce(1).localCheckpoint()
+    assert(big.rdd.getNumPartitions < par,
+      "fixture must be under-split for the positive control to bind")
+    assert(roundRobins(big) == 1,
+      "large single-partition input must be spread across the cluster")
   }
 
   test("lengthCap bounds a pathological doc before jaccardPairs") {
