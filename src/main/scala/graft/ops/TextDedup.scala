@@ -317,7 +317,7 @@ object TextDedup {
   /** [[jaccardPairs]] body over an already-materialized shingle table —
     * lazy; callers own persistence of `sh` and evaluation of the result.
     */
-  private def jaccardPairsOn(
+  private[graft] def jaccardPairsOn(
       sh: DataFrame, tau: Double, maxShingleDf: Long, idCol: String): DataFrame = {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val rare = sh.join(
@@ -645,7 +645,7 @@ object TextDedup {
     * anti-join the losers out. `shOld`/`dfOld` may be cached frames (the
     * self-contained form) or parquet scans (the indexed form).
     */
-  private def nearDupSurvivors(
+  private[graft] def nearDupSurvivors(
       exactSurvivors: DataFrame, shNew: DataFrame, shOld: DataFrame,
       dfOld: DataFrame, tau: Double, maxShingleDf: Long, idCol: String,
       checkpointDir: Option[String]): DataFrame = {
@@ -743,23 +743,65 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$dstDir/df/batch=base")
   }
 
+  /** Run independent actions concurrently from a small driver thread
+    * pool (guide §2.6: the scheduler happily overlaps jobs; actions are
+    * only sequential because driver code calls them sequentially) —
+    * used to overlap the 2–3 independent parquet writes of an index
+    * slice, whose per-write commit latency otherwise adds up serially.
+    * Rethrows the first failure.
+    */
+  private[graft] def inParallel(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = actions.map(a => Future(a()))
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
   private def writeIndexSlice(
       docs: DataFrame, dir: String, tag: String, k: Int,
       idCol: String, textCol: String): Unit = {
     require(!tag.contains("/") && tag.nonEmpty, s"bad index batch tag: $tag")
-    docs.select(md5(col(textCol)).as("__h")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/hashes/batch=$tag")
     // the shingle write itself fills the persist cache, so the df
-    // aggregate reads cached blocks — no separate materializing count
+    // aggregate reads cached blocks — no separate materializing count.
+    // The hash write is independent of both and overlaps them (r19,
+    // guide §2.6); shingles → df stays ordered for the cache fill.
     val sh = shingles(docs, k, idCol, textCol).persist()
     try {
-      sh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$tag")
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")
+      inParallel(
+        () => docs.select(md5(col(textCol)).as("__h")).distinct()
+          .write.mode("overwrite").parquet(s"$dir/hashes/batch=$tag"),
+        () => {
+          sh.write.mode("overwrite").parquet(s"$dir/shingles/batch=$tag")
+          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$dir/df/batch=$tag")
+        })
     } finally {
       sh.unpersist()
       ()
     }
+  }
+
+  /** [[appendIncrementalIndex]] when the batch's shingle table is
+    * ALREADY materialized (the ingest tick computes it once for all
+    * three dedup layers — r19): writes the same three slices without
+    * re-shingling the written survivors, hashes overlapped with
+    * shingles+df (guide §2.6). `shKeep` must be exactly the shingle
+    * rows of `written`'s documents (the caller derives it by id
+    * semi-join from the tick's cached batch shingle table; shingle rows
+    * are per-document, so the filter IS the re-shingle).
+    */
+  private[graft] def appendIndexSlicePrecomputed(
+      written: DataFrame, shKeep: DataFrame, dir: String, tag: String,
+      idCol: String, textCol: String): Unit = {
+    require(!tag.contains("/") && tag.nonEmpty, s"bad index batch tag: $tag")
+    inParallel(
+      () => written.select(md5(col(textCol)).as("__h")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/hashes/batch=$tag"),
+      () => shKeep.select(col(idCol), col("shingle"))
+        .write.mode("overwrite").parquet(s"$dir/shingles/batch=$tag"),
+      () => shKeep.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/df/batch=$tag"))
   }
 
   /** [[incrementalSurvivors]] over a [[writeIncrementalIndex]] index —
@@ -782,12 +824,37 @@ object TextDedup {
       bloomBits: Option[Int] = None,
       bloomHashes: Int = 5,
       excludeBatchTag: Option[String] = None): DataFrame = {
-    // excludeBatchTag: a REPLAYED ingest tick must not see its own
-    // earlier append — against an index containing its own slice every
-    // batch doc is an exact dup of itself and survivors collapse to
-    // empty, breaking replay idempotency. Excluding the tag is a
-    // partition-directory prune (batch= is the slice partition column),
-    // so the exclusion costs nothing at read time.
+    val (corpusHashes, shOld, dfOld) =
+      indexSides(spark, indexDir, idCol, excludeBatchTag)
+    val exactSurvivors = exactSurvivorsVsHashes(
+      newDocs, corpusHashes, textCol, bloomBits, bloomHashes).persist()
+    val shNew = shingles(exactSurvivors, k, idCol, textCol).persist()
+    try {
+      shNew.count()
+      nearDupSurvivors(exactSurvivors, shNew, shOld, dfOld,
+        tau, maxShingleDf, idCol, checkpointDir)
+    } finally {
+      shNew.unpersist()
+      exactSurvivors.unpersist()
+      ()
+    }
+  }
+
+  /** The three reader frames of a persisted incremental index, own-tag
+    * slices excluded. excludeBatchTag: a REPLAYED ingest tick must not
+    * see its own earlier append — against an index containing its own
+    * slice every batch doc is an exact dup of itself and survivors
+    * collapse to empty, breaking replay idempotency. Excluding the tag
+    * is a partition-directory prune (batch= is the slice partition
+    * column), so the exclusion costs nothing at read time. The df table
+    * holds per-slice partial counts; the cap decision needs their sum —
+    * a shingle-level aggregate, orders of magnitude smaller than the
+    * shingle table itself.
+    */
+  private[graft] def indexSides(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, excludeBatchTag: Option[String])
+      : (DataFrame, DataFrame, DataFrame) = {
     def excl(df: DataFrame): DataFrame =
       graft.core.Slices.excludeTag(df, excludeBatchTag)
     val corpusHashes =
@@ -795,11 +862,19 @@ object TextDedup {
     val shOld = excl(spark.read.parquet(s"$indexDir/shingles"))
       .withColumnRenamed(shOldIdCol(spark, s"$indexDir/shingles", idCol), idCol)
       .select(col(idCol), col("shingle"))
-    // slices hold partial counts (one row per (shingle, slice)); the df
-    // a cap decision needs is their sum — a shingle-level aggregate,
-    // orders of magnitude smaller than the shingle table itself
     val dfOld = excl(spark.read.parquet(s"$indexDir/df"))
       .groupBy("shingle").agg(sum("df").as("df"))
+    (corpusHashes, shOld, dfOld)
+  }
+
+  /** The exact dedup layer of the incremental forms: anti-join the new
+    * batch against the corpus hash set, optionally Bloom-pruning the
+    * CORPUS side first (see [[incrementalSurvivors]] for why the filter
+    * sits on that side). Lazy; callers own persistence.
+    */
+  private[graft] def exactSurvivorsVsHashes(
+      newDocs: DataFrame, corpusHashes: DataFrame, textCol: String,
+      bloomBits: Option[Int], bloomHashes: Int): DataFrame = {
     val newHashed = newDocs.withColumn("__h", md5(col(textCol)))
     val exactBase = bloomBits match {
       case Some(m) =>
@@ -811,17 +886,7 @@ object TextDedup {
         newHashed.join(corpusMaybe, Seq("__h"), "left_anti")
       case None => newHashed.join(corpusHashes, Seq("__h"), "left_anti")
     }
-    val exactSurvivors = exactBase.drop("__h").persist()
-    val shNew = shingles(exactSurvivors, k, idCol, textCol).persist()
-    try {
-      shNew.count()
-      nearDupSurvivors(exactSurvivors, shNew, shOld, dfOld,
-        tau, maxShingleDf, idCol, checkpointDir)
-    } finally {
-      shNew.unpersist()
-      exactSurvivors.unpersist()
-      ()
-    }
+    exactBase.drop("__h")
   }
 
   /** The id column name the index's shingle table was written with —
@@ -969,11 +1034,15 @@ object TextDedup {
       case _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     })
-    // one count for all paths: the endgame gate AND the cache pre-fill
-    // the distributed path's multi-consumer plan needs (lazy-persist race)
-    val totalRows = ends.count()
-    if (localSafe && totalRows <= localFinishMaxEdges) {
-      val all = ends.collect()
+    // Gate and fetch in ONE bounded action: take(cap+1) either returns
+    // the whole (small) pair list — the local endgame's input — or
+    // proves the graph exceeds the cap (r19; the previous shape paid a
+    // count job AND a collect job). The overshoot row bounds driver
+    // memory exactly like the old count gate did.
+    val takeN = math.min(localFinishMaxEdges + 1, Int.MaxValue.toLong).toInt
+    val all = if (localSafe && localFinishMaxEdges >= 0) ends.take(takeN)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localSafe && localFinishMaxEdges >= 0 && all.length <= localFinishMaxEdges) {
       ends.unpersist()
       val rows = all.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       // driver-side distinct matches the old SQL distinct for every
@@ -986,6 +1055,9 @@ object TextDedup {
         .toArray.distinct
       return localUnionFind(pairs, rows, singleVerts)
     }
+    // distributed path: pre-fill the cache before the multi-consumer
+    // plan below (lazy-persist race); take() above only touched a prefix
+    ends.count(): Unit
     val verts = p.select(col("d1").as("src"))
       .union(p.select(col("d2").as("src")))
       .union(singles).distinct()

@@ -113,24 +113,50 @@ object DedupStream {
       .withColumn("__rn", row_number().over(wExact))
       .filter(col("__rn") === 1)
       .drop("__h", "__rn")
-    val vsCorpus = TextDedup.incrementalSurvivorsIndexed(
-      spark, intraExact, indexDir, tau, maxShingleDf, k, idCol, textCol,
-      bloomBits = bloomBits, excludeBatchTag = Some(batchTag))
-    val intraPairs =
-      TextDedup.jaccardPairs(vsCorpus, k, tau, maxShingleDf, idCol)
-    val losers = TextDedup.clusters(intraPairs)
-      .filter(col("cluster_id") =!= col("id"))
-      .select(col("id").as(idCol))
-    // keepers are consumed four times (index hashes, shingles, df,
-    // count): compute the plan ONCE into the output partition, then feed
-    // the index appends and the count from the written parquet — the
-    // re-reads are batch-bounded files, and the count is footer-only
-    val keepers = vsCorpus.join(losers, Seq(idCol), "left_anti")
-    keepers.write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
-    val written = spark.read.parquet(s"$outDir/batch=$batchTag")
-    TextDedup.appendIncrementalIndex(
-      written, indexDir, batchTag, k, idCol, textCol)
-    written.count()
+    // r19: the batch is shingled ONCE and the table reused by all three
+    // consumers that used to re-shingle independently — the vs-corpus
+    // near layer, the intra-batch jaccardPairs, and the index append
+    // (shingle rows are per-document, so an id semi-join on the cached
+    // table IS the re-shingle of any batch subset). Measured
+    // (QueryJobProfile / PLANS.md r14): each tick is fixed-tax-dominated
+    // small jobs, and the shingle pipeline (posexplode + window +
+    // distinct + persist fill) was paid 3× per tick.
+    val (corpusHashes, shOld, dfOld) =
+      TextDedup.indexSides(spark, indexDir, idCol, Some(batchTag))
+    val exactSurvivors = TextDedup.exactSurvivorsVsHashes(
+      intraExact, corpusHashes, textCol, bloomBits, bloomHashes = 5).persist()
+    val shNew = TextDedup.shingles(exactSurvivors, k, idCol, textCol).persist()
+    try {
+      shNew.count() // fill both caches before the multi-consumer fan-out
+      val vsCorpus = TextDedup.nearDupSurvivors(exactSurvivors, shNew,
+        shOld, dfOld, tau, maxShingleDf, idCol, checkpointDir = None)
+      // intra-batch near layer over the survivors' shingles — a cheap
+      // cached-table filter, not a re-shingle; the multi-consumer reads
+      // inside jaccardPairsOn re-evaluate only that filter
+      val shVs = shNew.join(
+        vsCorpus.select(col(idCol)), Seq(idCol), "left_semi")
+      val intraPairs = TextDedup.eager(
+        TextDedup.jaccardPairsOn(shVs, tau, maxShingleDf, idCol), None)
+      val losers = TextDedup.clusters(intraPairs)
+        .filter(col("cluster_id") =!= col("id"))
+        .select(col("id").as(idCol))
+      // keepers are consumed four times (index hashes, shingles, df,
+      // count): compute the plan ONCE into the output partition, then
+      // feed the index appends and the count from the written parquet —
+      // the re-reads are batch-bounded files, the count footer-only
+      val keepers = vsCorpus.join(losers, Seq(idCol), "left_anti")
+      keepers.write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+      val written = spark.read.parquet(s"$outDir/batch=$batchTag")
+      val shKeep = shNew.join(
+        written.select(col(idCol)), Seq(idCol), "left_semi")
+      TextDedup.appendIndexSlicePrecomputed(
+        written, shKeep, indexDir, batchTag, idCol, textCol)
+      written.count()
+    } finally {
+      shNew.unpersist()
+      exactSurvivors.unpersist()
+      ()
+    }
   }
 
   /** The streaming form of the growing corpus: every micro-batch runs
