@@ -54,7 +54,14 @@ object TextDedup {
     // deserializer stage just to read the partition count)
     val cur = docs.queryExecution.toRdd.getNumPartitions
     val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val perTask = BigInt(4L << 20)
+    // 128 KB of (typically parquet-compressed) input per task: text
+    // expands ~5× on decode and the downstream posexplode/window
+    // multiplies rows by the token count, so 128 KB compressed is a few
+    // hundred ms of shingle/window work — large enough that task
+    // overhead is noise, small enough that a mid-size corpus still
+    // parallelizes (584 KB sf0.1 docs → 5 tasks; measured: the 4 MB
+    // first cut serialized duplicatedSpans' window explode)
+    val perTask = BigInt(128L << 10)
     val want = ((bytes + perTask - 1) / perTask)
       .min(BigInt(par)).max(BigInt(1)).toInt
     if (cur < want) docs.repartition(want) else docs
